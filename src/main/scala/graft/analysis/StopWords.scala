@@ -1,0 +1,191 @@
+package graft.analysis
+
+/** Stopword sets, same word lists as the reference embeds (spaCy lists):
+  * /root/reference/src/SemanticKernel.Rankers.BM25/StopWords/English.cs:8-94,
+  * French.cs:8-120, German.cs:8-110. Stored lowercase; the analyzer
+  * lowercases before lookup, matching the reference's
+  * OrdinalIgnoreCase comparer.
+  */
+object StopWords {
+
+  private def split(s: String): Set[String] =
+    s.split("[ \n\r\t]+").iterator.filter(_.nonEmpty).map(_.toLowerCase).toSet
+
+  val english: Set[String] = split("""
+a about above across after afterwards again against all almost alone along
+already also although always am among amongst amount an and another any anyhow
+anyone anything anyway anywhere are around as at
+back be became because become becomes becoming been before beforehand behind
+being below beside besides between beyond both bottom but by
+call can cannot ca could
+did do does doing done down due during
+each eight either eleven else elsewhere empty enough even ever every
+everyone everything everywhere except
+few fifteen fifty first five for former formerly forty four from front full
+further
+get give go
+had has have he hence her here hereafter hereby herein hereupon hers herself
+him himself his how however hundred
+i if in indeed into is it its itself
+keep
+last latter latterly least less
+just
+made make many may me meanwhile might mine more moreover most mostly move much
+must my myself
+name namely neither never nevertheless next nine no nobody none noone nor not
+nothing now nowhere
+of off often on once one only onto or other others otherwise our ours ourselves
+out over own
+part per perhaps please put
+quite
+rather re really regarding
+same say see seem seemed seeming seems serious several she should show side
+since six sixty so some somehow someone something sometime sometimes somewhere
+still such
+take ten than that the their them themselves then thence there thereafter
+thereby therefore therein thereupon these they third this those though three
+through throughout thru thus to together too top toward towards twelve twenty
+two
+under until up unless upon us used using
+various very via was we well were what whatever when whence whenever where
+whereafter whereas whereby wherein whereupon wherever whether which while
+whither who whoever whole whom whose why will with within without would
+yet you your yours yourself yourselves
+""") ++ {
+    // Contraction forms, with straight and curly apostrophes
+    // (English.cs:75-94).
+    val contractions = Seq("n't", "'d", "'ll", "'m", "'re", "'s", "'ve")
+    contractions.toSet ++ contractions.map(_.replace("'", "’"))
+  }
+
+  val french: Set[String] = split("""
+a à â abord afin ah ai aie ainsi ait allaient allons
+alors anterieur anterieure anterieures antérieur antérieure antérieures
+apres après as assez attendu au
+aupres auquel aura auraient aurait auront
+aussi autre autrement autres autrui aux auxquelles auxquels avaient
+avais avait avant avec avoir avons ayant
+bas basee bat
+c ça car ce ceci cela celle celle-ci celle-la celle-là celles celles-ci celles-la celles-là
+celui celui-ci celui-la celui-là cent cependant certain certaine certaines certains certes ces
+cet cette ceux ceux-ci ceux-là chacun chacune chaque chez ci cinq cinquantaine cinquante
+cinquantième cinquième combien comme comment compris concernant
+d da dans de debout dedans dehors deja dejà delà depuis derriere
+derrière des desormais desquelles desquels dessous dessus deux deuxième
+deuxièmement devant devers devra different differente differentes differents différent
+différente différentes différents dire directe directement dit dite dits divers
+diverse diverses dix dix-huit dix-neuf dix-sept dixième doit doivent donc dont
+douze douzième du duquel durant dès déja déjà désormais
+effet egalement eh elle elle-meme elle-même elles elles-memes elles-mêmes en encore
+enfin entre envers environ es ès est et etaient étaient etais étais etait était
+etant étant etc etre être eu eux eux-mêmes exactement excepté également
+fais faisaient faisant fait facon façon feront font
+gens
+ha hem hep hi ho hormis hors hou houp hue hui huit huitième
+hé i il ils importe
+j je jusqu jusque juste
+l la laisser laquelle le lequel les lesquelles lesquels leur leurs longtemps
+lors lorsque lui lui-meme lui-même là lès
+m ma maint maintenant mais malgre malgré me meme memes merci mes mien
+mienne miennes miens mille moi moi-meme moi-même moindres moins
+mon même mêmes
+n na ne neanmoins neuvième ni nombreuses nombreux nos notamment
+notre nous nous-mêmes nouveau nul néanmoins nôtre nôtres
+o ô on ont onze onzième or ou ouias ouste outre
+ouvert ouverte ouverts où
+par parce parfois parle parlent parler parmi partant
+pas pendant pense permet personne peu peut peuvent peux plus
+plusieurs plutot plutôt possible possibles pour pourquoi
+pourrais pourrait pouvait prealable precisement
+premier première premièrement
+pres procedant proche près préalable précisement pu puis puisque
+qu quand quant quant-à-soi quarante quatorze quatre quatre-vingt
+quatrième quatrièmement que quel quelconque quelle quelles quelqu'un quelque
+quelques quels qui quiconque quinze quoi quoique
+relative relativement rend rendre restant reste
+restent retour revoici revoila revoilà
+s sa sait sans sauf se seize selon semblable semblaient
+semble semblent sent sept septième sera seraient serait seront ses seul seule
+seulement seuls seules si sien sienne siennes siens sinon six sixième soi soi-meme soi-même soit
+soixante son sont sous souvent specifique specifiques spécifique spécifiques stop
+suffisant suffisante suffit suis suit suivant suivante
+suivantes suivants suivre sur surtout
+t ta tant te tel telle tellement telles tels tenant tend tenir tente
+tes tien tienne tiennes tiens toi toi-meme toi-même ton touchant toujours tous
+tout toute toutes treize trente tres trois troisième troisièmement très
+tu té
+un une unes uns
+va vais vas vers via vingt voici voila voilà vont vos
+votre votres vous vous-mêmes vu vé vôtre vôtres
+y
+""") ++ {
+    val elisions = Seq("c'", "d'", "j'", "l'", "m'", "n'", "qu'", "s'", "t'")
+    elisions.toSet ++ elisions.map(_.replace("'", "’"))
+  }
+
+  val german: Set[String] = split("""
+á a ab aber ach acht achte achten achter achtes ag alle allein allem allen
+aller allerdings alles allgemeinen als also am an andere anderen anderem andern
+anders auch auf aus ausser außer ausserdem außerdem
+bald bei beide beiden beim beispiel bekannt bereits besonders besser besten bin
+bis bisher bist
+da dabei dadurch dafür dagegen daher dahin dahinter damals damit danach daneben
+dank dann daran darauf daraus darf darfst darin darüber darum darunter das
+dasein daselbst dass daß dasselbe davon davor dazu dazwischen dein deine deinem
+deiner dem dementsprechend demgegenüber demgemäss demgemäß demselben demzufolge
+den denen denn denselben der deren derjenige derjenigen dermassen dermaßen
+derselbe derselben des deshalb desselben dessen deswegen dich die diejenige
+diejenigen dies diese dieselbe dieselben diesem diesen dieser dieses dir doch
+dort drei drin dritte dritten dritter drittes du durch durchaus dürfen dürft
+durfte durften
+eben ebenso ehrlich eigen eigene eigenen eigener eigenes ein einander eine
+einem einen einer eines einige einigen einiger einiges einmal einmaleins elf en
+ende endlich entweder er erst erste ersten erster erstes es etwa etwas euch
+früher fünf fünfte fünften fünfter fünftes für
+gab ganz ganze ganzen ganzer ganzes gar gedurft gegen gegenüber gehabt gehen
+geht gekannt gekonnt gemacht gemocht gemusst genug gerade gern gesagt geschweige
+gewesen gewollt geworden gibt ging gleich gross groß grosse große grossen
+großen grosser großer grosses großes gut gute guter gutes
+habe haben habt hast hat hatte hätte hatten hätten heisst heißt her heute hier
+hin hinter hoch
+ich ihm ihn ihnen ihr ihre ihrem ihren ihrer ihres im immer in indem
+infolgedessen ins irgend ist
+ja jahr jahre jahren je jede jedem jeden jeder jedermann jedermanns jedoch
+jemand jemandem jemanden jene jenem jenen jener jenes jetzt
+kam kann kannst kaum kein keine keinem keinen keiner kleine kleinen kleiner
+kleines kommen kommt können könnt konnte könnte konnten kurz
+lang lange leicht leider lieber los
+machen macht machte mag magst man manche manchem manchen mancher manches mehr
+mein meine meinem meinen meiner meines mich mir mit mittel mochte möchte mochten
+mögen möglich mögt morgen muss muß müssen musst müsst musste mussten
+na nach nachdem nahm natürlich neben nein neue neuen neun neunte neunten neunter
+neuntes nicht nichts nie niemand niemandem niemanden noch nun nur
+ob oben oder offen oft ohne
+recht rechte rechten rechter rechtes richtig rund
+sagt sagte sah satt schlecht schon sechs sechste sechsten sechster sechstes
+sehr sei seid seien sein seine seinem seinen seiner seines seit seitdem selbst
+sich sie sieben siebente siebenten siebenter siebentes siebte siebten
+siebter siebtes sind so solang solche solchem solchen solcher solches soll
+sollen sollte sollten sondern sonst sowie später statt
+tag tage tagen tat teil tel trotzdem tun
+über überhaupt übrigens uhr um und uns unser unsere unserer unter
+vergangene vergangenen viel viele vielem vielen vielleicht vier vierte vierten
+vierter viertes vom von vor
+wahr während währenddem währenddessen wann war wäre waren wart warum was wegen
+weil weit weiter weitere weiteren weiteres welche welchem welchen welcher
+welches wem wen wenig wenige weniger weniges wenigstens wenn wer werde werden
+werdet wessen wie wieder will willst wir wird wirklich wirst wo wohl wollen
+wollt wollte wollten worden wurde würde wurden würden
+zehn zehnte zehnten zehnter zehntes zeit zu zuerst zugleich zum zunächst zur
+zurück zusammen zwanzig zwar zwei zweite zweiten zweiter zweites zwischen
+""") ++ {
+    val contractions = Seq("'s", "'n", "'m", "'t")
+    contractions.toSet ++ contractions.map(_.replace("'", "’"))
+  }
+
+  def forLang(lang: String): Set[String] = lang match {
+    case "fr" | "french"  => french
+    case "de" | "german"  => german
+    case _                => english
+  }
+}

@@ -1,0 +1,166 @@
+package graft.codec
+
+import graft.model.Posting
+import scala.collection.mutable.ArrayBuffer
+
+/** Posting-list encode/decode with per-block skip metadata for block-max
+  * WAND (SURVEY.md §4 items 2-3). The reference materializes no postings at
+  * all (its whole "index" is a driver dictionary, BM25Reranker.cs:16-21);
+  * this is the from-scratch part of the engine.
+  */
+object Postings {
+
+  /** Docs per skip block. 128 is the classic Lucene-style granularity. */
+  val BlockSize = 128
+
+  /** Build one posting list from parallel arrays sorted ascending by docId. */
+  def encode(shard: Int, term: String, docIds: Array[Long], tfs: Array[Int]): Posting = {
+    require(docIds.length == tfs.length, "docIds/tfs length mismatch")
+    val n = docIds.length
+    val nBlocks = (n + BlockSize - 1) / BlockSize
+    val blockLast = new Array[Long](nBlocks)
+    val blockMaxTf = new Array[Int](nBlocks)
+    val blockDocOff = new Array[Int](nBlocks)
+    val blockTfOff = new Array[Int](nBlocks)
+    val docsOut = new ArrayBuffer[Byte](n * 2)
+    val tfsOut = new ArrayBuffer[Byte](n)
+    var maxTf = 0
+    var b = 0
+    while (b < nBlocks) {
+      val start = b * BlockSize
+      val end = math.min(start + BlockSize, n)
+      blockDocOff(b) = docsOut.length
+      blockTfOff(b) = tfsOut.length
+      // Deltas restart at each block (first value of a block is absolute)
+      // so a block can be decoded after a skip without touching its
+      // predecessors.
+      var prev = 0L
+      var bm = 0
+      var i = start
+      while (i < end) {
+        VByte.writeVLong(docsOut, docIds(i) - prev)
+        prev = docIds(i)
+        VByte.writeVLong(tfsOut, tfs(i).toLong)
+        if (tfs(i) > bm) bm = tfs(i)
+        i += 1
+      }
+      blockLast(b) = docIds(end - 1)
+      blockMaxTf(b) = bm
+      if (bm > maxTf) maxTf = bm
+      b += 1
+    }
+    Posting(shard, term, n, maxTf, docsOut.toArray, tfsOut.toArray,
+      blockLast, blockMaxTf, blockDocOff, blockTfOff)
+  }
+
+  /** Full decode (test / exhaustive paths). */
+  def decode(p: Posting): (Array[Long], Array[Int]) = {
+    val docs = new Array[Long](p.count)
+    val tfs = new Array[Int](p.count)
+    val nBlocks = p.blockLast.length
+    var b = 0
+    var o = 0
+    while (b < nBlocks) {
+      val start = b * BlockSize
+      val end = math.min(start + BlockSize, p.count)
+      val dr = new VByte.Reader(p.docsBlob, p.blockDocOff(b))
+      val tr = new VByte.Reader(p.tfsBlob, p.blockTfOff(b))
+      var prev = 0L
+      var i = start
+      while (i < end) {
+        prev += dr.readVLong()
+        docs(o) = prev
+        tfs(o) = tr.readVInt()
+        o += 1
+        i += 1
+      }
+      b += 1
+    }
+    docs.take(o)
+    (docs, tfs)
+  }
+
+  /** Streaming cursor over one posting list, with block-level skipping.
+    * Core primitive of the WAND kernel: `advanceTo(target)` moves to the
+    * first docId >= target, decoding only the blocks it lands in.
+    */
+  final class Cursor(p: Posting) {
+    private val nBlocks = p.blockLast.length
+    private var block = -1
+    private var idxInBlock = 0
+    private var blockEnd = 0 // #docs in current block
+    private val bufDocs = new Array[Long](BlockSize)
+    private val bufTfs = new Array[Int](BlockSize)
+    var docId: Long = -1L
+    var tf: Int = 0
+    var exhausted: Boolean = p.count == 0
+
+    def count: Int = p.count
+
+    /** Max tf over the remaining (current) block — used for block-max
+      * upper bounds. */
+    def currentBlockMaxTf: Int = if (block >= 0 && block < nBlocks) p.blockMaxTf(block) else p.maxTf
+    def globalMaxTf: Int = p.maxTf
+
+    private def loadBlock(b: Int): Unit = {
+      block = b
+      val start = b * BlockSize
+      blockEnd = math.min(start + BlockSize, p.count) - start
+      val dr = new VByte.Reader(p.docsBlob, p.blockDocOff(b))
+      val tr = new VByte.Reader(p.tfsBlob, p.blockTfOff(b))
+      var prev = 0L
+      var i = 0
+      while (i < blockEnd) {
+        prev += dr.readVLong()
+        bufDocs(i) = prev
+        bufTfs(i) = tr.readVInt()
+        i += 1
+      }
+      idxInBlock = 0
+    }
+
+    /** Advance to the next posting; returns false when exhausted. */
+    def next(): Boolean = {
+      if (exhausted) return false
+      if (block < 0) { loadBlock(0) }
+      else {
+        idxInBlock += 1
+        if (idxInBlock >= blockEnd) {
+          if (block + 1 >= nBlocks) { exhausted = true; docId = Long.MaxValue; return false }
+          loadBlock(block + 1)
+        }
+      }
+      docId = bufDocs(idxInBlock)
+      tf = bufTfs(idxInBlock)
+      true
+    }
+
+    /** Move to first posting with docId >= target. Returns false when the
+      * list is exhausted before target. */
+    def advanceTo(target: Long): Boolean = {
+      if (exhausted) return false
+      if (block >= 0 && docId >= target) return true
+      // find the first block whose last docId >= target (binary search)
+      var lo = math.max(block, 0)
+      if (p.blockLast(nBlocks - 1) < target) { exhausted = true; docId = Long.MaxValue; return false }
+      var hi = nBlocks - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (p.blockLast(mid) < target) lo = mid + 1 else hi = mid
+      }
+      if (lo != block) { loadBlock(lo) }
+      else if (block < 0) { loadBlock(0) }
+      // linear scan within the (≤128-entry) block
+      while (idxInBlock < blockEnd && bufDocs(idxInBlock) < target) idxInBlock += 1
+      if (idxInBlock >= blockEnd) {
+        // can only happen when target fell between this block's last and
+        // the next block's first
+        if (block + 1 >= nBlocks) { exhausted = true; docId = Long.MaxValue; return false }
+        loadBlock(block + 1)
+      }
+      docId = bufDocs(idxInBlock)
+      tf = bufTfs(idxInBlock)
+      true
+    }
+  }
+}

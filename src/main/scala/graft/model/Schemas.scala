@@ -1,0 +1,95 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core data model of the engine (SURVEY.md §1.2).
+  *
+  * The source table shape follows the `input_hint` in BASELINE.json: a table
+  * of multi-turn conversation/agent transcripts; one turn = one document.
+  * Mirrors (re-expressed, not ported) the reference's stream-of-strings model
+  * (/root/reference/src/SemanticKernel.Rankers.Abstractions/IRanker.cs:8-11).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+/** Analyzed document: ≅ ProcessedDocument (BM25Reranker.cs:26-32), but keyed
+  * by a deterministic dense docId instead of the raw text. */
+final case class AnalyzedDoc(docId: Long, terms: Array[String], len: Int)
+
+/** Global corpus statistics ≅ CorpusStatistics (BM25Reranker.cs:16-21), with
+  * the document-frequency dictionary factored out into a distributed table
+  * (TermStat) instead of a driver-side map — the map does not survive 10^12
+  * docs. */
+final case class CorpusStats(n: Long, avgdl: Double)
+final case class TermStat(term: String, df: Long)
+
+/** One posting list: all docs of one shard containing `term`.
+  *
+  * docsBlob = delta-encoded + variable-byte docIDs (ascending);
+  * tfsBlob  = variable-byte term frequencies, aligned with docsBlob.
+  * block*   = per-block (BlockSize docs) skip metadata for block-max WAND:
+  * last docID in block, max tf in block, byte offsets into the blobs.
+  */
+final case class Posting(
+    shard: Int,
+    term: String,
+    count: Int,
+    maxTf: Int,
+    docsBlob: Array[Byte],
+    tfsBlob: Array[Byte],
+    blockLast: Array[Long],
+    blockMaxTf: Array[Int],
+    blockDocOff: Array[Int],
+    blockTfOff: Array[Int]
+)
+
+/** Per-shard document map row: docId → identity + length. */
+final case class DocMeta(
+    shard: Int,
+    docId: Long,
+    conv_id: String,
+    turn_idx: Int,
+    len: Int
+)
+
+/** Per-shard packed doc lengths: lensBlob[i] = length of the doc with
+  * local rank i (docId = (shard << RankBits) | rank). One row per shard. */
+final case class ShardLens(shard: Int, count: Int, lensBlob: Array[Byte])
+
+/** Query-side analyzed term with query term frequency and global df. */
+final case class QueryTerm(term: String, qtf: Int, df: Long)
+
+/** A scored hit. */
+final case class Hit(
+    qid: String,
+    docId: Long,
+    conv_id: String,
+    turn_idx: Int,
+    score: Double
+)
+
+/** Per-stage checkpoint manifest row (north rule: resumable build with
+  * lineage + row/byte metrics). */
+final case class StageManifest(
+    stage: String,
+    rows: Long,
+    bytes: Long,
+    status: String,
+    wallMs: Long
+)
+
+object Ids {
+  /** Bits reserved for the within-shard local rank. 2^40 docs per shard is
+    * comfortably above 10^12 total docs / any sane shard count. */
+  val RankBits = 40
+  val RankMask: Long = (1L << RankBits) - 1L
+  @inline def docId(shard: Int, rank: Long): Long = (shard.toLong << RankBits) | rank
+  @inline def shardOf(docId: Long): Int = (docId >>> RankBits).toInt
+  @inline def rankOf(docId: Long): Long = docId & RankMask
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.analysis.{Analyzer, StopWords}
+import graft.ref.OracleBm25
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral contracts ported from the reference tests (FIXTURES.md §4):
+  * /root/reference/tests/SemanticKernel.Rankers.BM25.Tests/BM25RerankerBasicTests.cs
+  */
+class AnalyzerOracleSpec extends AnyFunSuite {
+
+  val F1 = Seq(
+    "The cat is sleeping on the mat",
+    "Dogs are loyal pets",
+    "A black cat crossed the street")
+
+  val F2 = Seq(
+    "Machine learning is a subset of artificial intelligence",
+    "Deep learning uses neural networks",
+    "Artificial intelligence encompasses machine learning",
+    "Neural networks are used in machine learning",
+    "Cooking recipes for beginners",
+    "Machine learning algorithms are powerful")
+
+  val F3 = Seq(
+    "The quick brown fox jumps over the lazy dog.",
+    "The fox",
+    "The dog",
+    "A brown dog jumps over another dog.",
+    "The quick brown fox.",
+    "Machine learning is a subset of artificial intelligence.",
+    "Natural language processing helps computers understand human language.",
+    "The algorithm processes documents efficiently.",
+    "Information retrieval systems rank documents by relevance.",
+    "Text mining extracts useful information from unstructured data.")
+
+  val en = StopWords.english
+
+  test("analyzer is deterministic and stopword/punctuation-dropping") {
+    val t = Analyzer.tokenize("The quick brown fox jumps over the lazy dog.", en)
+    assert(t.sameElements(Array("quick", "brown", "fox", "jumps", "lazy", "dog")))
+    assert(Analyzer.tokenize("", en).isEmpty)
+    assert(Analyzer.tokenize("   !!! ...", en).isEmpty)
+    // case-insensitive stopwords, digits kept
+    assert(Analyzer.tokenize("THE The the 42", en).sameElements(Array("42")))
+    // determinism
+    for (_ <- 0 until 10)
+      assert(Analyzer.tokenize(F3.mkString(" "), en).sameElements(
+        Analyzer.tokenize(F3.mkString(" "), en)))
+  }
+
+  test("F1 + 'cat': both cat docs strictly outscore the dog doc (BM25RerankerBasicTests.cs:40-43)") {
+    val scores = OracleBm25.scoreAll("cat", F1, en).map(_._2)
+    assert(scores(0) > scores(1))
+    assert(scores(2) > scores(1))
+    assert(scores(0) > 0 && scores(2) > 0)
+  }
+
+  test("empty query: all scores exactly 0 (BM25RerankerBasicTests.cs:64-66)") {
+    assert(OracleBm25.scoreAll("", F1, en).forall(_._2 == 0.0))
+  }
+
+  test("F2 + 'machine learning' topN=3: exactly 3, descending (BM25RerankerBasicTests.cs:92-98)") {
+    val top = OracleBm25.rank("machine learning", F2, 3, en)
+    assert(top.size == 3)
+    assert(top.sliding(2).forall { case Seq(a, b) => a._2 >= b._2; case _ => true })
+    // the cooking doc (index 4) must not rank
+    assert(!top.map(_._1).contains(4))
+  }
+
+  test("score is 0 iff no term overlap; monotone in tf") {
+    val docs = Seq("alpha beta", "gamma delta", "alpha alpha beta")
+    val s = OracleBm25.scoreAll("alpha", docs, Set.empty).map(_._2)
+    assert(s(1) == 0.0 && s(0) > 0.0)
+    // doc 2 has tf=2 for alpha but is longer; against same-length doc tf wins
+    val s2 = OracleBm25.scoreAll("alpha", Seq("alpha beta gamma", "alpha alpha beta"), Set.empty).map(_._2)
+    assert(s2(1) > s2(0))
+  }
+
+  test("north-star params (k1=1.2) and ref defaults (k1=1.5) both rank F3 sensibly") {
+    for (p <- Seq(OracleBm25.RefDefaults, OracleBm25.NorthStar)) {
+      val top = OracleBm25.rank("quick brown fox", F3, 3, en, p)
+      // doc 4 "The quick brown fox." (short, all terms) must be #1
+      assert(top.head._1 == 4)
+      assert(top.map(_._1).contains(0))
+    }
+  }
+}
