@@ -1,0 +1,42 @@
+package graft.cli
+
+import graft.build.IndexBuilder
+import graft.sources.Transcripts
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point: build an index from a transcript source.
+  *
+  * Usage: BuildIndex <indexDir> <nTurns|parquetPath> [shards]
+  *   - numeric second arg → deterministic synthetic corpus of that size;
+  *   - otherwise a parquet path with (conv_id, turn_idx, text) columns.
+  */
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    val indexDir = args(0)
+    val source = args(1)
+    val shards = args.lift(2).map(_.toInt).getOrElse(32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-build-index")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val input =
+      if (source.forall(_.isDigit))
+        Transcripts.synth(spark, source.toLong, parallelism = cpus.toInt * 2).toDF()
+      else spark.read.parquet(source)
+    IndexBuilder.build(spark, input, indexDir, IndexBuilder.Config(shards = shards))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(s"$indexDir/stats").head().getAs[Long]("n")
+    println(f"[build-index] $n turns in $secs%.2f s (${n / secs}%.0f turns/sec) → $indexDir")
+    graft.build.Manifests.all(indexDir).sortBy(_.stage).foreach { m =>
+      println(f"[stage] ${m.stage}%-9s rows=${m.rows}%-9d bytes=${m.bytes}%-10d ${m.wallMs} ms")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,183 @@
+package graft.query
+
+import graft.codec.Postings
+import graft.model.Posting
+
+/** Block-max WAND top-k kernel (SURVEY.md §4 item 3).
+  *
+  * Runs per index shard inside a `mapGroups`/`mapPartitions` — the only
+  * piece of the query path that is imperative by design: posting-list
+  * traversal with threshold-based skipping is not expressible relationally.
+  *
+  * Semantics: identical top-k to exhaustive OR-mode BM25 (any overlapping
+  * term contributes; the reference's scorer is OR-mode, BM25Reranker.cs:
+  * 405-408). WAND only *prunes* documents that provably cannot enter the
+  * current top-k heap:
+  *  - term upper bound  ub(t) = idf(t)·qtfSat(t)·tfSatUpper(maxTf(t))
+  *  - pivot selection over cursors sorted by current docId;
+  *  - block-max refinement: before scoring a pivot, re-check with the
+  *    *current block* max tf of each aligned cursor.
+  */
+object Wand {
+
+  final case class TermInput(posting: Posting, qtf: Int, globalDf: Long)
+  final case class Scored(docId: Long, score: Double)
+
+  /** Bounded min-heap of (score, docId); keeps the k largest by
+    * (score, then smaller docId preferred on equal score — deterministic
+    * D2 tie-break: on equal scores the smaller docId wins a heap slot). */
+  final class TopK(k: Int) {
+    val heap = new java.util.PriorityQueue[Scored](math.max(k, 1),
+      (a: Scored, b: Scored) =>
+        if (a.score != b.score) java.lang.Double.compare(a.score, b.score)
+        else java.lang.Long.compare(b.docId, a.docId)) // larger docId = weaker
+    def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.peek().score
+    def offer(docId: Long, score: Double): Unit = {
+      if (heap.size < k) heap.add(Scored(docId, score))
+      else {
+        val w = heap.peek()
+        if (score > w.score || (score == w.score && docId < w.docId)) {
+          heap.poll(); heap.add(Scored(docId, score))
+        }
+      }
+    }
+    def drainDescending(): Array[Scored] = {
+      val out = new Array[Scored](heap.size)
+      var i = out.length - 1
+      while (!heap.isEmpty) { out(i) = heap.poll(); i -= 1 }
+      out
+    }
+  }
+
+  /** Top-k over one shard. `lens(rank)` = doc length; stats are GLOBAL
+    * (n, avgdl, per-term global df). */
+  def topK(terms: Seq[TermInput], lens: Array[Int], n: Long, avgdl: Double,
+           k: Int, p: Bm25.Params, rankMask: Long): Array[Scored] = {
+    val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
+    val topk = new TopK(k)
+    if (live.isEmpty || n == 0 || avgdl == 0.0) return topk.drainDescending()
+
+    val m = live.size
+    val cursors = new Array[Postings.Cursor](m)
+    val ubs = new Array[Double](m) // term-level upper bound
+    val idfQtf = new Array[Double](m) // idf * qtfSat, reused per hit
+    var i = 0
+    live.foreach { t =>
+      cursors(i) = new Postings.Cursor(t.posting)
+      cursors(i).next()
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      ubs(i) = idfQtf(i) * Bm25.tfSatUpper(t.posting.maxTf, p)
+      i += 1
+    }
+    // order[] = cursor indices sorted by current docId (insertion-sorted,
+    // m is the query length — tiny)
+    val order = Array.range(0, m)
+    def sortOrder(): Unit = {
+      var a = 1
+      while (a < m) {
+        val x = order(a); var b = a - 1
+        while (b >= 0 && cursors(order(b)).docId > cursors(x).docId) {
+          order(b + 1) = order(b); b -= 1
+        }
+        order(b + 1) = x
+        a += 1
+      }
+    }
+
+    var liveCount = m
+    while (liveCount > 0) {
+      sortOrder()
+      // drop exhausted cursors (they sort to the end with MaxValue)
+      while (liveCount > 0 && cursors(order(liveCount - 1)).exhausted) liveCount -= 1
+      if (liveCount == 0) return topk.drainDescending()
+
+      // pivot: first position where the cumulative UB clears the threshold
+      val theta = topk.threshold
+      var acc = 0.0
+      var pivotPos = -1
+      var j = 0
+      while (j < liveCount && pivotPos < 0) {
+        acc += ubs(order(j))
+        if (acc > theta) pivotPos = j
+        j += 1
+      }
+      if (pivotPos < 0) return topk.drainDescending() // nothing can qualify
+
+      val pivotDoc = cursors(order(pivotPos)).docId
+      if (cursors(order(0)).docId == pivotDoc) {
+        // block-max recheck: tighter bound using current blocks. Must scan
+        // ALL live cursors — ones beyond the pivot position can also sit on
+        // pivotDoc and contribute to its true score.
+        var blockUb = 0.0
+        var jj = 0
+        while (jj < liveCount) {
+          val ci = order(jj)
+          val c = cursors(ci)
+          if (!c.exhausted) {
+            if (c.docId < pivotDoc) c.advanceTo(pivotDoc)
+            if (!c.exhausted && c.docId == pivotDoc)
+              blockUb += idfQtf(ci) * Bm25.tfSatUpper(c.currentBlockMaxTf, p)
+          }
+          jj += 1
+        }
+        if (blockUb > theta) {
+          // fully score pivotDoc
+          val dl = lens((pivotDoc & rankMask).toInt)
+          var s = 0.0
+          var jk = 0
+          while (jk < liveCount) {
+            val ci = order(jk)
+            val c = cursors(ci)
+            if (!c.exhausted && c.docId == pivotDoc) {
+              s += idfQtf(ci) * Bm25.tfSat(c.tf, dl, avgdl, p)
+            }
+            jk += 1
+          }
+          if (s > 0.0) topk.offer(pivotDoc, s)
+        }
+        // advance every cursor sitting on pivotDoc
+        var ja = 0
+        while (ja < liveCount) {
+          val c = cursors(order(ja))
+          if (!c.exhausted && c.docId == pivotDoc) c.next()
+          ja += 1
+        }
+      } else {
+        // advance the leading cursors to the pivot
+        var ja = 0
+        while (ja < pivotPos && cursors(order(ja)).docId < pivotDoc) {
+          cursors(order(ja)).advanceTo(pivotDoc)
+          ja += 1
+        }
+      }
+    }
+    topk.drainDescending()
+  }
+
+  /** Exhaustive (no pruning) scorer over the same inputs — the correctness
+    * twin of topK; WAND ≡ this on every corpus (tested). */
+  def topKExhaustive(terms: Seq[TermInput], lens: Array[Int], n: Long,
+                     avgdl: Double, k: Int, p: Bm25.Params,
+                     rankMask: Long): Array[Scored] = {
+    val topk = new TopK(k)
+    if (n == 0 || avgdl == 0.0) return topk.drainDescending()
+    val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    terms.foreach { t =>
+      if (t.globalDf > 0) {
+        val iq = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+        val (docs, tfs) = Postings.decode(t.posting)
+        var i = 0
+        while (i < docs.length) {
+          val dl = lens((docs(i) & rankMask).toInt)
+          val add = iq * Bm25.tfSat(tfs(i), dl, avgdl, p)
+          val prev = acc.get(docs(i))
+          acc.put(docs(i), if (prev == null) add else prev + add)
+          i += 1
+        }
+      }
+    }
+    acc.forEach((d, s) => if (s > 0.0) topk.offer(d, s))
+    topk.drainDescending()
+  }
+}
