@@ -1,13 +1,69 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.analysis.Analyzer
+import graft.ops.DocQueries
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry runs THROUGH the engine (index build → query path)
+  * over `<sfDir>/documents.parquet`; `oracleSql` holds the equivalent
+  * DuckDB SQL the driver checks it against. Column names/types and
+  * (round4, doc_id) cut rules are shared — see OracleSql's contract note.
+  */
 object SparkEntry {
+
+  private val P = DocQueries.P
+
+  /** Analyzed (term, qtf) pairs of a query string — the single source of
+    * truth for both the Spark side and the generated oracle SQL. */
+  private def qt(q: String): Seq[(String, Int)] =
+    Analyzer.termFreqs(Analyzer.tokenizeEn(q)).toSeq.sortBy(_._1)
+
+  // Query strings drawn from the documents-table vocabulary.
+  private val Q_SCORE = "fast query join"
+  private val Q_TOPK = "spark stream window"
+  private val Q_TOPK_REL = "sort merge join"
+  private val Q_CASCADE = "data filter merge"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    DocQueries.topK(spark, "/root/testdata/sf0.001", Q_TOPK, 10, relational = false)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3 corpus statistics
+    "q_corpus_stats" -> ((s, d) => DocQueries.corpusStats(s, d)),
+    "q_term_df" -> ((s, d) => DocQueries.termDf(s, d, 20)),
+    "q_doc_len" -> ((s, d) => DocQueries.docLens(s, d)),
+    // O1/O2 analyze + per-doc TF
+    "q_doc_tf" -> ((s, d) => DocQueries.docTf(s, d)),
+    // posting-list build + VByte codec roundtrip
+    "q_postings_roundtrip" -> ((s, d) => DocQueries.postingsRoundtrip(s, d)),
+    // O4/O5/O6 full-corpus scoring
+    "q_bm25_score_all" -> ((s, d) => DocQueries.scoreAll(s, d, Q_SCORE)),
+    // O7 top-k via block-max WAND kernel
+    "q_bm25_topk" -> ((s, d) => DocQueries.topK(s, d, Q_TOPK, 10, relational = false)),
+    // O7 top-k via the relational exhaustive path
+    "q_bm25_topk_rel" -> ((s, d) => DocQueries.topK(s, d, Q_TOPK_REL, 10, relational = true)),
+    // empty-query contract: every doc, score exactly 0
+    "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
+    // O9-O14 cascade (BM25 stage → mock LM stage, threshold/topK/topM)
+    "q_cascade" -> ((s, d) => DocQueries.cascade(s, d, Q_CASCADE, 0.5, 20, 5))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_corpus_stats" -> OracleSql.corpusStats,
+    "q_term_df" -> OracleSql.termDf(20),
+    "q_doc_len" -> OracleSql.docLens,
+    "q_doc_tf" -> OracleSql.docTf,
+    "q_postings_roundtrip" -> OracleSql.docTf,
+    "q_bm25_score_all" -> OracleSql.scoreAll(qt(Q_SCORE), P),
+    "q_bm25_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
+    "q_bm25_topk_rel" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
+    "q_bm25_empty" -> OracleSql.emptyQuery,
+    "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5)
+  )
 }

@@ -1,0 +1,102 @@
+package graft.oracle
+
+import graft.analysis.StopWords
+import graft.query.Bm25
+
+/** Generates the ANSI/DuckDB oracle SQL for SparkEntry.oracleSql.
+  *
+  * Contract with the Spark side (critical for the driver's hash compare):
+  *  - identical column NAMES and order-compatible types (BIGINT/long,
+  *    DOUBLE/double, VARCHAR/string);
+  *  - every floating-point output rounded to 4 decimals at the very end;
+  *  - every ORDER BY / LIMIT keyed on (round(score,4), unique id) so both
+  *    engines make identical cuts even under last-bit fp divergence.
+  */
+object OracleSql {
+
+  private def lit(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** English stopword list as a SQL IN-list (matches Analyzer.tokenizeEn). */
+  lazy val stopListEn: String = StopWords.english.toSeq.sorted.map(lit).mkString(",")
+
+  /** Tokenization CTEs over the documents table — the SQL mirror of
+    * Analyzer.tokenize(text, english) for ASCII input. */
+  def baseCtes: String =
+    s"""toks AS (
+       |  SELECT d.doc_id, t.term
+       |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(term)
+       |  WHERE t.term NOT IN ($stopListEn)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(coalesce(dl.len, 0)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id)""".stripMargin
+
+  private def queryValues(terms: Seq[(String, Int)]): String =
+    terms.map { case (t, c) => s"(${lit(t)}, $c)" }.mkString(", ")
+
+  /** The BM25 score of BM25Reranker.cs:398-418 as a SQL aggregate. */
+  def scoredCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
+    s"""scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * ${p.k1 + 1}) / (tf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl))
+       |       * (qt.qtf * ${p.k3 + 1}) / (qt.qtf + ${p.k3}) ) AS score
+       |  FROM tf
+       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id)""".stripMargin
+
+  def corpusStats: String =
+    s"""WITH $baseCtes
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(coalesce(dl.len, 0)) AS DOUBLE) / count(*), 4) AS avgdl
+       |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id""".stripMargin
+
+  def termDf(limit: Int): String =
+    s"""WITH $baseCtes
+       |SELECT term, df FROM dft ORDER BY df DESC, term LIMIT $limit""".stripMargin
+
+  def docTf: String =
+    s"""WITH $baseCtes
+       |SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""".stripMargin
+
+  def docLens: String =
+    s"""WITH $baseCtes
+       |SELECT d.doc_id, CAST(coalesce(dl.len, 0) AS BIGINT) AS len
+       |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  def scoreAll(terms: Seq[(String, Int)], p: Bm25.Params): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY doc_id""".stripMargin
+
+  def topK(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  def emptyQuery: String =
+    """SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id"""
+
+  /** Two-stage cascade: BM25 stage (threshold+topK cut) then the
+    * reference-test mock ranker `score*0.5 + len/100` (CascadeRerank
+    * PipelineTests.cs:49-57), topM final cut. */
+  def cascade(terms: Seq[(String, Int)], p: Bm25.Params,
+              threshold: Double, topK: Int, topM: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |stage1 AS (
+       |  SELECT doc_id, score FROM scored WHERE score >= $threshold
+       |  ORDER BY round(score, 4) DESC, doc_id LIMIT $topK),
+       |stage2 AS (
+       |  SELECT s.doc_id, s.score * 0.5 + dl.len / 100.0 AS score
+       |  FROM stage1 s JOIN dl ON dl.doc_id = s.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM stage2 WHERE score >= $threshold
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $topM""".stripMargin
+}
