@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.analysis.Analyzer
-import graft.ops.DocQueries
-import graft.oracle.OracleSql
+import graft.ops.{DocQueries, TextOps, VectorOps, Multimodal}
+import graft.oracle.{OracleSql, OracleSqlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,7 +49,23 @@ object SparkEntry {
     // empty-query contract: every doc, score exactly 0
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
     // O9-O14 cascade (BM25 stage → mock LM stage, threshold/topK/topM)
-    "q_cascade" -> ((s, d) => DocQueries.cascade(s, d, Q_CASCADE, 0.5, 20, 5))
+    "q_cascade" -> ((s, d) => DocQueries.cascade(s, d, Q_CASCADE, 0.5, 20, 5)),
+    // training-data pipeline: text analysis
+    "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "q_langid" -> ((s, d) => TextOps.langId(s, d)),
+    "q_quality" -> ((s, d) => TextOps.quality(s, d)),
+    "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    // deduplication family
+    "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
+    "q_minhash_pairs" -> ((s, d) => TextOps.minHashPairs(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d, 0.5)),
+    // similarity search over embeddings
+    "q_cos_topk" -> ((s, d) => VectorOps.cosTopK(s, d, 0L, 10)),
+    "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d, 0L, 10, 2)),
+    "q_embed_pairs" -> ((s, d) => VectorOps.similarPairs(s, d, 20)),
+    // multimodal plumbing (decode stubbed — rows-only check, no oracle)
+    "q_mm_features" -> ((s, d) => Multimodal.features(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,6 +80,17 @@ object SparkEntry {
     "q_bm25_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
     "q_bm25_topk_rel" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_bm25_empty" -> OracleSql.emptyQuery,
-    "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5)
+    "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),
+    "q_token_count" -> OracleSqlOps.tokenCount,
+    "q_langid" -> OracleSqlOps.langId,
+    "q_quality" -> OracleSqlOps.quality,
+    "q_fingerprint" -> OracleSqlOps.fingerprint,
+    "q_dedup_exact" -> OracleSqlOps.dedupExact,
+    "q_simhash" -> OracleSqlOps.simHash,
+    "q_minhash_pairs" -> OracleSqlOps.minHashPairs,
+    "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),
+    "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),
+    "q_ann_ivf" -> OracleSqlOps.annIvf(0L, 10, 2),
+    "q_embed_pairs" -> OracleSqlOps.similarPairs(20)
   )
 }

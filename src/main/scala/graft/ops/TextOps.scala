@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.analysis.{Analyzer, StopWords, TextHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text-pipeline operators over the documents table: token
+  * counting, language ID, quality scoring, fingerprinting, exact dedup,
+  * SimHash, MinHash-LSH candidate pairs, n-gram Jaccard near-dup pairs.
+  *
+  * All ops are distributed (explode / groupBy / LSH bucket self-join — no
+  * driver-side loops) and mirror the DuckDB oracle SQL bit-for-bit on
+  * integers and to 4 decimals on doubles. "Raw" tokens = lowercased
+  * [letter/digit]+ runs, stopwords KEPT (language ID needs them).
+  */
+object TextOps {
+
+  private val rawToksUdf = udf((t: String) => Analyzer.tokenizeRaw(t))
+  private val polyHashUdf = udf((s: String) => TextHash.polyHash31(s))
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** (doc_id, n_tokens) raw token counts. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), size(rawToksUdf(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** (doc_id, pred_lang) — stopword-vote language ID over en/fr/de lists;
+    * ties resolved en > fr > de; no votes → 'und'. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = udf { (t: String) =>
+      val toks = Analyzer.tokenizeRaw(t)
+      val en = toks.count(StopWords.english.contains)
+      val fr = toks.count(StopWords.french.contains)
+      val de = toks.count(StopWords.german.contains)
+      if (en == 0 && fr == 0 && de == 0) "und"
+      else if (en >= fr && en >= de) "en"
+      else if (fr >= de) "fr"
+      else "de"
+    }
+    docs(spark, sfDir).select(col("doc_id"), pred(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, n_tokens, stop_ratio, quality): stop_ratio = stopword share,
+    * quality = distinct_ratio · (1 − stop_ratio) — a simple repetition ×
+    * function-word heuristic. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = udf { (t: String) =>
+      val toks = Analyzer.tokenizeRaw(t)
+      val n = toks.length
+      if (n == 0) (0L, 0.0, 0.0)
+      else {
+        val stop = toks.count(StopWords.english.contains)
+        val sr = stop.toDouble / n
+        val dr = toks.distinct.length.toDouble / n
+        (n.toLong, sr, dr * (1 - sr))
+      }
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), f(col("text")).as("q"))
+      .select(col("doc_id"), col("q._1").as("n_tokens"),
+        round(col("q._2"), 4).as("stop_ratio"), round(col("q._3"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, fp) — polynomial rolling-hash fingerprint of lower(text). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), polyHashUdf(lower(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact dedup on the canonical distinct-term-set signature:
+    * (sig, cnt, keep_id) groups with cnt > 1, keep_id = min doc_id. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigUdf = udf((t: String) => Analyzer.tokenizeRaw(t).distinct.sorted.mkString(" "))
+    docs(spark, sfDir)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
+      .filter(col("cnt") > 1)
+      .orderBy("sig")
+  }
+
+  /** (doc_id, simhash) — 31-bit SimHash over raw-token TFs. */
+  def simHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = udf((t: String) => TextHash.simHash31(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
+    docs(spark, sfDir).select(col("doc_id"), sh(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash-LSH candidate pairs (a, b): 8 permutations over 3-word-shingle
+    * hashes, 4 bands × 2 rows; pairs sharing ≥1 band bucket. The
+    * band-bucket self-join IS the scale path — candidates are found by an
+    * equi-join on (band, key), never by an all-pairs comparison. */
+  def minHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigUdf = udf { (t: String) =>
+      val sh = TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct
+      if (sh.isEmpty) Array.empty[Long] // <3 tokens: no signature (SQL drops them too)
+      else TextHash.minHashSig(sh.iterator.map(TextHash.polyHash31))
+    }
+    val withSig = docs(spark, sfDir)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .filter(size(col("sig")) === TextHash.MinHashK)
+    val bands = withSig.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${TextHash.MinHashK / 2 - 1}), " +
+          "b -> struct(b AS band, sig[2*b] * 2147483647L + sig[2*b+1] AS key))")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val l = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+    val r = bands.select(col("band"), col("key"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .orderBy("a", "b")
+  }
+
+  /** Near-dup pairs by 3-word-shingle Jaccard ≥ minJ, candidates blocked on
+    * the lexicographic min shingle (a deterministic 1-row LSH). Output
+    * (a, b, jaccard). */
+  def ngramJaccard(spark: SparkSession, sfDir: String, minJ: Double): DataFrame = {
+    val shUdf = udf((t: String) => TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct)
+    val dsh = docs(spark, sfDir)
+      .select(col("doc_id"), explode(shUdf(col("text"))).as("s"))
+    val m = dsh.groupBy("doc_id").agg(min("s").as("ms"), count(lit(1)).as("n"))
+    val cand = m.select(col("doc_id").as("a"), col("ms"), col("n").as("na"))
+      .join(m.select(col("doc_id").as("b"), col("ms"), col("n").as("nb")), "ms")
+      .filter(col("a") < col("b"))
+      .select("a", "b", "na", "nb")
+    val inter = cand
+      .join(dsh.select(col("doc_id").as("a"), col("s")), "a")
+      .join(dsh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
+    inter
+      .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= minJ)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,168 @@
+package graft.oracle
+
+import graft.analysis.{StopWords, TextHash}
+
+/** DuckDB oracle SQL for the training-data pipeline ops (TextOps /
+  * VectorOps). Same parity contract as OracleSql. */
+object OracleSqlOps {
+
+  private def lit(s: String) = "'" + s.replace("'", "''") + "'"
+  private def inList(set: Set[String]): String = set.toSeq.sorted.map(lit).mkString(",")
+  private lazy val en = inList(StopWords.english)
+  private lazy val fr = inList(StopWords.french)
+  private lazy val de = inList(StopWords.german)
+
+  /** Raw tokens (stopwords kept) — mirror of Analyzer.tokenizeRaw. */
+  private val rawToks =
+    """rt AS (
+      |  SELECT d.doc_id, t.term
+      |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(term))""".stripMargin
+
+  /** polyHash31 of a string expression, as SQL. */
+  private def polyHash(expr: String): String =
+    s"list_reduce(list_transform(string_split($expr, ''), x -> CAST(ascii(x) AS BIGINT)), (a, b) -> (a*31 + b) % 2147483647)"
+
+  /** Distinct 3-word shingles per doc. */
+  private val shingleCtes =
+    """arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a FROM documents),
+      |dsh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
+      |                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+      |    FROM arrs) t)""".stripMargin
+
+  def tokenCount: String =
+    """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def langId: String =
+    s"""WITH $rawToks,
+       |v AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN term IN ($en) THEN 1 ELSE 0 END) AS en,
+       |    sum(CASE WHEN term IN ($fr) THEN 1 ELSE 0 END) AS fr,
+       |    sum(CASE WHEN term IN ($de) THEN 1 ELSE 0 END) AS de
+       |  FROM rt GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN v.doc_id IS NULL OR (v.en = 0 AND v.fr = 0 AND v.de = 0) THEN 'und'
+       |       WHEN v.en >= v.fr AND v.en >= v.de THEN 'en'
+       |       WHEN v.fr >= v.de THEN 'fr' ELSE 'de' END AS pred_lang
+       |FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  def quality: String =
+    s"""WITH $rawToks,
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CASE WHEN term IN ($en) THEN 1 ELSE 0 END) AS stop,
+       |    count(DISTINCT term) AS dn
+       |  FROM rt GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+       |  round(CASE WHEN agg.n > 0 THEN CAST(agg.stop AS DOUBLE) / agg.n ELSE 0.0 END, 4) AS stop_ratio,
+       |  round(CASE WHEN agg.n > 0 THEN (CAST(agg.dn AS DOUBLE) / agg.n) * (1 - CAST(agg.stop AS DOUBLE) / agg.n) ELSE 0.0 END, 4) AS quality
+       |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  def fingerprint: String =
+    s"""SELECT doc_id, CAST(${polyHash("lower(text)")} AS BIGINT) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def dedupExact: String =
+    s"""WITH $rawToks,
+       |sig AS (SELECT doc_id, string_agg(DISTINCT term, ' ' ORDER BY term) AS sig FROM rt GROUP BY 1)
+       |SELECT sig, CAST(count(*) AS BIGINT) AS cnt, CAST(min(doc_id) AS BIGINT) AS keep_id
+       |FROM sig GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin
+
+  def simHash: String =
+    s"""WITH $rawToks,
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM rt GROUP BY 1, 2),
+       |h AS (SELECT doc_id, tf, ${polyHash("term")} AS th FROM tf),
+       |bits AS (
+       |  SELECT doc_id, j.j,
+       |    CASE WHEN sum(CASE WHEN (th >> CAST(j.j AS INT)) & 1 = 1 THEN tf ELSE -tf END) > 0 THEN 1 ELSE 0 END AS b
+       |  FROM h CROSS JOIN range(0, 31) j(j) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def permsValues: String =
+    TextHash.MinHashA.indices
+      .map(i => s"(${i}, ${TextHash.MinHashA(i)}, ${TextHash.MinHashB(i)})")
+      .mkString(", ")
+
+  def minHashPairs: String =
+    s"""WITH $shingleCtes,
+       |h AS (SELECT doc_id, ${polyHash("s")} AS th FROM dsh),
+       |perms AS (SELECT * FROM (VALUES $permsValues) p(i, a, b)),
+       |sig AS (SELECT doc_id, p.i, min((p.a * th + p.b) % 2147483647) AS mh
+       |        FROM h CROSS JOIN perms p GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT s1.doc_id, s1.i // 2 AS band, s1.mh * 2147483647 + s2.mh AS key
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id = s2.doc_id AND s2.i = s1.i + 1
+       |  WHERE s1.i % 2 = 0)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |ORDER BY a, b""".stripMargin
+
+  def ngramJaccard(minJ: Double): String =
+    s"""WITH $shingleCtes,
+       |m AS (SELECT doc_id, min(s) AS ms, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb
+       |  FROM m x JOIN m y ON x.ms = y.ms AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, c.na, c.nb, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN dsh da ON da.doc_id = c.a
+       |  JOIN dsh db ON db.doc_id = c.b AND db.s = da.s
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+       |FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= $minJ
+       |ORDER BY a, b""".stripMargin
+
+  // ---- embeddings -----------------------------------------------------------
+
+  private def cosAgg(vecA: String, vecB: String): String =
+    s"""sum(CAST($vecA AS DOUBLE) * CAST($vecB AS DOUBLE)) AS dot,
+       |    sqrt(sum(CAST($vecA AS DOUBLE) * CAST($vecA AS DOUBLE))) AS na,
+       |    sqrt(sum(CAST($vecB AS DOUBLE) * CAST($vecB AS DOUBLE))) AS nb""".stripMargin
+
+  def cosTopK(targetId: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
+       |c AS (
+       |  SELECT v.vec_id,
+       |    ${cosAgg("v.embedding[i.i]", "q.qe[i.i]")}
+       |  FROM embeddings v CROSS JOIN q CROSS JOIN range(1, 65) i(i)
+       |  GROUP BY v.vec_id)
+       |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM c
+       |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
+
+  def annIvf(targetId: Long, k: Int, nprobe: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
+       |cent AS (
+       |  SELECT label, i.i, avg(CAST(embedding[i.i] AS DOUBLE)) AS c
+       |  FROM embeddings CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+       |cq AS (
+       |  SELECT cent.label,
+       |    sum(cent.c * CAST(q.qe[cent.i] AS DOUBLE)) AS dot,
+       |    sqrt(sum(cent.c * cent.c)) AS na,
+       |    sqrt(sum(CAST(q.qe[cent.i] AS DOUBLE) * CAST(q.qe[cent.i] AS DOUBLE))) AS nb
+       |  FROM cent CROSS JOIN q GROUP BY 1),
+       |probed AS (SELECT label FROM cq ORDER BY round(dot / (na * nb), 4) DESC, label LIMIT $nprobe),
+       |c AS (
+       |  SELECT v.vec_id,
+       |    ${cosAgg("v.embedding[i.i]", "q.qe[i.i]")}
+       |  FROM embeddings v JOIN probed p ON v.label = p.label
+       |  CROSS JOIN q CROSS JOIN range(1, 65) i(i)
+       |  GROUP BY v.vec_id)
+       |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM c
+       |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
+
+  def similarPairs(n: Int): String =
+    s"""WITH pr AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    ${cosAgg("x.embedding[i.i]", "y.embedding[i.i]")}
+       |  FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+       |  CROSS JOIN range(1, 65) i(i)
+       |  GROUP BY 1, 2)
+       |SELECT a, b, round(dot / (na * nb), 4) AS cos FROM pr
+       |ORDER BY round(dot / (na * nb), 4) DESC, a, b LIMIT $n""".stripMargin
+}
