@@ -1,24 +1,89 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.build.IndexBuilder
+import graft.sources.Transcripts
+
+/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+  *
+  * Reports (a) warm per-query wall times over SPARK_GRAFT_SF_DIR, with the
+  * documents index pre-built so query numbers measure querying, not
+  * indexing; (b) index-build throughput for a deterministic synthetic
+  * transcript corpus at two parallelism levels — local[8] vs local[32] —
+  * which is the sandbox evidence for the north rule's N-vs-4N scaling
+  * criterion (BASELINE.md protocol), plus the derived efficiency.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def buildThroughput(cpus: Int, nTurns: Long): Double = {
+    val spark = session(cpus)
+    // JIT/codegen warmup on a small corpus so the timed run measures
+    // steady-state throughput, not first-job compilation
+    val warmDir = java.nio.file.Files.createTempDirectory(s"graft_warm$cpus").toString
+    IndexBuilder.build(spark, Transcripts.synth(spark, 100000, parallelism = cpus).toDF(),
+      warmDir, IndexBuilder.Config(shards = 64))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
+
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_idx$cpus").toString
+    val input = Transcripts.synth(spark, nTurns, parallelism = cpus * 2).toDF()
+    val t0 = System.nanoTime()
+    IndexBuilder.build(spark, input, dir, IndexBuilder.Config(shards = 64))
+    val secs = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    nTurns / secs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+
+    val spark = session(cpus)
+    // warm up: index build + one pass of every query (JIT, codegen, IO cache)
+    graft.ops.DocQueries.indexDir(spark, sfDir)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    // timed warm pass
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // p95 latency of the flagship top-10 WAND query, warm index
+    val searcher = graft.ops.DocQueries.searcher(spark, sfDir)
+    val lat = (1 to 20).map { _ =>
+      val t0 = System.nanoTime()
+      searcher.topK("spark stream window", 10).collect()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val p95 = lat((lat.size * 95 / 100).min(lat.size - 1))
     spark.stop()
+
+    // scaling: same job, same input, N=8 vs 4N=32 threads
+    val tp8 = buildThroughput(8, scaleTurns)
+    val tp32 = buildThroughput(32, scaleTurns)
+    val eff = (tp32 / tp8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f}}""")
   }
 }

@@ -22,7 +22,7 @@ final case class AnalyzedRow(
   *
   * Layout under `indexDir`:
   *   analyzed/  (shard, docId, conv_id, turn_idx, len, terms[], tfs[])
-  *   docs/      (shard, docId, conv_id, turn_idx, len)
+  *              — also serves as the doc map via Parquet column pruning
   *   stats/     (n, avgdl)                        — single row
   *   df/        (term, df)                        — global document freqs
   *   postings/  Posting rows, sorted by (shard, term)
@@ -58,124 +58,176 @@ object IndexBuilder {
   def build(spark: SparkSession, input: DataFrame, indexDir: String,
             cfg: Config = Config()): Unit = {
     import spark.implicits._
+    // Task-side file commit (v2): the v1 default renames every task's
+    // output sequentially on the driver, a constant cost that destroys
+    // scaling efficiency on many-file stages. (On object stores, swap for
+    // the store's committer; Iceberg commits replace this entirely.)
+    spark.sparkContext.hadoopConfiguration
+      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+    // The analyzed table explodes ~30-50x into term rows downstream; with
+    // the default 128 MB splits its map side runs on a handful of tasks
+    // and starves the cluster. Small splits keep every core busy (scan
+    // cost is trivial next to the explode+shuffle it feeds).
+    val prev = Seq(
+      "spark.sql.files.maxPartitionBytes",
+      // AQE partition coalescing would undo the exact shard→partition
+      // balance below (it merges by size, re-introducing stragglers).
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try buildStages(spark, input, indexDir, cfg)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def buildStages(spark: SparkSession, input: DataFrame, indexDir: String,
+                          cfg: Config): Unit = {
+    import spark.implicits._
     val parts = if (cfg.buildPartitions > 0) math.min(cfg.buildPartitions, cfg.shards) else cfg.shards
     val stop = cfg.language // resolved on executors via StopWords.forLang
 
+    // Exact shard→partition placement (see ShardKeys): shard s goes to
+    // partition s % parts, so every stage keyed by shard is perfectly
+    // balanced — no balls-in-bins stragglers.
+    val pkeys = ShardKeys.keys(cfg.shards, parts)
+    def withPkey(df: DataFrame): DataFrame =
+      df.withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
+
     // ---- stage: analyzed -------------------------------------------------
+    // One exchange (exact placement by shard), one in-partition sort, rank
+    // assignment in a streaming per-partition pass, tokenizer as a single
+    // UDF in the pre-shuffle projection. shard = murmur3(conv_id) mod FIXED
+    // shard count: a pure function of the data, so docIds are identical at
+    // any parallelism.
     stage(spark, indexDir, "analyzed") { () =>
       val nShards = cfg.shards
-      val withShard = input
-        .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
-        .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int"))
-      // All rows of a shard into one partition, sorted: local rank becomes
-      // a deterministic function of the data alone.
-      val sorted = withShard
-        .repartition(parts, col("shard"))
+      val analyzeUdf = udf((text: String) => {
+        val toks = Analyzer.tokenize(text, StopWords.forLang(stop))
+        val tfm = Analyzer.termFreqs(toks)
+        val terms = tfm.keysIterator.toArray
+        scala.util.Sorting.quickSort(terms)
+        (toks.length, terms, terms.map(tfm))
+      })
+      withPkey(input
+          .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
+          .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int")))
+        .withColumn("tok", analyzeUdf(col("text")))
+        .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"),
+          col("tok._1").as("len"), col("tok._2").as("terms"), col("tok._3").as("tfs"))
+        .repartition(parts, col("pkey"))
         .sortWithinPartitions("shard", "conv_id", "turn_idx")
-      val analyzed = sorted.mapPartitions { rows =>
-        val stopSet = StopWords.forLang(stop)
-        var curShard = -1
-        var rank = 0L
-        rows.map { r =>
-          val shard = r.getAs[Int]("shard")
-          if (shard != curShard) { curShard = shard; rank = 0L }
-          val docId = Ids.docId(shard, rank)
-          rank += 1L
-          val toks = Analyzer.tokenize(r.getAs[String]("text"), stopSet)
-          val tfm = Analyzer.termFreqs(toks)
-          val terms = tfm.keysIterator.toArray
-          scala.util.Sorting.quickSort(terms)
-          AnalyzedRow(shard, docId, r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
-            toks.length, terms, terms.map(tfm))
+        .mapPartitions { rows =>
+          var curShard = -1
+          var rank = 0L
+          rows.map { r =>
+            val shard = r.getInt(1)
+            if (shard != curShard) { curShard = shard; rank = 0L }
+            val docId = Ids.docId(shard, rank)
+            rank += 1L
+            (shard, docId, r.getString(2), r.getInt(3), r.getInt(4),
+              r.getSeq[String](5), r.getSeq[Int](6))
+          }
         }
-      }
-      analyzed.write.mode("overwrite").parquet(s"$indexDir/analyzed")
+        .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")
+        .write.mode("overwrite").parquet(s"$indexDir/analyzed")
       spark.read.parquet(s"$indexDir/analyzed").count()
     }
 
-    lazy val analyzed = spark.read.parquet(s"$indexDir/analyzed").as[AnalyzedRow]
+    lazy val analyzed = spark.read.parquet(s"$indexDir/analyzed")
+    // NOTE: there is no separate "docs" table — doc metadata reads go
+    // through Parquet column pruning on analyzed/ (only the selected
+    // columns are scanned), so materializing a projection would only add
+    // a stage and double the doc-map storage.
 
-    // ---- stage: docs (doc map without the term payload) ------------------
-    stage(spark, indexDir, "docs") { () =>
-      analyzed.select($"shard", $"docId", $"conv_id", $"turn_idx", $"len")
-        .write.mode("overwrite").parquet(s"$indexDir/docs")
-      spark.read.parquet(s"$indexDir/docs").count()
-    }
+    // The four post-analyze stages depend only on analyzed/ and not on each
+    // other — submit them concurrently so the small aggregations overlap
+    // the posting-assembly shuffle instead of serializing after it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stages = Seq(
 
     // ---- stage: stats (N, avgdl) -----------------------------------------
-    stage(spark, indexDir, "stats") { () =>
+    Future(stage(spark, indexDir, "stats") { () =>
       analyzed.agg(count(lit(1)).as("n"), avg($"len").as("avgdl"))
         .select($"n".cast("long"), $"avgdl".cast("double"))
         .write.mode("overwrite").parquet(s"$indexDir/stats")
       1L
-    }
+    }),
 
     // ---- stage: df (global document frequencies) -------------------------
-    stage(spark, indexDir, "df") { () =>
+    Future(stage(spark, indexDir, "df") { () =>
       // terms are distinct per doc already → count(*) = document frequency.
       // Partial aggregation collapses head terms map-side before the shuffle.
       analyzed.select(explode($"terms").as("term"))
         .groupBy($"term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$indexDir/df")
       spark.read.parquet(s"$indexDir/df").count()
-    }
+    }),
 
     // ---- stage: postings --------------------------------------------------
-    stage(spark, indexDir, "postings") { () =>
-      val termRows = analyzed.flatMap { a =>
-        val out = new Array[TermRow](a.terms.length)
-        var i = 0
-        while (i < a.terms.length) {
-          out(i) = TermRow(a.shard, a.terms(i), a.docId, a.tfs(i)); i += 1
-        }
-        out
-      }
-      // Spillable sort-merge assembly (SURVEY.md §7.3): one pass over
-      // (shard, term, docId)-sorted rows, encoding each run into a Posting.
-      // No collect_list — a head term's run streams through the encoder.
-      val postings = termRows
-        .repartition(parts, $"shard")
+    Future(stage(spark, indexDir, "postings") { () =>
+      // Spillable sort-merge assembly (SURVEY.md §7.3): explode to
+      // (shard, term, docId, tf), sort within shard partitions, then one
+      // streaming pass encodes each (shard, term) run into a Posting.
+      // No collect_list — a head term's run streams through the encoder,
+      // and head terms are already split across all shards by the
+      // document partitioning.
+      val termRows = withPkey(analyzed
+          .select(col("shard"), col("docId"),
+            explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+          .select(col("shard"), col("tt.terms").as("term"), col("docId"), col("tt.tfs").as("tf")))
+        .repartition(parts, $"pkey")
+        .select(col("shard"), col("term"), col("docId"), col("tf"))
         .sortWithinPartitions("shard", "term", "docId")
-        .mapPartitions { rows =>
-          new Iterator[Posting] {
-            private val it = rows.buffered
-            def hasNext: Boolean = it.hasNext
-            def next(): Posting = {
-              val first = it.head
-              val docs = new ArrayBuffer[Long](64)
-              val tfs = new ArrayBuffer[Int](64)
-              while (it.hasNext && it.head.shard == first.shard && it.head.term == first.term) {
-                val r = it.next()
-                docs += r.docId; tfs += r.tf
-              }
-              Postings.encode(first.shard, first.term, docs.toArray, tfs.toArray)
+      val postings = termRows.mapPartitions { rows =>
+        new Iterator[Posting] {
+          private val it = rows.buffered
+          def hasNext: Boolean = it.hasNext
+          def next(): Posting = {
+            val first = it.head
+            val shard = first.getInt(0)
+            val term = first.getString(1)
+            val docs = new ArrayBuffer[Long](64)
+            val tfs = new ArrayBuffer[Int](64)
+            while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
+              val r = it.next()
+              docs += r.getLong(2); tfs += r.getInt(3)
             }
+            Postings.encode(shard, term, docs.toArray, tfs.toArray)
           }
         }
+      }
       postings.write.mode("overwrite").parquet(s"$indexDir/postings")
       spark.read.parquet(s"$indexDir/postings").count()
-    }
+    }),
 
     // ---- stage: doclens (per-shard packed lengths) ------------------------
-    stage(spark, indexDir, "doclens") { () =>
-      val lens = analyzed.map(a => (a.shard, a.docId, a.len))
-        .repartition(parts, $"_1")
-        .sortWithinPartitions("_1", "_2")
+    Future(stage(spark, indexDir, "doclens") { () =>
+      val lens = withPkey(analyzed.select(col("shard"), col("docId"), col("len")))
+        .repartition(parts, $"pkey")
+        .select(col("shard"), col("docId"), col("len"))
+        .sortWithinPartitions("shard", "docId")
         .mapPartitions { rows =>
           new Iterator[ShardLens] {
             private val it = rows.buffered
             def hasNext: Boolean = it.hasNext
             def next(): ShardLens = {
-              val shard = it.head._1
+              val shard = it.head.getInt(0)
               val lens = new ArrayBuffer[Int](1024)
-              while (it.hasNext && it.head._1 == shard) lens += it.next()._3
+              while (it.hasNext && it.head.getInt(0) == shard) lens += it.next().getInt(2)
               ShardLens(shard, lens.length, VByte.encodeInts(lens.toArray))
             }
           }
         }
       lens.write.mode("overwrite").parquet(s"$indexDir/doclens")
       spark.read.parquet(s"$indexDir/doclens").count()
-    }
+    }))
+
+    stages.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Run one stage unless its manifest says done; record rows/bytes/time. */

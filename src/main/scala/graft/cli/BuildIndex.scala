@@ -16,14 +16,17 @@ object BuildIndex {
     val source = args(1)
     val shards = args.lift(2).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
       .appName("graft-build-index")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // spark-submit supplies the master (e.g. local-cluster[4,8,..] for real
+    // executor JVMs); standalone runs fall back to local threads.
+    if (!sys.props.contains("spark.master")) builder.master(s"local[$cpus]")
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val input =
@@ -34,6 +37,7 @@ object BuildIndex {
     val secs = (System.nanoTime() - t0) / 1e9
     val n = spark.read.parquet(s"$indexDir/stats").head().getAs[Long]("n")
     println(f"[build-index] $n turns in $secs%.2f s (${n / secs}%.0f turns/sec) → $indexDir")
+    println(f"""BUILD_JSON {"turns":$n,"secs":$secs%.3f,"tps":${n / secs}%.1f}""")
     graft.build.Manifests.all(indexDir).sortBy(_.stage).foreach { m =>
       println(f"[stage] ${m.stage}%-9s rows=${m.rows}%-9d bytes=${m.bytes}%-10d ${m.wallMs} ms")
     }

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   *    expression. Used for correctness cross-checks and full score dumps
   *    (≅ reference ScoreAsync, which yields every doc).
   */
+object Searcher {
+  /** Doc metadata view: a pruned-column read of analyzed/ (no separate doc
+    * table is materialized — Parquet scans only these columns). */
+  def docMeta(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/analyzed")
+      .select(col("shard"), col("docId"), col("conv_id"), col("turn_idx"), col("len"))
+}
+
 final class Searcher(spark: SparkSession, indexDir: String,
                      params: Bm25.Params = Bm25.RefDefaults,
                      language: String = "en") {
@@ -70,7 +78,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
 
     val top = perShard.orderBy(desc("score"), asc("docId")).limit(k)
     // hits are ≤ k rows — broadcast them against the doc map
-    spark.read.parquet(s"$indexDir/docs")
+    Searcher.docMeta(spark, indexDir)
       .join(broadcast(top), "docId")
       .select($"conv_id", $"turn_idx", $"docId", $"score")
       .orderBy(desc("score"), asc("docId"))
@@ -81,7 +89,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * reference's ScoreAsync stream. */
   def scoreAll(query: String, keepZeros: Boolean = false): DataFrame = {
     val qtf = analyzeQuery(query)
-    val docs = spark.read.parquet(s"$indexDir/docs")
+    val docs = Searcher.docMeta(spark, indexDir)
     if (qtf.isEmpty) {
       return docs.select($"conv_id", $"turn_idx", $"docId", lit(0.0).as("score"))
     }

@@ -74,8 +74,10 @@ object Transcripts {
   /** Deterministic scale corpus: `nTurns` turns across conversations of
     * `turnsPerConv` turns. Generated distributedly from spark.range — the
     * text of turn t is a pure function of t (seeded mix), so the corpus is
-    * identical at any parallelism. A Zipf-ish skew is built in: token
-    * `tok0` appears in ~half of all turns to exercise head-term handling.
+    * identical at any parallelism. Texts are multi-sentence (~40-130
+    * tokens, realistic transcript-turn length). A Zipf-ish skew is built
+    * in: token `tok0` appears in ~half of all turns to exercise head-term
+    * handling, and `rareNNN` tokens give a long tail.
     */
   def synth(spark: SparkSession, nTurns: Long, turnsPerConv: Int = 20,
             parallelism: Int = 0): Dataset[Turn] = {
@@ -88,12 +90,23 @@ object Transcripts {
       // xorshift-style mix, pure function of t
       var x = t * 0x9E3779B97F4A7C15L + 0x7F4A7C15L
       x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
-      val topic = topics(((x % topics.length + topics.length) % topics.length).toInt)
-      val head = if ((x & 1L) == 0L) " tok0" else ""
-      val rare = if ((x % 997L) == 0L) s" rare${x % 5000L}" else ""
+      val sb = new java.lang.StringBuilder(680)
+      val nSentences = 5 + (x % 11L).toInt // 5..15 sentences of ~8 tokens
+      var s = 0
+      var y = x
+      while (s < nSentences) {
+        y = y * 6364136223846793005L + 1442695040888963407L
+        val yi = (y >>> 33)
+        sb.append(topics((yi % topics.length).toInt))
+        if ((yi & 1L) == 0L) sb.append(" tok0")
+        if (yi % 97L == 0L) sb.append(" rare").append(yi % 5000L)
+        sb.append(". ")
+        s += 1
+      }
+      sb.append("turn ").append(turn)
       val role = turn % 3 match { case 0 => "user"; case 1 => "assistant"; case _ => "tool" }
       val tool = toolNames(((x >>> 8) % toolNames.length).toInt)
-      Turn(f"conv-$conv%09d", turn, role, s"$topic$head$rare turn $turn", tool,
+      Turn(f"conv-$conv%09d", turn, role, sb.toString, tool,
         new Timestamp(BaseEpochMs + conv * 60000L + turn * 1000L))
     }
   }

@@ -88,7 +88,7 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val dir = TestSpark.tmpDir("idx")
     val turns = Transcripts.synth(spark, 2000, turnsPerConv = 7)
     IndexBuilder.build(spark, turns.toDF(), dir, IndexBuilder.Config(shards = 8))
-    val docs = spark.read.parquet(s"$dir/docs")
+    val docs = graft.query.Searcher.docMeta(spark, dir)
     // every source turn appears exactly once with a unique docId
     assert(docs.count() == 2000)
     assert(docs.select("docId").distinct().count() == 2000)
@@ -107,8 +107,8 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val dirB = TestSpark.tmpDir("idxB")
     IndexBuilder.build(spark, turns.toDF().repartition(2), dirA, IndexBuilder.Config(shards = 8, buildPartitions = 2))
     IndexBuilder.build(spark, turns.toDF().repartition(16), dirB, IndexBuilder.Config(shards = 8, buildPartitions = 8))
-    val a = spark.read.parquet(s"$dirA/docs").select("conv_id", "turn_idx", "docId")
-    val b = spark.read.parquet(s"$dirB/docs").select("conv_id", "turn_idx", "docId")
+    val a = graft.query.Searcher.docMeta(spark, dirA).select("conv_id", "turn_idx", "docId")
+    val b = graft.query.Searcher.docMeta(spark, dirB).select("conv_id", "turn_idx", "docId")
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
     val qa = new Searcher(spark, dirA).topK("quick brown fox tok0", 10)
       .select("conv_id", "turn_idx", "score").collect().toSeq
@@ -139,7 +139,7 @@ class IndexEndToEndSpec extends AnyFunSuite {
     IndexBuilder.build(spark, turns, dir, IndexBuilder.Config(shards = 2))
     val manifests = graft.build.Manifests.all(dir)
     assert(manifests.map(_.stage).toSet ==
-      Set("analyzed", "docs", "stats", "df", "postings", "doclens"))
+      Set("analyzed", "stats", "df", "postings", "doclens"))
     assert(manifests.forall(_.status == "done"))
     assert(manifests.forall(_.bytes > 0))
     // tamper: record postings mtime, rebuild, nothing rewritten
