@@ -50,6 +50,14 @@ object SparkEntry {
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
     // O9-O14 cascade (BM25 stage → mock LM stage, threshold/topK/topM)
     "q_cascade" -> ((s, d) => DocQueries.cascade(s, d, Q_CASCADE, 0.5, 20, 5)),
+    // O6/O8 two-pass scoring without a prebuilt index, caller-named columns
+    "q_bm25_twopass" -> ((s, d) => DocQueries.scoreTwoPass(s, d, Q_SCORE)),
+    // O13 cascade per-stage lineage metrics
+    "q_cascade_metrics" -> ((s, d) => DocQueries.cascadeMetrics(s, d, Q_CASCADE, 0.5, 20, 5)),
+    // O15 model-judged relevance contracts (clamp / empty→0 / error→0)
+    "q_lm_score" -> ((s, d) => DocQueries.lmScore(s, d, Q_TOPK)),
+    // O16 model-judged top-N
+    "q_lm_rank" -> ((s, d) => DocQueries.lmRank(s, d, Q_TOPK, 5)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_langid" -> ((s, d) => TextOps.langId(s, d)),
@@ -81,6 +89,10 @@ object SparkEntry {
     "q_bm25_topk_rel" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_bm25_empty" -> OracleSql.emptyQuery,
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),
+    "q_bm25_twopass" -> OracleSql.scoreAll(qt(Q_SCORE), P),
+    "q_cascade_metrics" -> OracleSql.cascadeMetrics(qt(Q_CASCADE), P, 0.5, 20, 5),
+    "q_lm_score" -> OracleSql.lmScore(Analyzer.tokenizeRaw(Q_TOPK).distinct.toSeq),
+    "q_lm_rank" -> OracleSql.lmRank(Analyzer.tokenizeRaw(Q_TOPK).distinct.toSeq, 5),
     "q_token_count" -> OracleSqlOps.tokenCount,
     "q_langid" -> OracleSqlOps.langId,
     "q_quality" -> OracleSqlOps.quality,

@@ -14,7 +14,7 @@ object BuildIndex {
   def main(args: Array[String]): Unit = {
     val indexDir = args(0)
     val source = args(1)
-    val shards = args.lift(2).map(_.toInt).getOrElse(32)
+    val shards = args.lift(2).filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val builder = SparkSession.builder()
       .appName("graft-build-index")
@@ -28,6 +28,13 @@ object BuildIndex {
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--warmup")) {
+      // JIT/codegen warmup so the timed build measures steady-state
+      val warm = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      IndexBuilder.build(spark, Transcripts.synth(spark, 100000, parallelism = cpus.toInt).toDF(),
+        warm, IndexBuilder.Config(shards = shards))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warm))
+    }
     val t0 = System.nanoTime()
     val input =
       if (source.forall(_.isDigit))

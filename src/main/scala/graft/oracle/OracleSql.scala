@@ -99,4 +99,56 @@ object OracleSql {
        |  FROM stage1 s JOIN dl ON dl.doc_id = s.doc_id)
        |SELECT doc_id, round(score, 4) AS score FROM stage2 WHERE score >= $threshold
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $topM""".stripMargin
+
+  /** Per-stage cascade lineage counts (O13): candidates in, after the
+    * threshold, after the topK/topM cut. */
+  def cascadeMetrics(terms: Seq[(String, Int)], p: Bm25.Params,
+                     threshold: Double, topK: Int, topM: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |thr0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM scored WHERE score >= $threshold),
+       |stage1 AS (
+       |  SELECT doc_id, score FROM scored WHERE score >= $threshold
+       |  ORDER BY round(score, 4) DESC, doc_id LIMIT $topK),
+       |in1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM stage1),
+       |thr1 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM stage1 s
+       |  JOIN dl ON dl.doc_id = s.doc_id
+       |  WHERE s.score * 0.5 + dl.len / 100.0 >= $threshold)
+       |SELECT CAST(0 AS BIGINT) AS stage,
+       |       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_in,
+       |       (SELECT c FROM thr0) AS n_threshold,
+       |       CAST(least((SELECT c FROM thr0), $topK) AS BIGINT) AS n_out
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), (SELECT c FROM in1), (SELECT c FROM thr1),
+       |       CAST(least((SELECT c FROM thr1), $topM) AS BIGINT)
+       |ORDER BY stage""".stripMargin
+
+  /** Mock-LM relevance stage (O15): overlap/|q| + len/200, clamped [0,1],
+    * docs containing the token `slow` → scorer error → 0. */
+  def lmScore(queryRawTerms: Seq[String]): String = {
+    val qlist = queryRawTerms.map(lit).mkString(",")
+    val nq = math.max(queryRawTerms.size, 1)
+    s"""WITH rt AS (
+       |  SELECT d.doc_id, t.term
+       |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(term)),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(count(DISTINCT CASE WHEN term IN ($qlist) THEN term END) AS DOUBLE) AS ov,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    max(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) AS failed
+       |  FROM rt GROUP BY 1)
+       |SELECT d.doc_id,
+       |  round(CASE WHEN agg.doc_id IS NULL OR agg.failed = 1 THEN 0.0
+       |             ELSE least(1.0, greatest(0.0, agg.ov / $nq + agg.n / 200.0)) END, 4) AS lm_score
+       |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** O16: mock-LM top-N. */
+  def lmRank(queryRawTerms: Seq[String], k: Int): String = {
+    val inner = lmScore(queryRawTerms)
+    s"""SELECT doc_id, lm_score FROM ($inner) t
+       |ORDER BY lm_score DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

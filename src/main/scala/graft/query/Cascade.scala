@@ -35,4 +35,31 @@ object Cascade {
     }
     cur
   }
+
+  /** Per-stage lineage row, ≅ the reference's legacy CascadeRerankResult
+    * with stage timings (O13, CascadeRerankPipeline.cs:186-229):
+    * candidates in, survivors after threshold, survivors after the cut. */
+  final case class StageMetric(stage: Int, nIn: Long, nThreshold: Long,
+                               nOut: Long, wallMs: Long)
+
+  /** Like run(), but materializes each stage and reports metrics. */
+  def runWithMetrics(candidates: DataFrame, stages: Seq[DataFrame => DataFrame],
+                     cfg: Config, tieBreak: String): (DataFrame, Seq[StageMetric]) = {
+    require(stages.nonEmpty, "cascade needs at least one stage")
+    var cur = candidates
+    val metrics = Seq.newBuilder[StageMetric]
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      val t0 = System.nanoTime()
+      val nIn = cur.count()
+      val scored = stage(cur).filter(col("score") >= lit(cfg.threshold))
+      val nThr = scored.count()
+      val cut = if (i == stages.size - 1) cfg.topM else cfg.topK
+      cur = scored
+        .orderBy(round(col("score"), 4).desc, col(tieBreak).asc)
+        .limit(cut)
+      metrics += StageMetric(i, nIn, nThr, math.min(nThr, cut),
+        (System.nanoTime() - t0) / 1000000L)
+    }
+    (cur, metrics.result())
+  }
 }

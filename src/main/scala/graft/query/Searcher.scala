@@ -31,8 +31,20 @@ object Searcher {
 
 final class Searcher(spark: SparkSession, indexDir: String,
                      params: Bm25.Params = Bm25.RefDefaults,
-                     language: String = "en") {
+                     language: String = "en",
+                     cacheTables: Boolean = false) {
   import spark.implicits._
+
+  /** Hot-index mode: pin the (small) per-query tables in executor memory.
+    * Off by default — a 10^12-doc index must not be blanket-persisted;
+    * the serving tier decides what stays hot. */
+  private def maybeCache(df: DataFrame): DataFrame =
+    if (cacheTables) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+
+  private val postingsDF = maybeCache(spark.read.parquet(s"$indexDir/postings"))
+  private val lensDF = maybeCache(spark.read.parquet(s"$indexDir/doclens"))
+  private val dfDF = maybeCache(spark.read.parquet(s"$indexDir/df"))
+  private val docMetaDF = maybeCache(Searcher.docMeta(spark, indexDir))
 
   private val statsRow = spark.read.parquet(s"$indexDir/stats").head()
   val n: Long = statsRow.getAs[Long]("n")
@@ -45,7 +57,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * table returning ≤ |query| rows. */
   def dfSlice(terms: Seq[String]): Map[String, Long] =
     if (terms.isEmpty) Map.empty
-    else spark.read.parquet(s"$indexDir/df")
+    else dfDF
       .where(col("term").isin(terms: _*))
       .as[TermStat].collect().map(t => t.term -> t.df).toMap
 
@@ -60,9 +72,9 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val (nn, ad) = (n, avgdl)
     val useExhaustive = exhaustiveKernel
 
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = postingsDF
       .where(col("term").isin(terms: _*)).as[Posting]
-    val lens = spark.read.parquet(s"$indexDir/doclens").as[ShardLens]
+    val lens = lensDF.as[ShardLens]
 
     val perShard = postings.groupByKey(_.shard)
       .cogroup(lens.groupByKey(_.shard)) { (shard, ps, ls) =>
@@ -78,7 +90,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
 
     val top = perShard.orderBy(desc("score"), asc("docId")).limit(k)
     // hits are ≤ k rows — broadcast them against the doc map
-    Searcher.docMeta(spark, indexDir)
+    docMetaDF
       .join(broadcast(top), "docId")
       .select($"conv_id", $"turn_idx", $"docId", $"score")
       .orderBy(desc("score"), asc("docId"))
@@ -89,12 +101,12 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * reference's ScoreAsync stream. */
   def scoreAll(query: String, keepZeros: Boolean = false): DataFrame = {
     val qtf = analyzeQuery(query)
-    val docs = Searcher.docMeta(spark, indexDir)
+    val docs = docMetaDF
     if (qtf.isEmpty) {
       return docs.select($"conv_id", $"turn_idx", $"docId", lit(0.0).as("score"))
     }
     val qdf = qtf.toSeq.toDF("term", "qtf")
-    val dfTable = spark.read.parquet(s"$indexDir/df")
+    val dfTable = dfDF
       .where(col("term").isin(qtf.keys.toSeq: _*))
     val analyzed = spark.read.parquet(s"$indexDir/analyzed")
     val exploded = analyzed
