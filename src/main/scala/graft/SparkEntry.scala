@@ -58,6 +58,9 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) => DocQueries.lmScore(s, d, Q_TOPK)),
     // O16 model-judged top-N
     "q_lm_rank" -> ((s, d) => DocQueries.lmRank(s, d, Q_TOPK, 5)),
+    // batched multi-query top-k: one index pass answers the whole batch
+    "q_bm25_batch" -> ((s, d) => DocQueries.batchTopK(s, d,
+      Map("q1" -> Q_TOPK, "q2" -> Q_SCORE), 10)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_langid" -> ((s, d) => TextOps.langId(s, d)),
@@ -93,6 +96,8 @@ object SparkEntry {
     "q_cascade_metrics" -> OracleSql.cascadeMetrics(qt(Q_CASCADE), P, 0.5, 20, 5),
     "q_lm_score" -> OracleSql.lmScore(Analyzer.tokenizeRaw(Q_TOPK).distinct.toSeq),
     "q_lm_rank" -> OracleSql.lmRank(Analyzer.tokenizeRaw(Q_TOPK).distinct.toSeq, 5),
+    "q_bm25_batch" -> OracleSql.topKBatch(
+      Seq("q1" -> qt(Q_TOPK), "q2" -> qt(Q_SCORE)), P, 10),
     "q_token_count" -> OracleSqlOps.tokenCount,
     "q_langid" -> OracleSqlOps.langId,
     "q_quality" -> OracleSqlOps.quality,

@@ -48,6 +48,9 @@ final case class AnalyzedRow(
   */
 object IndexBuilder {
 
+  /** Bump when the on-disk index layout changes — consumers key caches on it. */
+  val FormatVersion = 2
+
   final case class Config(
       shards: Int = 32,
       language: String = "en",

@@ -81,6 +81,16 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Batched multi-query top-k: per-query top-k unioned with a qid tag. */
+  def topKBatch(queries: Seq[(String, Seq[(String, Int)])], p: Bm25.Params, k: Int): String =
+    queries.map { case (qid, terms) =>
+      s"""SELECT * FROM (
+         |WITH $baseCtes,
+         |${scoredCte(terms, p)}
+         |SELECT ${lit(qid)} AS qid, doc_id, round(score, 4) AS score FROM scored
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT $k)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY qid, score DESC, doc_id"
+
   def emptyQuery: String =
     """SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id"""
 

@@ -96,6 +96,53 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .orderBy(desc("score"), asc("docId"))
   }
 
+  /** Batched multi-query top-k: ONE pass over the index answers every
+    * query — the at-scale shape (the reference scores query-by-query; a
+    * 10^12-doc engine amortizes the scan/shuffle across the query batch).
+    * Returns (qid, conv_id, turn_idx, docId, score), k rows per query,
+    * ordered (qid, score desc, docId). */
+  def topKBatch(queries: Map[String, String], k: Int): DataFrame = {
+    val qterms: Map[String, Map[String, Int]] =
+      queries.map { case (qid, q) => qid -> analyzeQuery(q) }
+    val allTerms = qterms.values.flatMap(_.keys).toSeq.distinct.sorted
+    if (allTerms.isEmpty) return emptyBatchHits()
+    val dfm = dfSlice(allTerms)
+    val p = params
+    val (nn, ad) = (n, avgdl)
+
+    val postings = postingsDF.where(col("term").isin(allTerms: _*)).as[Posting]
+    val lens = lensDF.as[ShardLens]
+    val perShard = postings.groupByKey(_.shard)
+      .cogroup(lens.groupByKey(_.shard)) { (_, ps, ls) =>
+        val lensArr = ls.toSeq.headOption
+          .map(sl => graft.codec.VByte.decodeInts(sl.lensBlob, sl.count))
+          .getOrElse(Array.empty[Int])
+        val byTerm = ps.map(po => po.term -> po).toMap
+        qterms.iterator.flatMap { case (qid, qtf) =>
+          val inputs = qtf.toSeq.collect {
+            case (t, f) if byTerm.contains(t) =>
+              Wand.TermInput(byTerm(t), f, dfm.getOrElse(t, 0L))
+          }
+          Wand.topK(inputs, lensArr, nn, ad, k, p, Ids.RankMask)
+            .iterator.map(s => (qid, s.docId, s.score))
+        }
+      }.toDF("qid", "docId", "score")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), asc("docId"))
+    val top = perShard
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    docMetaDF
+      .join(broadcast(top), "docId")
+      .select($"qid", $"conv_id", $"turn_idx", $"docId", $"score")
+      .orderBy(asc("qid"), desc("score"), asc("docId"))
+  }
+
+  private def emptyBatchHits(): DataFrame =
+    Seq.empty[(String, String, Int, Long, Double)]
+      .toDF("qid", "conv_id", "turn_idx", "docId", "score")
+
   /** Score every doc with ≥1 overlapping term (relational path); when
     * `keepZeros`, emit every doc (zero-score included) like the
     * reference's ScoreAsync stream. */

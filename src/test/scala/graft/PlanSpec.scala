@@ -1,0 +1,52 @@
+package graft
+
+import graft.build.IndexBuilder
+import graft.query.Searcher
+import graft.sources.Transcripts
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contracts that row-level
+  * tests cannot see: pushdown, broadcast joins, distributed top-k. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val dir: String = {
+    val d = TestSpark.tmpDir("planidx")
+    IndexBuilder.build(spark, Transcripts.synth(spark, 3000, 7).toDF(), d,
+      IndexBuilder.Config(shards = 8))
+    d
+  }
+
+  test("postings scan pushes the query-term filter into Parquet") {
+    val s = new Searcher(spark, dir)
+    val plan = s.topK("quick brown fox", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(term") || plan.contains("term IN") || plan.contains("EqualTo(term")),
+      s"no pushed term filter in:\n${plan.take(3000)}")
+  }
+
+  test("relational scorer broadcasts the query-term tables") {
+    val s = new Searcher(spark, dir)
+    val plan = s.scoreAll("quick brown fox").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), "query-term join must not sort-merge")
+  }
+
+  test("relational top-k plans as TakeOrderedAndProject (bounded heaps, no global sort)") {
+    val s = new Searcher(spark, dir)
+    val plan = s.topKExhaustive("quick brown fox", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n${plan.take(3000)}")
+  }
+
+  test("hits-to-docmeta join broadcasts the tiny hit set") {
+    val s = new Searcher(spark, dir)
+    val plan = s.topK("quick brown fox", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n${plan.take(3000)}")
+  }
+
+  test("doc-metadata reads prune to the selected columns") {
+    val plan = Searcher.docMeta(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("terms"),
+      s"terms column not pruned from doc-meta scan:\n${plan.take(3000)}")
+  }
+}
