@@ -61,4 +61,37 @@ object Analyzer extends Serializable {
     }
     m.toMap
   }
+
+  /** Fused analyze for the index-build hot path: one scan producing
+    * (token count, sorted distinct terms, aligned tfs) without
+    * materializing the full token array. Semantically identical to
+    * termFreqs(tokenize(text, stop)) — pinned by a test. */
+  def analyze(text: String, stop: Set[String]): (Int, Array[String], Array[Int]) = {
+    if (text == null || text.isEmpty) return (0, Array.empty, Array.empty)
+    val tf = new java.util.HashMap[String, Int](32)
+    val sb = new java.lang.StringBuilder(16)
+    var len = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (i < n && Character.isLetterOrDigit(c)) {
+        sb.append(Character.toLowerCase(c))
+      } else if (sb.length > 0) {
+        val tok = sb.toString
+        sb.setLength(0)
+        if (!stop.contains(tok)) {
+          len += 1
+          tf.merge(tok, 1, (a, b) => a + b)
+        }
+      }
+      i += 1
+    }
+    val terms = tf.keySet.toArray(new Array[String](tf.size))
+    java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())
+    val tfs = new Array[Int](terms.length)
+    var j = 0
+    while (j < terms.length) { tfs(j) = tf.get(terms(j)); j += 1 }
+    (len, terms, tfs)
+  }
 }

@@ -107,13 +107,7 @@ object IndexBuilder {
     // any parallelism.
     stage(spark, indexDir, "analyzed") { () =>
       val nShards = cfg.shards
-      val analyzeUdf = udf((text: String) => {
-        val toks = Analyzer.tokenize(text, StopWords.forLang(stop))
-        val tfm = Analyzer.termFreqs(toks)
-        val terms = tfm.keysIterator.toArray
-        scala.util.Sorting.quickSort(terms)
-        (toks.length, terms, terms.map(tfm))
-      })
+      val analyzeUdf = udf((text: String) => Analyzer.analyze(text, StopWords.forLang(stop)))
       withPkey(input
           .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
           .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int")))

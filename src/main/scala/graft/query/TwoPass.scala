@@ -28,13 +28,7 @@ object TwoPass {
                    params: Bm25.Params = Bm25.RefDefaults,
                    language: String = "en"): DataFrame = {
     val lang = language
-    val analyzeUdf = udf((text: String) => {
-      val toks = Analyzer.tokenize(text, StopWords.forLang(lang))
-      val tfm = Analyzer.termFreqs(toks)
-      val terms = tfm.keysIterator.toArray
-      scala.util.Sorting.quickSort(terms)
-      (toks.length, terms, terms.map(tfm))
-    })
+    val analyzeUdf = udf((text: String) => Analyzer.analyze(text, StopWords.forLang(lang)))
     val analyzed = docs
       .select(col(idCol).as("docid"), analyzeUdf(col(textCol)).as("tok"))
       .select(col("docid"), col("tok._1").as("len"),

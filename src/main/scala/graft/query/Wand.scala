@@ -50,10 +50,15 @@ object Wand {
     }
   }
 
+  /** Number of documents fully scored by the most recent topK call ON THIS
+    * THREAD — instrumentation for pruning-effectiveness tests only. */
+  val lastScoredCount = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
+
   /** Top-k over one shard. `lens(rank)` = doc length; stats are GLOBAL
     * (n, avgdl, per-term global df). */
   def topK(terms: Seq[TermInput], lens: Array[Int], n: Long, avgdl: Double,
            k: Int, p: Bm25.Params, rankMask: Long): Array[Scored] = {
+    lastScoredCount.set(0L)
     val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
     val topk = new TopK(k)
     if (live.isEmpty || n == 0 || avgdl == 0.0) return topk.drainDescending()
@@ -123,6 +128,7 @@ object Wand {
         }
         if (blockUb > theta) {
           // fully score pivotDoc
+          lastScoredCount.set(lastScoredCount.get + 1)
           val dl = lens((pivotDoc & rankMask).toInt)
           var s = 0.0
           var jk = 0

@@ -36,6 +36,19 @@ class AnalyzerOracleSpec extends AnyFunSuite {
 
   val en = StopWords.english
 
+  test("fused analyze ≡ termFreqs ∘ tokenize on varied inputs") {
+    val inputs = F1 ++ F2 ++ F3 ++ Seq("", "   ", "a", "The THE the", "x'y-z 42!! Ünïcödé",
+      F3.mkString(" "), "don't won't can't", "tok0 tok0 tok0 rare99")
+    inputs.foreach { t =>
+      val (len, terms, tfs) = Analyzer.analyze(t, en)
+      val toks = Analyzer.tokenize(t, en)
+      val tfm = Analyzer.termFreqs(toks)
+      assert(len == toks.length, s"len mismatch for '$t'")
+      assert(terms.toSeq == tfm.keys.toSeq.sorted, s"terms mismatch for '$t'")
+      assert(terms.zip(tfs).toMap == tfm, s"tfs mismatch for '$t'")
+    }
+  }
+
   test("analyzer is deterministic and stopword/punctuation-dropping") {
     val t = Analyzer.tokenize("The quick brown fox jumps over the lazy dog.", en)
     assert(t.sameElements(Array("quick", "brown", "fox", "jumps", "lazy", "dog")))

@@ -154,5 +154,30 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(graft.build.Manifests.isDone(dir, "doclens"))
     val after2 = postingsFile.listFiles().map(f => f.getName -> f.lastModified()).toMap
     assert(before == after2)
+    // simulated crash mid-stage: manifest absent + corrupt partial output →
+    // rebuild overwrites and produces a correct stage
+    graft.build.Manifests.clear(dir, "doclens")
+    val dl = new java.io.File(s"$dir/doclens")
+    dl.listFiles().foreach(_.delete())
+    java.nio.file.Files.writeString(dl.toPath.resolve("part-garbage.parquet"), "corrupt")
+    IndexBuilder.build(spark, turns, dir, IndexBuilder.Config(shards = 2))
+    val lens = spark.read.parquet(s"$dir/doclens")
+    assert(lens.count() > 0)
+    val s = new graft.query.Searcher(spark, dir)
+    assert(s.topK("quick brown fox", 3).count() == 3)
+  }
+
+  test("multi-language analyzers: fr/de stopwords drop, en fallback") {
+    import graft.analysis.{Analyzer, StopWords}
+    val fr = Analyzer.tokenize("Le chat est sur la table et les chiens sont là", StopWords.forLang("fr"))
+    assert(fr.sameElements(Array("chat", "table", "chiens")))
+    val de = Analyzer.tokenize("Die Katze ist auf dem Tisch und alle Hunde sind hier", StopWords.forLang("de"))
+    assert(de.sameElements(Array("katze", "tisch", "hunde")))
+    // unknown language → English fallback (reference: Unknown→English,
+    // BM25Reranker.cs:453-456)
+    assert(StopWords.forLang("xx") == StopWords.english)
+    // fused analyze agrees for non-English too
+    val (len, terms, _) = Analyzer.analyze("Le chat est sur la table", StopWords.french)
+    assert(len == 2 && terms.sameElements(Array("chat", "table")))
   }
 }
