@@ -74,6 +74,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }.sorted
     val p95 = lat((lat.size * 95 / 100).min(lat.size - 1))
+    // batched query throughput (one index pass for the whole batch)
+    val batchQs = Seq("spark stream window", "fast query join", "sort merge join",
+      "data filter merge", "slow batch value")
+    val batch = (0 until 100).map(i => s"q$i" -> batchQs(i % batchQs.size)).toMap
+    searcher.topKBatch(batch.take(4), 10).collect()
+    val tb0 = System.nanoTime()
+    searcher.topKBatch(batch, 10).collect()
+    val qps = batch.size / ((System.nanoTime() - tb0) / 1e9)
     spark.stop()
 
     // scaling: same job, same input, N=8 vs 4N=32 threads
@@ -84,6 +92,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"batch_qps":$qps%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f}}""")
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.Transcripts
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingest: file-source micro-batches land in analyzed/ with
+  * unique, per-shard-dense docIds and analyzer parity with the batch path. */
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two micro-batches append analyzed rows with unique dense docIds") {
+    val srcDir = TestSpark.tmpDir("stream_src")
+    val idxDir = TestSpark.tmpDir("stream_idx")
+    val all = Transcripts.synth(spark, 600, turnsPerConv = 5)
+
+    // batch 1 files
+    all.filter($"conv_id" < "conv-000000060").toDF()
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(all.toDF().schema).parquet(srcDir)
+    val q = StreamIngest.start(spark, stream, idxDir, shards = 4)
+    q.processAllAvailable()
+    val n1 = spark.read.parquet(s"$idxDir/analyzed").count()
+    assert(n1 == 300)
+
+    // batch 2 files arrive later
+    all.filter($"conv_id" >= "conv-000000060").toDF()
+      .write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val analyzed = spark.read.parquet(s"$idxDir/analyzed")
+    assert(analyzed.count() == 600)
+    // docIds unique; dense per shard from 0
+    assert(analyzed.select("docId").distinct().count() == 600)
+    val perShard = analyzed.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("docId").as("lo"), max("docId").as("hi"))
+      .collect()
+    perShard.foreach { r =>
+      val shard = r.getAs[Int]("shard")
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("lo") == graft.model.Ids.docId(shard, 0L))
+      assert(r.getAs[Long]("hi") == graft.model.Ids.docId(shard, n - 1))
+    }
+    // analyzer parity with the batch analyzer + text-equality invariant
+    val src = all.toDF().withColumn("explen",
+      udf((t: String) => graft.analysis.Analyzer.tokenizeEn(t).length).apply($"text"))
+    val joined = src.join(analyzed, Seq("conv_id", "turn_idx"), "full_outer")
+    assert(joined.filter($"docId".isNull || $"text".isNull).count() == 0)
+    assert(joined.filter($"len" =!= $"explen").count() == 0)
+  }
+}
