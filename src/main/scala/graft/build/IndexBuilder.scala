@@ -167,37 +167,109 @@ object IndexBuilder {
 
     // ---- stage: postings --------------------------------------------------
     Future(stage(spark, indexDir, "postings") { () =>
-      // Spillable sort-merge assembly (SURVEY.md §7.3): explode to
-      // (shard, term, docId, tf), sort within shard partitions, then one
-      // streaming pass encodes each (shard, term) run into a Posting.
-      // No collect_list — a head term's run streams through the encoder,
-      // and head terms are already split across all shards by the
-      // document partitioning.
-      val termRows = withPkey(analyzed
-          .select(col("shard"), col("docId"),
-            explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
-          .select(col("shard"), col("tt.terms").as("term"), col("docId"), col("tt.tfs").as("tf")))
-        .repartition(parts, $"pkey")
-        .select(col("shard"), col("term"), col("docId"), col("tf"))
-        .sortWithinPartitions("shard", "term", "docId")
-      val postings = termRows.mapPartitions { rows =>
-        new Iterator[Posting] {
-          private val it = rows.buffered
-          def hasNext: Boolean = it.hasNext
-          def next(): Posting = {
-            val first = it.head
-            val shard = first.getInt(0)
-            val term = first.getString(1)
-            val docs = new ArrayBuffer[Long](64)
-            val tfs = new ArrayBuffer[Int](64)
-            while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
-              val r = it.next()
-              docs += r.getLong(2); tfs += r.getInt(3)
+      // Chunked sort-merge assembly (SURVEY.md §7.3). Map side pre-groups
+      // each input slice into (shard, term, docIds[], tfs[]) CHUNKS — the
+      // shuffle carries ~vocab-sized rows per slice instead of one row per
+      // term occurrence (orders of magnitude fewer rows and no per-row
+      // overhead), which is THE shuffle-volume lever at 10^12 turns.
+      // Because analyzed rows are docId-ordered per shard and every
+      // (file-slice, shard) covers a contiguous docId range, chunks of one
+      // (shard, term) have disjoint ranges: the reduce side just sorts
+      // chunks by head docId and concatenates — no element-wise merge.
+      // Head terms are already split across all shards by the document
+      // partitioning; within a shard they stream through the encoder.
+      val chunks = analyzed
+        .select(col("shard"), col("docId"), col("terms"), col("tfs"))
+        .mapPartitions { rows =>
+          // Primitive growable buffers (boxed collections would cost ~4x
+          // the data), keyed "term shard" (tokens never contain spaces).
+          // The map FLUSHES whenever it holds FlushEntries postings, so
+          // task memory is bounded no matter how hard Parquet compressed
+          // the input slice; a key flushed twice just produces two chunks,
+          // and chunk docId ranges stay disjoint because flushes preserve
+          // arrival (= docId) order.
+          final class Chunk(val shard: Int) {
+            var docs = new Array[Long](8); var tfs = new Array[Int](8); var n = 0
+            def add(d: Long, f: Int): Unit = {
+              if (n == docs.length) {
+                docs = java.util.Arrays.copyOf(docs, n * 2)
+                tfs = java.util.Arrays.copyOf(tfs, n * 2)
+              }
+              docs(n) = d; tfs(n) = f; n += 1
             }
-            Postings.encode(shard, term, docs.toArray, tfs.toArray)
+          }
+          val FlushEntries = 4000000
+          new Iterator[(Int, String, Array[Long], Array[Int])] {
+            private val m = new java.util.HashMap[String, Chunk]()
+            private var entries = 0
+            private var pending: java.util.Iterator[java.util.Map.Entry[String, Chunk]] =
+              java.util.Collections.emptyIterator()
+            private def refill(): Unit = {
+              while (rows.hasNext && entries < FlushEntries) {
+                val r = rows.next()
+                val shard = r.getInt(0)
+                val docId = r.getLong(1)
+                val terms = r.getSeq[String](2)
+                val tfs = r.getSeq[Int](3)
+                var i = 0
+                while (i < terms.length) {
+                  val key = terms(i) + " " + shard
+                  var c = m.get(key)
+                  if (c == null) { c = new Chunk(shard); m.put(key, c) }
+                  c.add(docId, tfs(i))
+                  entries += 1
+                  i += 1
+                }
+              }
+              pending = new java.util.HashMap(m).entrySet().iterator()
+              m.clear()
+              entries = 0
+            }
+            def hasNext: Boolean = pending.hasNext || rows.hasNext
+            def next(): (Int, String, Array[Long], Array[Int]) = {
+              if (!pending.hasNext) refill()
+              val e = pending.next()
+              val c = e.getValue
+              (c.shard, e.getKey.substring(0, e.getKey.indexOf(' ')),
+                java.util.Arrays.copyOf(c.docs, c.n), java.util.Arrays.copyOf(c.tfs, c.n))
+            }
           }
         }
-      }
+        .toDF("shard", "term", "docs", "tfs")
+      val postings = withPkey(chunks)
+        .repartition(parts, $"pkey")
+        .select(col("shard"), col("term"), col("docs"), col("tfs"))
+        .sortWithinPartitions("shard", "term")
+        .mapPartitions { rows =>
+          new Iterator[Posting] {
+            private val it = rows.buffered
+            def hasNext: Boolean = it.hasNext
+            def next(): Posting = {
+              val first = it.head
+              val shard = first.getInt(0)
+              val term = first.getString(1)
+              var parts = List.empty[(Array[Long], Array[Int])]
+              var total = 0
+              while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
+                val r = it.next()
+                val d = r.getSeq[Long](2).toArray
+                parts = (d, r.getSeq[Int](3).toArray) :: parts
+                total += d.length
+              }
+              // disjoint contiguous ranges → order chunks by head docId
+              val ordered = parts.sortBy(_._1.head)
+              val docs = new Array[Long](total)
+              val tfs = new Array[Int](total)
+              var o = 0
+              ordered.foreach { case (d, t) =>
+                System.arraycopy(d, 0, docs, o, d.length)
+                System.arraycopy(t, 0, tfs, o, t.length)
+                o += d.length
+              }
+              Postings.encode(shard, term, docs, tfs)
+            }
+          }
+        }
       postings.write.mode("overwrite").parquet(s"$indexDir/postings")
       spark.read.parquet(s"$indexDir/postings").count()
     }),

@@ -27,7 +27,7 @@ object BuildIndex {
     if (!sys.props.contains("spark.master")) builder.master(s"local[$cpus]")
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     if (args.contains("--warmup")) {
       // JIT/codegen warmup so the timed build measures steady-state
       val warm = java.nio.file.Files.createTempDirectory("graft_warm").toString

@@ -26,6 +26,9 @@ object ScalingBench {
     val cmd = Seq("/opt/spark/bin/spark-submit",
       "--master", s"local-cluster[$executors,8,16384]",
       "--driver-memory", "6g",
+      // NOTE: in local-cluster mode --executor-memory is ignored and
+      // executors default to 1g; spark.executor.memory works.
+      "--conf", "spark.executor.memory=12g",
       "--class", "graft.cli.BuildIndex", Jar,
       dir, n.toString, "64", "--warmup")
     val out = new StringBuilder

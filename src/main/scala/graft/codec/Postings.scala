@@ -16,6 +16,14 @@ object Postings {
   /** Build one posting list from parallel arrays sorted ascending by docId. */
   def encode(shard: Int, term: String, docIds: Array[Long], tfs: Array[Int]): Posting = {
     require(docIds.length == tfs.length, "docIds/tfs length mismatch")
+    // guard the delta encoding: a non-ascending docId would silently
+    // corrupt the list (negative gaps wrap through the varint)
+    var g = 1
+    while (g < docIds.length) {
+      require(docIds(g) > docIds(g - 1),
+        s"docIds not strictly ascending for '$term' at $g: ${docIds(g - 1)} -> ${docIds(g)}")
+      g += 1
+    }
     val n = docIds.length
     val nBlocks = (n + BlockSize - 1) / BlockSize
     val blockLast = new Array[Long](nBlocks)
