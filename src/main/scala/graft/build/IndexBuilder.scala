@@ -25,8 +25,12 @@ final case class AnalyzedRow(
   *              — also serves as the doc map via Parquet column pruning
   *   stats/     (n, avgdl)                        — single row
   *   df/        (term, df)                        — global document freqs
-  *   postings/  Posting rows, sorted by (shard, term)
-  *   doclens/   (shard, count, lensBlob)          — one row per shard
+  *   postings/  Posting rows, sorted by (shard, term); doc lengths ride
+  *              INLINE in each posting (Lucene-norms-style), so the query
+  *              path needs no side length table — no per-query shuffle and
+  *              no O(shard) state anywhere. One output file per build
+  *              partition; a shard never spans files (the colocated
+  *              zero-exchange read path relies on this).
   *   _manifest/ per-stage JSON checkpoints (Manifests)
   *
   * Scale design (10^12 turns):
@@ -49,7 +53,7 @@ final case class AnalyzedRow(
 object IndexBuilder {
 
   /** Bump when the on-disk index layout changes — consumers key caches on it. */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   final case class Config(
       shards: Int = 32,
@@ -179,27 +183,35 @@ object IndexBuilder {
       // Head terms are already split across all shards by the document
       // partitioning; within a shard they stream through the encoder.
       val chunks = analyzed
-        .select(col("shard"), col("docId"), col("terms"), col("tfs"))
+        .select(col("shard"), col("docId"), col("len"), col("terms"), col("tfs"))
         .mapPartitions { rows =>
-          // Primitive growable buffers (boxed collections would cost ~4x
-          // the data), keyed "term shard" (tokens never contain spaces).
-          // The map FLUSHES whenever it holds FlushEntries postings, so
-          // task memory is bounded no matter how hard Parquet compressed
-          // the input slice; a key flushed twice just produces two chunks,
-          // and chunk docId ranges stay disjoint because flushes preserve
+          // Map-side pre-grouping AND pre-compression: each chunk's docId
+          // deltas + tfs + doc lens are VByte-encoded BEFORE the shuffle,
+          // so the exchange carries ~1-2 bytes per posting entry instead
+          // of 12 — the shuffle-volume lever at 10^12 turns. Keys are
+          // "term shard" (tokens never contain spaces). The map FLUSHES
+          // whenever it holds FlushEntries postings, so task memory is
+          // bounded no matter how hard Parquet compressed the input
+          // slice; a key flushed twice just produces two chunks, and
+          // chunk docId ranges stay disjoint because flushes preserve
           // arrival (= docId) order.
           final class Chunk(val shard: Int) {
-            var docs = new Array[Long](8); var tfs = new Array[Int](8); var n = 0
-            def add(d: Long, f: Int): Unit = {
-              if (n == docs.length) {
-                docs = java.util.Arrays.copyOf(docs, n * 2)
-                tfs = java.util.Arrays.copyOf(tfs, n * 2)
-              }
-              docs(n) = d; tfs(n) = f; n += 1
+            val docs = new ArrayBuffer[Byte](16)
+            val tfs = new ArrayBuffer[Byte](8)
+            val lens = new ArrayBuffer[Byte](8)
+            var n = 0
+            var firstDoc = 0L
+            private var prev = 0L
+            def add(d: Long, f: Int, dl: Int): Unit = {
+              if (n == 0) firstDoc = d
+              VByte.writeVLong(docs, d - prev); prev = d
+              VByte.writeVLong(tfs, f.toLong)
+              VByte.writeVLong(lens, dl.toLong)
+              n += 1
             }
           }
           val FlushEntries = 4000000
-          new Iterator[(Int, String, Array[Long], Array[Int])] {
+          new Iterator[(Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte])] {
             private val m = new java.util.HashMap[String, Chunk]()
             private var entries = 0
             private var pending: java.util.Iterator[java.util.Map.Entry[String, Chunk]] =
@@ -209,14 +221,15 @@ object IndexBuilder {
                 val r = rows.next()
                 val shard = r.getInt(0)
                 val docId = r.getLong(1)
-                val terms = r.getSeq[String](2)
-                val tfs = r.getSeq[Int](3)
+                val dl = r.getInt(2)
+                val terms = r.getSeq[String](3)
+                val tfs = r.getSeq[Int](4)
                 var i = 0
                 while (i < terms.length) {
                   val key = terms(i) + " " + shard
                   var c = m.get(key)
                   if (c == null) { c = new Chunk(shard); m.put(key, c) }
-                  c.add(docId, tfs(i))
+                  c.add(docId, tfs(i), dl)
                   entries += 1
                   i += 1
                 }
@@ -225,21 +238,28 @@ object IndexBuilder {
               m.clear()
               entries = 0
             }
-            def hasNext: Boolean = pending.hasNext || rows.hasNext
-            def next(): (Int, String, Array[Long], Array[Int]) = {
-              if (!pending.hasNext) refill()
+            // Iterator contract: a refill can produce ZERO entries (e.g. a
+            // stopword-only slice) — keep refilling until something pends
+            // or the input is exhausted.
+            def hasNext: Boolean = {
+              while (!pending.hasNext && rows.hasNext) refill()
+              pending.hasNext
+            }
+            def next(): (Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+              if (!hasNext) throw new NoSuchElementException("postings chunk iterator")
               val e = pending.next()
               val c = e.getValue
-              (c.shard, e.getKey.substring(0, e.getKey.indexOf(' ')),
-                java.util.Arrays.copyOf(c.docs, c.n), java.util.Arrays.copyOf(c.tfs, c.n))
+              (c.shard, e.getKey.substring(0, e.getKey.indexOf(' ')), c.firstDoc, c.n,
+                c.docs.toArray, c.tfs.toArray, c.lens.toArray)
             }
           }
         }
-        .toDF("shard", "term", "docs", "tfs")
+        .toDF("shard", "term", "firstDoc", "n", "docs", "tfs", "lens")
       val postings = withPkey(chunks)
         .repartition(parts, $"pkey")
-        .select(col("shard"), col("term"), col("docs"), col("tfs"))
-        .sortWithinPartitions("shard", "term")
+        .select(col("shard"), col("term"), col("firstDoc"), col("n"),
+          col("docs"), col("tfs"), col("lens"))
+        .sortWithinPartitions("shard", "term", "firstDoc")
         .mapPartitions { rows =>
           new Iterator[Posting] {
             private val it = rows.buffered
@@ -248,52 +268,37 @@ object IndexBuilder {
               val first = it.head
               val shard = first.getInt(0)
               val term = first.getString(1)
-              var parts = List.empty[(Array[Long], Array[Int])]
+              // chunks arrive sorted by firstDoc; ranges are disjoint, so
+              // decode + concatenate (no element-wise merge), then re-encode
+              // with block-aligned skip metadata.
+              var parts = List.empty[(Array[Long], Array[Int], Array[Int])]
               var total = 0
               while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
                 val r = it.next()
-                val d = r.getSeq[Long](2).toArray
-                parts = (d, r.getSeq[Int](3).toArray) :: parts
-                total += d.length
+                val n = r.getInt(3)
+                val d = VByte.decodeDeltas(r.getAs[Array[Byte]](4), n)
+                val t = VByte.decodeInts(r.getAs[Array[Byte]](5), n)
+                val l = VByte.decodeInts(r.getAs[Array[Byte]](6), n)
+                parts = (d, t, l) :: parts
+                total += n
               }
-              // disjoint contiguous ranges → order chunks by head docId
-              val ordered = parts.sortBy(_._1.head)
+              val ordered = parts.reverse
               val docs = new Array[Long](total)
               val tfs = new Array[Int](total)
+              val lens = new Array[Int](total)
               var o = 0
-              ordered.foreach { case (d, t) =>
+              ordered.foreach { case (d, t, l) =>
                 System.arraycopy(d, 0, docs, o, d.length)
                 System.arraycopy(t, 0, tfs, o, t.length)
+                System.arraycopy(l, 0, lens, o, l.length)
                 o += d.length
               }
-              Postings.encode(shard, term, docs, tfs)
+              Postings.encode(shard, term, docs, tfs, lens)
             }
           }
         }
       postings.write.mode("overwrite").parquet(s"$indexDir/postings")
       spark.read.parquet(s"$indexDir/postings").count()
-    }),
-
-    // ---- stage: doclens (per-shard packed lengths) ------------------------
-    Future(stage(spark, indexDir, "doclens") { () =>
-      val lens = withPkey(analyzed.select(col("shard"), col("docId"), col("len")))
-        .repartition(parts, $"pkey")
-        .select(col("shard"), col("docId"), col("len"))
-        .sortWithinPartitions("shard", "docId")
-        .mapPartitions { rows =>
-          new Iterator[ShardLens] {
-            private val it = rows.buffered
-            def hasNext: Boolean = it.hasNext
-            def next(): ShardLens = {
-              val shard = it.head.getInt(0)
-              val lens = new ArrayBuffer[Int](1024)
-              while (it.hasNext && it.head.getInt(0) == shard) lens += it.next().getInt(2)
-              ShardLens(shard, lens.length, VByte.encodeInts(lens.toArray))
-            }
-          }
-        }
-      lens.write.mode("overwrite").parquet(s"$indexDir/doclens")
-      spark.read.parquet(s"$indexDir/doclens").count()
     }))
 
     stages.foreach(Await.result(_, Duration.Inf))

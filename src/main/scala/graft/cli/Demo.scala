@@ -33,8 +33,8 @@ object Demo {
     }
     // codec smoke: encode/decode a posting list through the public codec
     val docs = Array(3L, 10L, 11L, 400L, 100000L)
-    val p = Postings.encode(0, "fox", docs, Array(1, 2, 1, 3, 1))
-    val (d2, t2) = Postings.decode(p)
+    val p = Postings.encode(0, "fox", docs, Array(1, 2, 1, 3, 1), Array(9, 2, 2, 8, 9))
+    val (d2, t2, _) = Postings.decode(p)
     println(s"codec roundtrip: ${d2.mkString(",")} tfs=${t2.mkString(",")} " +
       s"bytes=${p.docsBlob.length}+${p.tfsBlob.length} (raw would be ${8 * docs.length + 4 * docs.length})")
     val g = VByte.decodeDeltas(VByte.encodeDeltas(docs), docs.length)

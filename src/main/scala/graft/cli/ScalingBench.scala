@@ -124,7 +124,7 @@ object ScalingBench {
     stages1.zip(stages4).foreach { case (m1, m4) =>
       sb.append(s"| ${m1.stage} | ${m1.rows} | ${m1.bytes} | ${m1.wallMs} | ${m4.wallMs} |\n")
     }
-    sb.append("\n(stats/df/doclens/postings run concurrently — their walls overlap.)\n")
+    sb.append("\n(stats/df/postings run concurrently — their walls overlap.)\n")
     sb.append("\n## Top-10 BM25 query latency (warm index, local[32], block-max WAND, k1=1.2 b=0.75)\n\n")
     sb.append("| query | p50 (ms) | p95 (ms) |\n|---|---|---|\n")
     lats.foreach { case (q, p50, p95) => sb.append(f"| $q | $p50%.1f | $p95%.1f |\n") }

@@ -7,15 +7,23 @@ import scala.collection.mutable.ArrayBuffer
   * WAND (SURVEY.md §4 items 2-3). The reference materializes no postings at
   * all (its whole "index" is a driver dictionary, BM25Reranker.cs:16-21);
   * this is the from-scratch part of the engine.
+  *
+  * Doc lengths are stored INLINE (a third VByte stream aligned with the
+  * docIds, Lucene-norms-style): BM25's length normalization then needs no
+  * side table, which is what makes the query path shuffle-free and keeps
+  * per-task state at O(query terms · one block) regardless of shard size.
   */
 object Postings {
 
   /** Docs per skip block. 128 is the classic Lucene-style granularity. */
   val BlockSize = 128
 
-  /** Build one posting list from parallel arrays sorted ascending by docId. */
-  def encode(shard: Int, term: String, docIds: Array[Long], tfs: Array[Int]): Posting = {
-    require(docIds.length == tfs.length, "docIds/tfs length mismatch")
+  /** Build one posting list from parallel arrays sorted ascending by docId.
+    * `lens(i)` = total token count of doc `docIds(i)`. */
+  def encode(shard: Int, term: String, docIds: Array[Long], tfs: Array[Int],
+             lens: Array[Int]): Posting = {
+    require(docIds.length == tfs.length && docIds.length == lens.length,
+      "docIds/tfs/lens length mismatch")
     // guard the delta encoding: a non-ascending docId would silently
     // corrupt the list (negative gaps wrap through the varint)
     var g = 1
@@ -30,8 +38,10 @@ object Postings {
     val blockMaxTf = new Array[Int](nBlocks)
     val blockDocOff = new Array[Int](nBlocks)
     val blockTfOff = new Array[Int](nBlocks)
+    val blockLenOff = new Array[Int](nBlocks)
     val docsOut = new ArrayBuffer[Byte](n * 2)
     val tfsOut = new ArrayBuffer[Byte](n)
+    val lensOut = new ArrayBuffer[Byte](n)
     var maxTf = 0
     var b = 0
     while (b < nBlocks) {
@@ -39,6 +49,7 @@ object Postings {
       val end = math.min(start + BlockSize, n)
       blockDocOff(b) = docsOut.length
       blockTfOff(b) = tfsOut.length
+      blockLenOff(b) = lensOut.length
       // Deltas restart at each block (first value of a block is absolute)
       // so a block can be decoded after a skip without touching its
       // predecessors.
@@ -49,6 +60,7 @@ object Postings {
         VByte.writeVLong(docsOut, docIds(i) - prev)
         prev = docIds(i)
         VByte.writeVLong(tfsOut, tfs(i).toLong)
+        VByte.writeVLong(lensOut, lens(i).toLong)
         if (tfs(i) > bm) bm = tfs(i)
         i += 1
       }
@@ -57,14 +69,15 @@ object Postings {
       if (bm > maxTf) maxTf = bm
       b += 1
     }
-    Posting(shard, term, n, maxTf, docsOut.toArray, tfsOut.toArray,
-      blockLast, blockMaxTf, blockDocOff, blockTfOff)
+    Posting(shard, term, n, maxTf, docsOut.toArray, tfsOut.toArray, lensOut.toArray,
+      blockLast, blockMaxTf, blockDocOff, blockTfOff, blockLenOff)
   }
 
-  /** Full decode (test / exhaustive paths). */
-  def decode(p: Posting): (Array[Long], Array[Int]) = {
+  /** Full decode (test / exhaustive paths): (docIds, tfs, lens). */
+  def decode(p: Posting): (Array[Long], Array[Int], Array[Int]) = {
     val docs = new Array[Long](p.count)
     val tfs = new Array[Int](p.count)
+    val lens = new Array[Int](p.count)
     val nBlocks = p.blockLast.length
     var b = 0
     var o = 0
@@ -73,19 +86,20 @@ object Postings {
       val end = math.min(start + BlockSize, p.count)
       val dr = new VByte.Reader(p.docsBlob, p.blockDocOff(b))
       val tr = new VByte.Reader(p.tfsBlob, p.blockTfOff(b))
+      val lr = new VByte.Reader(p.lensBlob, p.blockLenOff(b))
       var prev = 0L
       var i = start
       while (i < end) {
         prev += dr.readVLong()
         docs(o) = prev
         tfs(o) = tr.readVInt()
+        lens(o) = lr.readVInt()
         o += 1
         i += 1
       }
       b += 1
     }
-    docs.take(o)
-    (docs, tfs)
+    (docs, tfs, lens)
   }
 
   /** Streaming cursor over one posting list, with block-level skipping.
@@ -99,8 +113,11 @@ object Postings {
     private var blockEnd = 0 // #docs in current block
     private val bufDocs = new Array[Long](BlockSize)
     private val bufTfs = new Array[Int](BlockSize)
+    private val bufLens = new Array[Int](BlockSize)
     var docId: Long = -1L
     var tf: Int = 0
+    /** Length of the current doc (inline norm). */
+    var dl: Int = 0
     var exhausted: Boolean = p.count == 0
 
     def count: Int = p.count
@@ -116,15 +133,23 @@ object Postings {
       blockEnd = math.min(start + BlockSize, p.count) - start
       val dr = new VByte.Reader(p.docsBlob, p.blockDocOff(b))
       val tr = new VByte.Reader(p.tfsBlob, p.blockTfOff(b))
+      val lr = new VByte.Reader(p.lensBlob, p.blockLenOff(b))
       var prev = 0L
       var i = 0
       while (i < blockEnd) {
         prev += dr.readVLong()
         bufDocs(i) = prev
         bufTfs(i) = tr.readVInt()
+        bufLens(i) = lr.readVInt()
         i += 1
       }
       idxInBlock = 0
+    }
+
+    @inline private def setCurrent(): Unit = {
+      docId = bufDocs(idxInBlock)
+      tf = bufTfs(idxInBlock)
+      dl = bufLens(idxInBlock)
     }
 
     /** Advance to the next posting; returns false when exhausted. */
@@ -138,8 +163,7 @@ object Postings {
           loadBlock(block + 1)
         }
       }
-      docId = bufDocs(idxInBlock)
-      tf = bufTfs(idxInBlock)
+      setCurrent()
       true
     }
 
@@ -166,8 +190,7 @@ object Postings {
         if (block + 1 >= nBlocks) { exhausted = true; docId = Long.MaxValue; return false }
         loadBlock(block + 1)
       }
-      docId = bufDocs(idxInBlock)
-      tf = bufTfs(idxInBlock)
+      setCurrent()
       true
     }
   }

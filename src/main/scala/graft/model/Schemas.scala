@@ -32,7 +32,12 @@ final case class TermStat(term: String, df: Long)
 /** One posting list: all docs of one shard containing `term`.
   *
   * docsBlob = delta-encoded + variable-byte docIDs (ascending);
-  * tfsBlob  = variable-byte term frequencies, aligned with docsBlob.
+  * tfsBlob  = variable-byte term frequencies, aligned with docsBlob;
+  * lensBlob = variable-byte doc lengths, aligned with docsBlob — the
+  *            Lucene-norms-style inline length makes every posting list
+  *            self-sufficient for BM25 scoring: the query path needs NO
+  *            side lookup of a per-shard length table, so a shard of any
+  *            size (10^10+ docs) is scored with O(query·blocks) state.
   * block*   = per-block (BlockSize docs) skip metadata for block-max WAND:
   * last docID in block, max tf in block, byte offsets into the blobs.
   */
@@ -43,10 +48,12 @@ final case class Posting(
     maxTf: Int,
     docsBlob: Array[Byte],
     tfsBlob: Array[Byte],
+    lensBlob: Array[Byte],
     blockLast: Array[Long],
     blockMaxTf: Array[Int],
     blockDocOff: Array[Int],
-    blockTfOff: Array[Int]
+    blockTfOff: Array[Int],
+    blockLenOff: Array[Int]
 )
 
 /** Per-shard document map row: docId → identity + length. */
@@ -57,10 +64,6 @@ final case class DocMeta(
     turn_idx: Int,
     len: Int
 )
-
-/** Per-shard packed doc lengths: lensBlob[i] = length of the doc with
-  * local rank i (docId = (shard << RankBits) | rank). One row per shard. */
-final case class ShardLens(shard: Int, count: Int, lensBlob: Array[Byte])
 
 /** Query-side analyzed term with query term frequency and global df. */
 final case class QueryTerm(term: String, qtf: Int, df: Long)
@@ -89,7 +92,14 @@ object Ids {
     * comfortably above 10^12 total docs / any sane shard count. */
   val RankBits = 40
   val RankMask: Long = (1L << RankBits) - 1L
-  @inline def docId(shard: Int, rank: Long): Long = (shard.toLong << RankBits) | rank
+  /** Fail fast at build/ingest time rather than silently corrupt docIds:
+    * a shard holds at most 2^40 (~1.1e12) documents. */
+  @inline def docId(shard: Int, rank: Long): Long = {
+    if (rank > RankMask)
+      throw new IllegalArgumentException(
+        s"shard $shard exceeds 2^$RankBits docs (rank $rank) — raise the shard count")
+    (shard.toLong << RankBits) | rank
+  }
   @inline def shardOf(docId: Long): Int = (docId >>> RankBits).toInt
   @inline def rankOf(docId: Long): Long = docId & RankMask
 }

@@ -4,17 +4,32 @@ import graft.analysis.{Analyzer, StopWords}
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
 
 /** Query executor over a built index (SURVEY.md §3 entry points 1-2).
   *
   * Two equivalent paths, both returning (conv_id, turn_idx, docId, score):
   *
   *  - `topK` — the scale path: broadcast the analyzed query + its global
-  *    df slice (a handful of rows — never the df table itself), prune the
+  *    df slice (a handful of values — never the df table itself), prune the
   *    postings scan to the query terms (predicate pushed to Parquet), run
-  *    the block-max WAND kernel per shard (bounded heap), then merge the
-  *    ≤ shards·k candidates with a distributed TakeOrdered. Shuffle-free
-  *    except the final tiny top-k merge.
+  *    the block-max WAND kernel per shard (bounded heap; doc lengths ride
+  *    INLINE in the posting blobs, so no side table is touched), then merge
+  *    the ≤ shards·k candidates with a distributed TakeOrdered.
+  *
+  *    Shard grouping strategy (scale design):
+  *     * COLOCATED (default when sound): the build writes one file per
+  *       build partition and a shard never spans files, so a mapPartitions
+  *       over the pruned scan sees whole shards — ZERO exchange anywhere in
+  *       the query plan. Sound iff Spark never splits a postings file
+  *       across read partitions, which is guaranteed when every file is ≤
+  *       min(spark.sql.files.maxPartitionBytes, openCostInBytes) — checked
+  *       once at construction. On a production deployment the same
+  *       guarantee comes from bucketed-table layout or per-shard files
+  *       sized under the split threshold.
+  *     * FALLBACK: groupByKey(shard) — one narrow exchange of ONLY the
+  *       pruned query-term posting rows (≤ |terms|·shards rows), never the
+  *       corpus and never any length table.
   *
   *  - `topKExhaustive` / `scoreAll` — the relational twin: explode analyzed
   *    docs, broadcast-hash-join query terms, aggregate the codegen'd BM25
@@ -42,7 +57,6 @@ final class Searcher(spark: SparkSession, indexDir: String,
     if (cacheTables) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
   private val postingsDF = maybeCache(spark.read.parquet(s"$indexDir/postings"))
-  private val lensDF = maybeCache(spark.read.parquet(s"$indexDir/doclens"))
   private val dfDF = maybeCache(spark.read.parquet(s"$indexDir/df"))
   private val docMetaDF = maybeCache(Searcher.docMeta(spark, indexDir))
 
@@ -50,16 +64,72 @@ final class Searcher(spark: SparkSession, indexDir: String,
   val n: Long = statsRow.getAs[Long]("n")
   val avgdl: Double = statsRow.getAs[Double]("avgdl")
 
+  /** True when the zero-exchange colocated kernel is sound: no postings
+    * file can be split across read partitions (see class doc). */
+  val colocated: Boolean = {
+    try {
+      val conf = spark.sessionState.conf
+      val noSplitBound = math.min(conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
+      val path = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(path).forall { f =>
+        val name = f.getPath.getName
+        !f.isFile || name.startsWith("_") || name.startsWith(".") || f.getLen <= noSplitBound
+      }
+    } catch { case _: Throwable => false }
+  }
+
   def analyzeQuery(query: String): Map[String, Int] =
     Analyzer.termFreqs(Analyzer.tokenize(query, StopWords.forLang(language)))
 
-  /** Global df for the query's terms only: a pushed-down scan of the df
-    * table returning ≤ |query| rows. */
-  def dfSlice(terms: Seq[String]): Map[String, Long] =
-    if (terms.isEmpty) Map.empty
-    else dfDF
-      .where(col("term").isin(terms: _*))
-      .as[TermStat].collect().map(t => t.term -> t.df).toMap
+  /** Per-term global df, memoized across queries (misses cached as 0).
+    * First sight of a term costs one pushed-down ≤|terms|-row scan of the
+    * df table; repeat queries then build their plans without any job. */
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def dfSlice(terms: Seq[String]): Map[String, Long] = {
+    val missing = terms.filterNot(dfCache.containsKey)
+    if (missing.nonEmpty) {
+      val found = dfDF.where(col("term").isin(missing: _*))
+        .as[TermStat].collect().map(t => t.term -> t.df).toMap
+      missing.foreach(t => dfCache.put(t, java.lang.Long.valueOf(found.getOrElse(t, 0L))))
+    }
+    terms.iterator.map(t => t -> dfCache.get(t).longValue).filter(_._2 > 0L).toMap
+  }
+
+  /** Run the WAND kernel per shard over a pruned postings Dataset,
+    * answering every query in `qs` in one pass. Emits (qid, docId, score).
+    * Zero-exchange when `colocated`; narrow groupByKey(shard) otherwise. */
+  private def shardTopK(postings: Dataset[Posting],
+                        qs: Seq[(String, Map[String, Int])],
+                        dfm: Map[String, Long], k: Int,
+                        exhaustive: Boolean): DataFrame = {
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    def kernel(group: Seq[Posting]): Iterator[(String, Long, Double)] = {
+      val byTerm = group.iterator.map(po => po.term -> po).toMap
+      qs.iterator.flatMap { case (qid, qtf) =>
+        val inputs = qtf.toSeq.collect {
+          case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
+            Wand.TermInput(byTerm(t), f, dfm(t))
+        }
+        val scored =
+          if (exhaustive) Wand.topKExhaustive(inputs, nn, ad, k, p)
+          else Wand.topK(inputs, nn, ad, k, p)
+        scored.iterator.map(s => (qid, s.docId, s.score))
+      }
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    out.toDF("qid", "docId", "score")
+  }
 
   /** WAND top-k. Deterministic order: score desc, docId asc. */
   def topK(query: String, k: Int, exhaustiveKernel: Boolean = false): DataFrame = {
@@ -67,66 +137,34 @@ final class Searcher(spark: SparkSession, indexDir: String,
     if (qtf.isEmpty) return emptyHits()
     val dfm = dfSlice(qtf.keys.toSeq)
     if (dfm.isEmpty) return emptyHits()
-    val terms = qtf.keys.toSeq.sorted
-    val p = params
-    val (nn, ad) = (n, avgdl)
-    val useExhaustive = exhaustiveKernel
+    val terms = dfm.keys.toSeq.sorted
 
-    val postings = postingsDF
-      .where(col("term").isin(terms: _*)).as[Posting]
-    val lens = lensDF.as[ShardLens]
-
-    val perShard = postings.groupByKey(_.shard)
-      .cogroup(lens.groupByKey(_.shard)) { (shard, ps, ls) =>
-        val lensArr = ls.toSeq.headOption
-          .map(sl => graft.codec.VByte.decodeInts(sl.lensBlob, sl.count))
-          .getOrElse(Array.empty[Int])
-        val inputs = ps.map(po => Wand.TermInput(po, qtf(po.term), dfm.getOrElse(po.term, 0L))).toSeq
-        val scored =
-          if (useExhaustive) Wand.topKExhaustive(inputs, lensArr, nn, ad, k, p, Ids.RankMask)
-          else Wand.topK(inputs, lensArr, nn, ad, k, p, Ids.RankMask)
-        scored.iterator.map(s => (s.docId, s.score))
-      }.toDF("docId", "score")
-
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k, exhaustiveKernel)
+      .select($"docId", $"score")
     val top = perShard.orderBy(desc("score"), asc("docId")).limit(k)
-    // hits are ≤ k rows — broadcast them against the doc map
+    // hits are ≤ k rows — broadcast them against the doc map; the final
+    // re-order is a TakeOrdered over ≤ k rows, not a global sort.
     docMetaDF
       .join(broadcast(top), "docId")
       .select($"conv_id", $"turn_idx", $"docId", $"score")
-      .orderBy(desc("score"), asc("docId"))
+      .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
   /** Batched multi-query top-k: ONE pass over the index answers every
     * query — the at-scale shape (the reference scores query-by-query; a
-    * 10^12-doc engine amortizes the scan/shuffle across the query batch).
+    * 10^12-doc engine amortizes the scan across the query batch).
     * Returns (qid, conv_id, turn_idx, docId, score), k rows per query,
     * ordered (qid, score desc, docId). */
   def topKBatch(queries: Map[String, String], k: Int): DataFrame = {
-    val qterms: Map[String, Map[String, Int]] =
-      queries.map { case (qid, q) => qid -> analyzeQuery(q) }
-    val allTerms = qterms.values.flatMap(_.keys).toSeq.distinct.sorted
+    val qterms: Seq[(String, Map[String, Int])] =
+      queries.toSeq.map { case (qid, q) => qid -> analyzeQuery(q) }
+    val allTerms = qterms.flatMap(_._2.keys).distinct.sorted
     if (allTerms.isEmpty) return emptyBatchHits()
     val dfm = dfSlice(allTerms)
-    val p = params
-    val (nn, ad) = (n, avgdl)
 
     val postings = postingsDF.where(col("term").isin(allTerms: _*)).as[Posting]
-    val lens = lensDF.as[ShardLens]
-    val perShard = postings.groupByKey(_.shard)
-      .cogroup(lens.groupByKey(_.shard)) { (_, ps, ls) =>
-        val lensArr = ls.toSeq.headOption
-          .map(sl => graft.codec.VByte.decodeInts(sl.lensBlob, sl.count))
-          .getOrElse(Array.empty[Int])
-        val byTerm = ps.map(po => po.term -> po).toMap
-        qterms.iterator.flatMap { case (qid, qtf) =>
-          val inputs = qtf.toSeq.collect {
-            case (t, f) if byTerm.contains(t) =>
-              Wand.TermInput(byTerm(t), f, dfm.getOrElse(t, 0L))
-          }
-          Wand.topK(inputs, lensArr, nn, ad, k, p, Ids.RankMask)
-            .iterator.map(s => (qid, s.docId, s.score))
-        }
-      }.toDF("qid", "docId", "score")
+    val perShard = shardTopK(postings, qterms, dfm, k, exhaustive = false)
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score"), asc("docId"))

@@ -54,10 +54,10 @@ object Wand {
     * THREAD — instrumentation for pruning-effectiveness tests only. */
   val lastScoredCount = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
 
-  /** Top-k over one shard. `lens(rank)` = doc length; stats are GLOBAL
-    * (n, avgdl, per-term global df). */
-  def topK(terms: Seq[TermInput], lens: Array[Int], n: Long, avgdl: Double,
-           k: Int, p: Bm25.Params, rankMask: Long): Array[Scored] = {
+  /** Top-k over one shard. Doc lengths come inline from the posting blobs
+    * (Cursor.dl); stats are GLOBAL (n, avgdl, per-term global df). */
+  def topK(terms: Seq[TermInput], n: Long, avgdl: Double,
+           k: Int, p: Bm25.Params): Array[Scored] = {
     lastScoredCount.set(0L)
     val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
     val topk = new TopK(k)
@@ -127,16 +127,15 @@ object Wand {
           jj += 1
         }
         if (blockUb > theta) {
-          // fully score pivotDoc
+          // fully score pivotDoc (doc length rides inline on each cursor)
           lastScoredCount.set(lastScoredCount.get + 1)
-          val dl = lens((pivotDoc & rankMask).toInt)
           var s = 0.0
           var jk = 0
           while (jk < liveCount) {
             val ci = order(jk)
             val c = cursors(ci)
             if (!c.exhausted && c.docId == pivotDoc) {
-              s += idfQtf(ci) * Bm25.tfSat(c.tf, dl, avgdl, p)
+              s += idfQtf(ci) * Bm25.tfSat(c.tf, c.dl, avgdl, p)
             }
             jk += 1
           }
@@ -163,20 +162,18 @@ object Wand {
 
   /** Exhaustive (no pruning) scorer over the same inputs — the correctness
     * twin of topK; WAND ≡ this on every corpus (tested). */
-  def topKExhaustive(terms: Seq[TermInput], lens: Array[Int], n: Long,
-                     avgdl: Double, k: Int, p: Bm25.Params,
-                     rankMask: Long): Array[Scored] = {
+  def topKExhaustive(terms: Seq[TermInput], n: Long,
+                     avgdl: Double, k: Int, p: Bm25.Params): Array[Scored] = {
     val topk = new TopK(k)
     if (n == 0 || avgdl == 0.0) return topk.drainDescending()
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     terms.foreach { t =>
       if (t.globalDf > 0) {
         val iq = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
-        val (docs, tfs) = Postings.decode(t.posting)
+        val (docs, tfs, lens) = Postings.decode(t.posting)
         var i = 0
         while (i < docs.length) {
-          val dl = lens((docs(i) & rankMask).toInt)
-          val add = iq * Bm25.tfSat(tfs(i), dl, avgdl, p)
+          val add = iq * Bm25.tfSat(tfs(i), lens(i), avgdl, p)
           val prev = acc.get(docs(i))
           acc.put(docs(i), if (prev == null) add else prev + add)
           i += 1

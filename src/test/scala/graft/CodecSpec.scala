@@ -27,14 +27,15 @@ class CodecSpec extends AnyFunSuite {
     assert(VByte.decodeInts(VByte.encodeInts(xs), xs.length).sameElements(xs))
   }
 
-  test("posting encode/decode roundtrip with blocks") {
+  test("posting encode/decode roundtrip with blocks (docs, tfs, inline lens)") {
     val rnd = new Random(7)
     for (_ <- 0 until 100) {
       val docs = randomSorted(rnd, 1 + rnd.nextInt(700), 1L << rnd.nextInt(30))
       val tfs = docs.indices.map(i => (i % 50) + 1).toArray
-      val p = Postings.encode(3, "t", docs, tfs)
-      val (d2, t2) = Postings.decode(p)
-      assert(d2.sameElements(docs) && t2.sameElements(tfs))
+      val lens = docs.indices.map(i => (i % 313) + 1).toArray
+      val p = Postings.encode(3, "t", docs, tfs, lens)
+      val (d2, t2, l2) = Postings.decode(p)
+      assert(d2.sameElements(docs) && t2.sameElements(tfs) && l2.sameElements(lens))
       assert(p.maxTf == tfs.max)
       assert(p.blockLast.length == (docs.length + Postings.BlockSize - 1) / Postings.BlockSize)
       assert(p.blockMaxTf.zipWithIndex.forall { case (m, b) =>
@@ -47,7 +48,8 @@ class CodecSpec extends AnyFunSuite {
     val rnd = new Random(11)
     for (_ <- 0 until 50) {
       val docs = randomSorted(rnd, 1 + rnd.nextInt(500), 100)
-      val p = Postings.encode(0, "t", docs, Array.fill(docs.length)(1))
+      val p = Postings.encode(0, "t", docs, Array.fill(docs.length)(1),
+        Array.fill(docs.length)(7))
       val c = new Postings.Cursor(p)
       val got = Iterator.continually(if (c.next()) Some(c.docId) else None)
         .takeWhile(_.isDefined).flatten.toArray
@@ -58,7 +60,8 @@ class CodecSpec extends AnyFunSuite {
   test("cursor advanceTo finds first >= target, skipping blocks") {
     val docs = (0 until 1000).map(i => i.toLong * 7).toArray
     val tfs = docs.indices.map(i => i % 9 + 1).toArray
-    val p = Postings.encode(0, "t", docs, tfs)
+    val lens = docs.indices.map(i => i % 23 + 5).toArray
+    val p = Postings.encode(0, "t", docs, tfs, lens)
     val rnd = new Random(3)
     for (_ <- 0 until 500) {
       val target = rnd.nextLong(7200L)
@@ -69,6 +72,7 @@ class CodecSpec extends AnyFunSuite {
       else {
         assert(ok && c.docId == expected.get)
         assert(c.tf == tfs(docs.indexOf(expected.get)))
+        assert(c.dl == lens(docs.indexOf(expected.get)))
       }
     }
     // repeated advances on one cursor (mixed next/advance)

@@ -139,32 +139,44 @@ class IndexEndToEndSpec extends AnyFunSuite {
     IndexBuilder.build(spark, turns, dir, IndexBuilder.Config(shards = 2))
     val manifests = graft.build.Manifests.all(dir)
     assert(manifests.map(_.stage).toSet ==
-      Set("analyzed", "stats", "df", "postings", "doclens"))
+      Set("analyzed", "stats", "df", "postings"))
     assert(manifests.forall(_.status == "done"))
     assert(manifests.forall(_.bytes > 0))
-    // tamper: record postings mtime, rebuild, nothing rewritten
-    val postingsFile = new java.io.File(s"$dir/postings")
-    val before = postingsFile.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // tamper: record analyzed mtime, rebuild, nothing rewritten
+    val analyzedDir = new java.io.File(s"$dir/analyzed")
+    val postingsDir = new java.io.File(s"$dir/postings")
+    val beforeA = analyzedDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
     IndexBuilder.build(spark, turns, dir, IndexBuilder.Config(shards = 2))
-    val after = postingsFile.listFiles().map(f => f.getName -> f.lastModified()).toMap
-    assert(before == after)
+    val afterA = analyzedDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(beforeA == afterA)
     // clear one manifest → only that stage reruns
-    graft.build.Manifests.clear(dir, "doclens")
+    graft.build.Manifests.clear(dir, "postings")
     IndexBuilder.build(spark, turns, dir, IndexBuilder.Config(shards = 2))
-    assert(graft.build.Manifests.isDone(dir, "doclens"))
-    val after2 = postingsFile.listFiles().map(f => f.getName -> f.lastModified()).toMap
-    assert(before == after2)
+    assert(graft.build.Manifests.isDone(dir, "postings"))
+    val afterA2 = analyzedDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(beforeA == afterA2)
     // simulated crash mid-stage: manifest absent + corrupt partial output →
     // rebuild overwrites and produces a correct stage
-    graft.build.Manifests.clear(dir, "doclens")
-    val dl = new java.io.File(s"$dir/doclens")
-    dl.listFiles().foreach(_.delete())
-    java.nio.file.Files.writeString(dl.toPath.resolve("part-garbage.parquet"), "corrupt")
+    graft.build.Manifests.clear(dir, "postings")
+    postingsDir.listFiles().foreach(_.delete())
+    java.nio.file.Files.writeString(postingsDir.toPath.resolve("part-garbage.parquet"), "corrupt")
     IndexBuilder.build(spark, turns, dir, IndexBuilder.Config(shards = 2))
-    val lens = spark.read.parquet(s"$dir/doclens")
-    assert(lens.count() > 0)
+    assert(spark.read.parquet(s"$dir/postings").count() > 0)
     val s = new graft.query.Searcher(spark, dir)
     assert(s.topK("quick brown fox", 3).count() == 3)
+  }
+
+  test("stopword-only corpus builds an empty postings table without error") {
+    // regression (ADVICE r1): a slice whose docs all analyze to zero terms
+    // must not break the chunk iterator's hasNext/next contract
+    val dir = TestSpark.tmpDir("idxstop")
+    val texts = Seq.fill(50)("the and of a is are was")
+    IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", texts).toDF(), dir,
+      IndexBuilder.Config(shards = 2))
+    assert(spark.read.parquet(s"$dir/postings").count() == 0)
+    assert(spark.read.parquet(s"$dir/analyzed").count() == 50)
+    val s = new graft.query.Searcher(spark, dir)
+    assert(s.topK("anything", 5).count() == 0)
   }
 
   test("multi-language analyzers: fr/de stopwords drop, en fallback") {

@@ -44,6 +44,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n${plan.take(3000)}")
   }
 
+  test("single-query WAND plan is shuffle-free (no Exchange except the tiny hit broadcast)") {
+    val s = new Searcher(spark, dir)
+    assert(s.colocated, "postings layout must satisfy the colocated precondition at test scale")
+    val plan = s.topK("quick brown fox", 10).queryExecution.executedPlan.toString
+    val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan)
+      .filterNot(_.contains("BroadcastExchange")).toList
+    assert(shuffles.isEmpty, s"unexpected shuffle Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
+  }
+
   test("doc-metadata reads prune to the selected columns") {
     val plan = Searcher.docMeta(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema") && !plan.contains("terms"),

@@ -20,14 +20,16 @@ class WandPruningSpec extends AnyFunSuite {
     val rareDocs = (0 until 200).map(i => (i * 997L) % nDocs).distinct.sorted.toArray
     val rareTfs = rareDocs.map(_ => 5 + rnd.nextInt(5))
     val terms = Seq(
-      Wand.TermInput(Postings.encode(0, "head", headDocs, headTfs), 1, headDocs.length.toLong),
-      Wand.TermInput(Postings.encode(0, "rare", rareDocs, rareTfs), 1, rareDocs.length.toLong))
+      Wand.TermInput(Postings.encode(0, "head", headDocs, headTfs,
+        headDocs.map(d => lens(d.toInt))), 1, headDocs.length.toLong),
+      Wand.TermInput(Postings.encode(0, "rare", rareDocs, rareTfs,
+        rareDocs.map(d => lens(d.toInt))), 1, rareDocs.length.toLong))
     val n = nDocs.toLong
     val avgdl = lens.map(_.toLong).sum.toDouble / nDocs
 
-    val w = Wand.topK(terms, lens, n, avgdl, 10, Bm25.RefDefaults, graft.model.Ids.RankMask)
+    val w = Wand.topK(terms, n, avgdl, 10, Bm25.RefDefaults)
     val scored = Wand.lastScoredCount.get
-    val e = Wand.topKExhaustive(terms, lens, n, avgdl, 10, Bm25.RefDefaults, graft.model.Ids.RankMask)
+    val e = Wand.topKExhaustive(terms, n, avgdl, 10, Bm25.RefDefaults)
 
     assert(w.map(_.docId).sameElements(e.map(_.docId)), "WAND top-k != exhaustive top-k")
     w.zip(e).foreach { case (a, b) => assert(math.abs(a.score - b.score) < 1e-9) }
