@@ -91,42 +91,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** MinHash-LSH candidate pairs (a, b): 8 permutations over 3-word-shingle
-    * hashes, 4 bands × 2 rows; pairs sharing ≥1 band bucket. The
-    * band-bucket self-join IS the scale path — candidates are found by an
-    * equi-join on (band, key), never by an all-pairs comparison. */
-  def minHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, band, key) MinHash-LSH band buckets: 8 permutations over
+    * 3-word-shingle hashes, 4 bands × 2 rows. Shared by minHashPairs and
+    * ngramJaccard — the band-bucket equi-join IS the scale path for both. */
+  private def minHashBands(source: DataFrame): DataFrame = {
     val sigUdf = udf { (t: String) =>
       val sh = TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct
       if (sh.isEmpty) Array.empty[Long] // <3 tokens: no signature (SQL drops them too)
       else TextHash.minHashSig(sh.iterator.map(TextHash.polyHash31))
     }
-    val withSig = docs(spark, sfDir)
+    source
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .filter(size(col("sig")) === TextHash.MinHashK)
-    val bands = withSig.select(col("doc_id"),
+      .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${TextHash.MinHashK / 2 - 1}), " +
           "b -> struct(b AS band, sig[2*b] * 2147483647L + sig[2*b+1] AS key))")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Candidate pairs (a, b) sharing ≥1 MinHash band bucket, via equi-join
+    * on (band, key) — never an all-pairs comparison. */
+  private def minHashCandidates(source: DataFrame): DataFrame = {
+    val bands = minHashBands(source)
     val l = bands.select(col("band"), col("key"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-      .orderBy("a", "b")
   }
 
-  /** Near-dup pairs by 3-word-shingle Jaccard ≥ minJ, candidates blocked on
-    * the lexicographic min shingle (a deterministic 1-row LSH). Output
+  /** MinHash-LSH candidate pairs (a, b). */
+  def minHashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minHashCandidates(docs(spark, sfDir)).orderBy("a", "b")
+
+  /** Near-dup pairs by 3-word-shingle Jaccard ≥ minJ. Candidates come from
+    * the MinHash band buckets (the same family as minHashPairs), then the
+    * exact Jaccard is verified over the shingle sets — so no hot-shingle
+    * quadratic block and no lexicographic-min blind spot (a near-dup pair
+    * whose min shingles differ is still found; pinned by a test). Output
     * (a, b, jaccard). */
-  def ngramJaccard(spark: SparkSession, sfDir: String, minJ: Double): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String, minJ: Double): DataFrame =
+    ngramJaccardOver(docs(spark, sfDir), minJ)
+
+  private[graft] def ngramJaccardOver(source: DataFrame, minJ: Double): DataFrame = {
     val shUdf = udf((t: String) => TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct)
-    val dsh = docs(spark, sfDir)
+    val dsh = source
       .select(col("doc_id"), explode(shUdf(col("text"))).as("s"))
-    val m = dsh.groupBy("doc_id").agg(min("s").as("ms"), count(lit(1)).as("n"))
-    val cand = m.select(col("doc_id").as("a"), col("ms"), col("n").as("na"))
-      .join(m.select(col("doc_id").as("b"), col("ms"), col("n").as("nb")), "ms")
-      .filter(col("a") < col("b"))
+    val m = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = minHashCandidates(source)
+      .join(m.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(m.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select("a", "b", "na", "nb")
     val inter = cand
       .join(dsh.select(col("doc_id").as("a"), col("s")), "a")

@@ -88,26 +88,33 @@ object OracleSqlOps {
       .map(i => s"(${i}, ${TextHash.MinHashA(i)}, ${TextHash.MinHashB(i)})")
       .mkString(", ")
 
-  def minHashPairs: String =
-    s"""WITH $shingleCtes,
-       |h AS (SELECT doc_id, ${polyHash("s")} AS th FROM dsh),
+  /** MinHash band-bucket CTEs (expects `dsh` in scope); yields `mhcand`
+    * (a, b) candidate pairs — shared by minHashPairs and ngramJaccard. */
+  private def minHashCandCtes: String =
+    s"""h AS (SELECT doc_id, ${polyHash("s")} AS th FROM dsh),
        |perms AS (SELECT * FROM (VALUES $permsValues) p(i, a, b)),
        |sig AS (SELECT doc_id, p.i, min((p.a * th + p.b) % 2147483647) AS mh
        |        FROM h CROSS JOIN perms p GROUP BY 1, 2),
        |bands AS (
        |  SELECT s1.doc_id, s1.i // 2 AS band, s1.mh * 2147483647 + s2.mh AS key
        |  FROM sig s1 JOIN sig s2 ON s1.doc_id = s2.doc_id AND s2.i = s1.i + 1
-       |  WHERE s1.i % 2 = 0)
-       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |ORDER BY a, b""".stripMargin
+       |  WHERE s1.i % 2 = 0),
+       |mhcand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+
+  def minHashPairs: String =
+    s"""WITH $shingleCtes,
+       |$minHashCandCtes
+       |SELECT a, b FROM mhcand ORDER BY a, b""".stripMargin
 
   def ngramJaccard(minJ: Double): String =
     s"""WITH $shingleCtes,
-       |m AS (SELECT doc_id, min(s) AS ms, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+       |$minHashCandCtes,
+       |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
        |cand AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb
-       |  FROM m x JOIN m y ON x.ms = y.ms AND x.doc_id < y.doc_id),
+       |  SELECT c.a, c.b, x.n AS na, y.n AS nb
+       |  FROM mhcand c JOIN m x ON x.doc_id = c.a JOIN m y ON y.doc_id = c.b),
        |inter AS (
        |  SELECT c.a, c.b, c.na, c.nb, CAST(count(*) AS BIGINT) AS i
        |  FROM cand c
@@ -135,32 +142,83 @@ object OracleSqlOps {
        |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM c
        |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Quantized milli-unit vectors (integer arithmetic ⇒ order-independent
+    * sums ⇒ bit-identical bucketing decisions in both engines). Mirrors
+    * VectorOps.quantize. */
+  private val quantCte =
+    """qv AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |FROM embeddings)""".stripMargin
+
+  /** k-means CTE chain mirroring VectorOps.trainCentroids: seed = K
+    * smallest vec_ids; `iters` Lloyd rounds of integer-L2 assignment +
+    * round(avg) centroid update (empty cluster keeps its centroid); final
+    * assignment `afin` against the last centroids `cfin`. */
+  private def kmeansCtes(kk: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""c0 AS (SELECT rn - 1 AS k, q AS c FROM (
+         |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM qv) WHERE rn <= $kk)""".stripMargin)
+    def distAssign(n: Int, cPrev: String): String =
+      s""",
+         |d$n AS (SELECT v.vec_id, c.k, sum((v.q[i.i] - c.c[i.i]) * (v.q[i.i] - c.c[i.i])) AS d
+         |       FROM qv v CROSS JOIN $cPrev c CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+         |a$n AS (SELECT vec_id, k FROM (
+         |  SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM d$n) WHERE rn = 1)""".stripMargin
+    for (it <- 1 to iters) {
+      sb.append(distAssign(it, s"c${it - 1}"))
+      sb.append(
+        s""",
+           |u$it AS (SELECT a.k, i.i AS j, CAST(round(avg(v.q[i.i])) AS BIGINT) AS cj
+           |       FROM a$it a JOIN qv v ON v.vec_id = a.vec_id CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+           |c$it AS (SELECT cp.k, coalesce(nc.c, cp.c) AS c
+           |       FROM c${it - 1} cp LEFT JOIN (
+           |         SELECT k, list(cj ORDER BY j) AS c FROM u$it GROUP BY k) nc ON nc.k = cp.k)""".stripMargin)
+    }
+    sb.append(distAssign(iters + 1, s"c$iters"))
+    sb.append(s",\ncfin AS (SELECT * FROM c$iters),\nafin AS (SELECT * FROM a${iters + 1})")
+    sb.toString
+  }
+
   def annIvf(targetId: Long, k: Int, nprobe: Int): String =
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
-       |cent AS (
-       |  SELECT label, i.i, avg(CAST(embedding[i.i] AS DOUBLE)) AS c
-       |  FROM embeddings CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
-       |cq AS (
-       |  SELECT cent.label,
-       |    sum(cent.c * CAST(q.qe[cent.i] AS DOUBLE)) AS dot,
-       |    sqrt(sum(cent.c * cent.c)) AS na,
-       |    sqrt(sum(CAST(q.qe[cent.i] AS DOUBLE) * CAST(q.qe[cent.i] AS DOUBLE))) AS nb
-       |  FROM cent CROSS JOIN q GROUP BY 1),
-       |probed AS (SELECT label FROM cq ORDER BY round(dot / (na * nb), 4) DESC, label LIMIT $nprobe),
-       |c AS (
+    s"""WITH $quantCte,
+       |${kmeansCtes(8, 3)},
+       |tq AS (SELECT q FROM qv WHERE vec_id = $targetId),
+       |pd AS (SELECT c.k, sum((t.q[i.i] - c.c[i.i]) * (t.q[i.i] - c.c[i.i])) AS d
+       |       FROM cfin c CROSS JOIN tq t CROSS JOIN range(1, 65) i(i) GROUP BY 1),
+       |probed AS (SELECT k FROM (
+       |  SELECT k, row_number() OVER (ORDER BY d, k) AS rn FROM pd) WHERE rn <= $nprobe),
+       |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
+       |cx AS (
        |  SELECT v.vec_id,
-       |    ${cosAgg("v.embedding[i.i]", "q.qe[i.i]")}
-       |  FROM embeddings v JOIN probed p ON v.label = p.label
-       |  CROSS JOIN q CROSS JOIN range(1, 65) i(i)
+       |    ${cosAgg("v.embedding[i.i]", "t.qe[i.i]")}
+       |  FROM embeddings v JOIN afin a ON a.vec_id = v.vec_id
+       |  JOIN probed p ON p.k = a.k
+       |  CROSS JOIN qe t CROSS JOIN range(1, 65) i(i)
        |  GROUP BY v.vec_id)
-       |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM c
+       |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM cx
        |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Random-hyperplane LSH candidates + exact-cosine verify; the ±1
+    * hyperplane family is the same closed-form LCG as VectorOps.hpSign. */
   def similarPairs(n: Int): String =
-    s"""WITH pr AS (
-       |  SELECT x.vec_id AS a, y.vec_id AS b,
+    s"""WITH $quantCte,
+       |hp AS (SELECT i.i, j.j,
+       |    CASE WHEN ((1103515245 * (i.i * 64 + j.j + 1) + 12345) % 2147483647) % 2 = 1
+       |         THEN 1 ELSE -1 END AS s
+       |  FROM range(0, 32) i(i) CROSS JOIN range(0, 64) j(j)),
+       |dots AS (SELECT v.vec_id, hp.i, sum(v.q[hp.j + 1] * hp.s) AS d
+       |         FROM qv v CROSS JOIN hp GROUP BY 1, 2),
+       |bits AS (SELECT vec_id, i, CASE WHEN d >= 0 THEN 1 ELSE 0 END AS b FROM dots),
+       |bands AS (SELECT vec_id, i // 8 AS band,
+       |    sum(b * (CAST(1 AS BIGINT) << CAST(7 - (i % 8) AS INT))) AS key
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |pr AS (
+       |  SELECT c.a, c.b,
        |    ${cosAgg("x.embedding[i.i]", "y.embedding[i.i]")}
-       |  FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+       |  FROM cand c JOIN embeddings x ON x.vec_id = c.a JOIN embeddings y ON y.vec_id = c.b
        |  CROSS JOIN range(1, 65) i(i)
        |  GROUP BY 1, 2)
        |SELECT a, b, round(dot / (na * nb), 4) AS cos FROM pr

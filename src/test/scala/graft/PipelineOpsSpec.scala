@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.{TextOps, VectorOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape contracts of the training-data pipeline ops:
+  *  - ngramJaccard candidates come from MinHash bands, not min-shingle
+  *    blocking — a near-dup pair whose min shingles differ is still found
+  *    (the round-1 blocking missed exactly those);
+  *  - annIvf's k-means probe keeps high recall vs the exact baseline. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ngramJaccard finds a near-dup pair whose min shingles differ") {
+    // b is a near-dup of a (first token changed): its lexicographic-min
+    // shingle differs from a's, so min-shingle blocking would miss the pair.
+    val a = "alpha beta gamma delta epsilon theta kappa lambda mu nu xi omicron"
+    val b = "zeta beta gamma delta epsilon theta kappa lambda mu nu xi omicron"
+    val docs = Seq((0L, a), (1L, b), (2L, "totally unrelated words about ships and rivers flowing north"))
+      .toDF("doc_id", "text")
+    // sanity: the old blocking key (min shingle) really differs
+    val shA = graft.analysis.TextHash.shingles(graft.analysis.Analyzer.tokenizeRaw(a)).min
+    val shB = graft.analysis.TextHash.shingles(graft.analysis.Analyzer.tokenizeRaw(b)).min
+    assert(shA != shB)
+    val pairs = TextOps.ngramJaccardOver(docs, 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (x, y, j) => x == 0L && y == 1L && j >= 0.8 },
+      s"near-dup (0,1) not found; got ${pairs.mkString(", ")}")
+  }
+
+  test("annIvf recall@10 vs exact cosTopK on sf0.1 embeddings") {
+    val sf = "/root/testdata/sf0.1"
+    val exact = VectorOps.cosTopK(spark, sf, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = VectorOps.annIvf(spark, sf, 0L, 10, 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"recall@10 (nprobe=2/8) = $recall")
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+
+  test("similarPairs is deterministic and label-free") {
+    val sf = "/root/testdata/sf0.1"
+    val p1 = VectorOps.similarPairs(spark, sf, 10).collect().toSeq
+    val p2 = VectorOps.similarPairs(spark, sf, 10).collect().toSeq
+    assert(p1 == p2 && p1.size == 10)
+    info(s"top cos = ${p1.head.getAs[Double]("cos")}, #10 cos = ${p1.last.getAs[Double]("cos")}")
+    // output is ordered by similarity, pairs canonical (a < b)
+    val cosines = p1.map(_.getAs[Double]("cos"))
+    assert(cosines == cosines.sortBy(-_))
+    assert(p1.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+  }
+}
