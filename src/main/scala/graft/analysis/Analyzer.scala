@@ -9,10 +9,13 @@ import scala.collection.mutable
   * artifacts are .NET-specific and non-deterministic across environments.
   * This engine replaces it with a deterministic, executor-side analyzer:
   *
-  *   1. scan the text for maximal runs of letters/digits (Unicode-aware),
-  *      lowercasing as it goes — equivalent to
-  *      `regexp_extract_all(lower(text), '[a-z0-9]+')` for ASCII input,
-  *      which is what the DuckDB oracle SQL uses;
+  *   1. scan the text for maximal runs of letters/digits (Unicode-aware,
+  *      CODEPOINT-based so astral-plane letters are handled), lowercasing
+  *      as it goes — equivalent to
+  *      `regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+')`,
+  *      which is what the DuckDB oracle SQL uses (verified: DuckDB's RE2
+  *      supports \p{L}/\p{Nd} and its lower() agrees with Java's
+  *      per-codepoint toLowerCase on everything but exotic 1:n mappings);
   *   2. drop stopwords (the reference's embedded spaCy lists, matched
   *      case-insensitively like its OrdinalIgnoreCase comparer);
   *   3. no lemmatization (configurable hook left out by design, D1).
@@ -23,7 +26,8 @@ import scala.collection.mutable
   */
 object Analyzer extends Serializable {
 
-  /** Tokenize without stopword removal. */
+  /** Tokenize without stopword removal (codepoint iteration: surrogate
+    * pairs are one character, like the oracle's regex engine sees them). */
   def tokenizeRaw(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val out = mutable.ArrayBuilder.make[String]
@@ -31,14 +35,14 @@ object Analyzer extends Serializable {
     var i = 0
     val n = text.length
     while (i < n) {
-      val c = text.charAt(i)
-      if (Character.isLetterOrDigit(c)) {
-        sb.append(Character.toLowerCase(c))
+      val cp = text.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) {
+        sb.appendCodePoint(Character.toLowerCase(cp))
       } else if (sb.length > 0) {
         out += sb.toString
         sb.setLength(0)
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     if (sb.length > 0) out += sb.toString
     out.result()
@@ -74,9 +78,9 @@ object Analyzer extends Serializable {
     var i = 0
     val n = text.length
     while (i <= n) {
-      val c = if (i < n) text.charAt(i) else ' '
-      if (i < n && Character.isLetterOrDigit(c)) {
-        sb.append(Character.toLowerCase(c))
+      val cp = if (i < n) text.codePointAt(i) else ' '.toInt
+      if (i < n && Character.isLetterOrDigit(cp)) {
+        sb.appendCodePoint(Character.toLowerCase(cp))
       } else if (sb.length > 0) {
         val tok = sb.toString
         sb.setLength(0)
@@ -85,7 +89,7 @@ object Analyzer extends Serializable {
           tf.merge(tok, 1, (a, b) => a + b)
         }
       }
-      i += 1
+      i += (if (i < n) Character.charCount(cp) else 1)
     }
     val terms = tf.keySet.toArray(new Array[String](tf.size))
     java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())

@@ -13,14 +13,17 @@ object TextHash extends Serializable {
 
   val P31: Long = 2147483647L // 2^31 - 1
 
-  /** Fold of character codes: h0 = c0; h = (h*31 + c) mod P31. */
+  /** Fold of CODEPOINTS (matches DuckDB's per-character ascii(), which
+    * returns the code point, surrogate-free): h0 = cp0; h = (h*31 + cp)
+    * mod P31. Codepoints < 2^21, so all arithmetic stays below 2^63. */
   def polyHash31(s: String): Long = {
     if (s.isEmpty) return 0L
-    var h = s.charAt(0).toLong
-    var i = 1
+    var h = -1L
+    var i = 0
     while (i < s.length) {
-      h = (h * 31L + s.charAt(i).toLong) % P31
-      i += 1
+      val cp = s.codePointAt(i)
+      h = if (h < 0) cp.toLong else (h * 31L + cp.toLong) % P31
+      i += Character.charCount(cp)
     }
     h
   }

@@ -72,12 +72,18 @@ object TextOps {
       .select(col("doc_id"), polyHashUdf(lower(col("text"))).as("fp"))
       .orderBy("doc_id")
 
-  /** Exact dedup on the canonical distinct-term-set signature:
-    * (sig, cnt, keep_id) groups with cnt > 1, keep_id = min doc_id. */
+  /** Dedup on the canonical distinct-term-set signature, shuffled as its
+    * 128-bit MD5 (fixed-width key — an O(doc)-byte string key would
+    * dominate the shuffle at scale): (sig, cnt, keep_id) groups with
+    * cnt > 1, keep_id = min doc_id. Token-less docs carry no signature
+    * (the SQL mirror's unnest drops them the same way). Byte-exact text
+    * identity is the separate `fingerprint` op. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     val sigUdf = udf((t: String) => Analyzer.tokenizeRaw(t).distinct.sorted.mkString(" "))
     docs(spark, sfDir)
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .select(col("doc_id"), sigUdf(col("text")).as("rawsig"))
+      .filter(col("rawsig") =!= "")
+      .select(col("doc_id"), md5(encode(col("rawsig"), "UTF-8")).as("sig"))
       .groupBy("sig")
       .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
       .filter(col("cnt") > 1)

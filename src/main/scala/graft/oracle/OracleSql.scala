@@ -24,7 +24,7 @@ object OracleSql {
   def baseCtes: String =
     s"""toks AS (
        |  SELECT d.doc_id, t.term
-       |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(term)
+       |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[\\p{L}\\p{Nd}]+')) AS t(term)
        |  WHERE t.term NOT IN ($stopListEn)),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1),
@@ -141,7 +141,7 @@ object OracleSql {
     val nq = math.max(queryRawTerms.size, 1)
     s"""WITH rt AS (
        |  SELECT d.doc_id, t.term
-       |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(term)),
+       |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[\\p{L}\\p{Nd}]+')) AS t(term)),
        |agg AS (
        |  SELECT doc_id,
        |    CAST(count(DISTINCT CASE WHEN term IN ($qlist) THEN term END) AS DOUBLE) AS ov,

@@ -16,7 +16,7 @@ object OracleSqlOps {
   private val rawToks =
     """rt AS (
       |  SELECT d.doc_id, t.term
-      |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(term))""".stripMargin
+      |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[\p{L}\p{Nd}]+')) AS t(term))""".stripMargin
 
   /** polyHash31 of a string expression, as SQL. */
   private def polyHash(expr: String): String =
@@ -24,7 +24,7 @@ object OracleSqlOps {
 
   /** Distinct 3-word shingles per doc. */
   private val shingleCtes =
-    """arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a FROM documents),
+    """arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS a FROM documents),
       |dsh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
@@ -32,7 +32,7 @@ object OracleSqlOps {
       |    FROM arrs) t)""".stripMargin
 
   def tokenCount: String =
-    """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+    """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+')) AS BIGINT) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def langId: String =
@@ -68,7 +68,7 @@ object OracleSqlOps {
 
   def dedupExact: String =
     s"""WITH $rawToks,
-       |sig AS (SELECT doc_id, string_agg(DISTINCT term, ' ' ORDER BY term) AS sig FROM rt GROUP BY 1)
+       |sig AS (SELECT doc_id, md5(string_agg(DISTINCT term, ' ' ORDER BY term)) AS sig FROM rt GROUP BY 1)
        |SELECT sig, CAST(count(*) AS BIGINT) AS cnt, CAST(min(doc_id) AS BIGINT) AS keep_id
        |FROM sig GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin
 

@@ -13,25 +13,46 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * The batch builder assigns docIds by global (conv_id, turn_idx) rank;
   * a stream cannot know future ranks, so the streaming path assigns them
   * per shard above a persisted high-water mark, in arrival order — docIds
-  * remain unique + dense per shard, and the per-turn text-equality
-  * invariant holds (identity is still (conv_id, turn_idx)). Downstream
-  * stages (stats/df/postings) are refreshed by running the normal batch
-  * stages over the appended analyzed table — posting compaction is a
-  * batch job by design (the reference has no streaming either;
-  * SURVEY.md §2.2 marks streaming N/A — this is the ingestion shape a
-  * production deployment would add in front of it).
+  * remain unique and strictly ascending per shard (the postings rebuild
+  * only needs ascending, not dense: doc lengths ride inline in the posting
+  * blobs). Downstream stages (stats/df/postings) are refreshed by running
+  * the normal batch stages over the appended analyzed table — posting
+  * compaction is a batch job by design (the reference has no streaming
+  * either; SURVEY.md §2.2 marks streaming N/A — this is the ingestion
+  * shape a production deployment would add in front of it).
+  *
+  * Exactly-once: each micro-batch is (1) written to a staging dir keyed by
+  * batchId (overwrite — idempotent on retry), (2) committed by renaming
+  * the part files to DETERMINISTIC names `stream-<batchId>-<i>.parquet`
+  * under analyzed/ (a replay overwrites the same names — never
+  * duplicates), (3) recorded in per-shard HWM manifests and a
+  * `stream_batch_<id>` manifest; a batchId whose manifest exists is
+  * skipped entirely. The only non-atomic window (crash between the HWM
+  * write and the batch manifest) re-lands the batch at higher ranks —
+  * leaving a harmless rank gap, never a duplicate docId.
   */
 object StreamIngest {
 
-  /** Per-shard next-rank high-water marks, persisted like a stage manifest. */
-  private def readHwm(indexDir: String, shards: Int): Array[Long] = {
+  /** Per-shard next-rank high-water marks. When no stream manifests exist
+    * yet but analyzed/ already holds batch-built rows, the HWM is seeded
+    * from max(rank)+1 of the existing table — streaming into a batch-built
+    * index must not reuse its docIds. */
+  private def readHwm(spark: SparkSession, indexDir: String, shards: Int): Array[Long] = {
     val hwm = new Array[Long](shards)
-    Manifests.read(indexDir, "stream_hwm_max") match {
-      case Some(_) =>
-        (0 until shards).foreach { s =>
-          hwm(s) = Manifests.read(indexDir, s"stream_hwm_$s").map(_.rows).getOrElse(0L)
-        }
-      case None => ()
+    if (Manifests.read(indexDir, "stream_hwm_max").isDefined) {
+      (0 until shards).foreach { s =>
+        hwm(s) = Manifests.read(indexDir, s"stream_hwm_$s").map(_.rows).getOrElse(0L)
+      }
+    } else {
+      val analyzedPath = new org.apache.hadoop.fs.Path(s"$indexDir/analyzed")
+      val fs = analyzedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(analyzedPath)) {
+        spark.read.parquet(s"$indexDir/analyzed")
+          .groupBy("shard")
+          .agg(max(expr(s"docId & ${Ids.RankMask}")).as("maxRank"))
+          .collect()
+          .foreach(r => hwm(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
+      }
     }
     hwm
   }
@@ -60,37 +81,60 @@ object StreamIngest {
       .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
       .writeStream
       .option("checkpointLocation", cp)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hwm = readHwm(indexDir, shards)
-        val bhwm = batch.sparkSession.sparkContext.broadcast(hwm)
-        val analyzed = batch
-          .withColumn("shard", pmod(hash(col("conv_id")), lit(shards)).cast("int"))
-          .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
-          .withColumn("tok", analyzeUdf(col("text")))
-          .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"),
-            col("tok._1").as("len"), col("tok._2").as("terms"), col("tok._3").as("tfs"))
-          .repartition(shards, col("pkey"))
-          .sortWithinPartitions("shard", "conv_id", "turn_idx")
-          .mapPartitions { rows =>
-            var curShard = -1
-            var rank = 0L
-            rows.map { r =>
-              val shard = r.getInt(1)
-              if (shard != curShard) { curShard = shard; rank = bhwm.value(shard) }
-              val docId = Ids.docId(shard, rank)
-              rank += 1L
-              (shard, docId, r.getString(2), r.getInt(3), r.getInt(4),
-                r.getSeq[String](5), r.getSeq[Int](6))
-            }
-          }(org.apache.spark.sql.Encoders.product)
-          .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")
-        analyzed.write.mode("append").parquet(s"$indexDir/analyzed")
-        // advance the high-water marks from what actually landed
-        val counts = batch
-          .withColumn("shard", pmod(hash(col("conv_id")), lit(shards)).cast("int"))
-          .groupBy("shard").count().collect()
-        counts.foreach(r => hwm(r.getAs[Int]("shard")) += r.getAs[Long]("count"))
-        writeHwm(indexDir, hwm)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!Manifests.isDone(indexDir, s"stream_batch_$batchId")) {
+          val ss = batch.sparkSession
+          val hwm = readHwm(ss, indexDir, shards)
+          val bhwm = ss.sparkContext.broadcast(hwm)
+          val analyzed = batch
+            .withColumn("shard", pmod(hash(col("conv_id")), lit(shards)).cast("int"))
+            .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
+            .withColumn("tok", analyzeUdf(col("text")))
+            .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"),
+              col("tok._1").as("len"), col("tok._2").as("terms"), col("tok._3").as("tfs"))
+            .repartition(shards, col("pkey"))
+            .sortWithinPartitions("shard", "conv_id", "turn_idx")
+            .mapPartitions { rows =>
+              var curShard = -1
+              var rank = 0L
+              rows.map { r =>
+                val shard = r.getInt(1)
+                if (shard != curShard) { curShard = shard; rank = bhwm.value(shard) }
+                val docId = Ids.docId(shard, rank)
+                rank += 1L
+                (shard, docId, r.getString(2), r.getInt(3), r.getInt(4),
+                  r.getSeq[String](5), r.getSeq[Int](6))
+              }
+            }(org.apache.spark.sql.Encoders.product)
+            .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")
+
+          // (1) stage the batch (idempotent overwrite)
+          val staging = s"$indexDir/_staging/batch_$batchId"
+          analyzed.write.mode("overwrite").parquet(staging)
+          // (2) commit: rename to deterministic names — replays overwrite
+          val hconf = ss.sparkContext.hadoopConfiguration
+          val stagingPath = new org.apache.hadoop.fs.Path(staging)
+          val destDir = new org.apache.hadoop.fs.Path(s"$indexDir/analyzed")
+          val fs = stagingPath.getFileSystem(hconf)
+          fs.mkdirs(destDir)
+          val parts = fs.listStatus(stagingPath)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .sortBy(_.getPath.getName)
+          parts.zipWithIndex.foreach { case (f, i) =>
+            val dst = new org.apache.hadoop.fs.Path(destDir, s"stream-$batchId-$i.parquet")
+            if (fs.exists(dst)) fs.delete(dst, false)
+            fs.rename(f.getPath, dst)
+          }
+          fs.delete(stagingPath, true)
+          // (3) advance HWMs from what actually landed, then seal the batch
+          val counts = batch
+            .withColumn("shard", pmod(hash(col("conv_id")), lit(shards)).cast("int"))
+            .groupBy("shard").count().collect()
+          counts.foreach(r => hwm(r.getAs[Int]("shard")) += r.getAs[Long]("count"))
+          writeHwm(indexDir, hwm)
+          Manifests.write(indexDir,
+            StageManifest(s"stream_batch_$batchId", counts.map(_.getAs[Long]("count")).sum, 0, "done", 0))
+        }
         ()
       }
       .start()

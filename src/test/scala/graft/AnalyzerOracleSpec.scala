@@ -62,6 +62,21 @@ class AnalyzerOracleSpec extends AnyFunSuite {
         Analyzer.tokenize(F3.mkString(" "), en)))
   }
 
+  test("tokenizer is codepoint-aware: accents, CJK, astral-plane letters") {
+    // mirrors what DuckDB's regexp '[\p{L}\p{Nd}]+' on lower(text) yields
+    assert(Analyzer.tokenizeRaw("Café Ärger 42 naïve Москва 東京")
+      .sameElements(Array("café", "ärger", "42", "naïve", "москва", "東京")))
+    // astral-plane letter (U+1D49C, surrogate pair) is one token char, and
+    // an astral non-letter (emoji) splits tokens
+    assert(Analyzer.tokenizeRaw("ab𝒜cd").sameElements(Array("ab𝒜cd")))
+    assert(Analyzer.tokenizeRaw("ab😀cd").sameElements(Array("ab", "cd")))
+    // polyHash31 folds codepoints (like SQL ascii()), not UTF-16 units
+    val astral = "𝒜" // U+1D49C = 119964
+    assert(graft.analysis.TextHash.polyHash31(astral) == 119964L)
+    assert(graft.analysis.TextHash.polyHash31("a" + astral) ==
+      ('a'.toLong * 31 + 119964L) % 2147483647L)
+  }
+
   test("F1 + 'cat': both cat docs strictly outscore the dog doc (BM25RerankerBasicTests.cs:40-43)") {
     val scores = OracleBm25.scoreAll("cat", F1, en).map(_._2)
     assert(scores(0) > scores(1))

@@ -51,4 +51,55 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(joined.filter($"docId".isNull || $"text".isNull).count() == 0)
     assert(joined.filter($"len" =!= $"explen").count() == 0)
   }
+
+  test("streaming into a batch-built index seeds HWMs — no docId reuse") {
+    // regression (ADVICE r1 high): readHwm must seed from the existing
+    // analyzed table when stream manifests are absent
+    val srcDir = TestSpark.tmpDir("stream_src2")
+    val idxDir = TestSpark.tmpDir("stream_idx2")
+    val batchTurns = Transcripts.synth(spark, 200, turnsPerConv = 5)
+    graft.build.IndexBuilder.build(spark, batchTurns.toDF(), idxDir,
+      graft.build.IndexBuilder.Config(shards = 4))
+
+    val streamTurns = Transcripts.synth(spark, 400, turnsPerConv = 5)
+      .toDF().filter($"conv_id" >= "conv-000000040") // disjoint conv_ids
+    streamTurns.write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(streamTurns.schema).parquet(srcDir)
+    val q = StreamIngest.start(spark, stream, idxDir, shards = 4)
+    q.processAllAvailable()
+    q.stop()
+
+    val analyzed = spark.read.parquet(s"$idxDir/analyzed")
+    assert(analyzed.count() == 400)
+    assert(analyzed.select("docId").distinct().count() == 400,
+      "streamed docIds must not collide with batch-built ones")
+  }
+
+  test("replayed micro-batch never duplicates rows (exactly-once commit)") {
+    val srcDir = TestSpark.tmpDir("stream_src3")
+    val idxDir = TestSpark.tmpDir("stream_idx3")
+    val turns = Transcripts.synth(spark, 300, turnsPerConv = 5)
+    turns.toDF().write.mode("append").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(turns.toDF().schema).parquet(srcDir)
+      // fresh checkpoint each run → the file source REPLAYS batch 0
+      val q = StreamIngest.start(spark, stream, idxDir, shards = 4,
+        checkpoint = TestSpark.tmpDir("stream_cp3"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    // replay with commit manifests intact → batch skipped entirely
+    runOnce()
+    assert(spark.read.parquet(s"$idxDir/analyzed").count() == 300)
+    // simulate a crash AFTER the data landed but BEFORE the commit records:
+    // replay re-stages and overwrites the same deterministic file names
+    graft.build.Manifests.clear(idxDir, "stream_batch_0")
+    graft.build.Manifests.clear(idxDir, "stream_hwm_max")
+    runOnce()
+    val analyzed = spark.read.parquet(s"$idxDir/analyzed")
+    assert(analyzed.count() == 300, "replay after partial commit must not duplicate rows")
+    assert(analyzed.select("docId").distinct().count() == 300)
+  }
 }
