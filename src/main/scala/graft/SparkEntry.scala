@@ -75,7 +75,7 @@ object SparkEntry {
     "q_cos_topk" -> ((s, d) => VectorOps.cosTopK(s, d, 0L, 10)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d, 0L, 10, 2)),
     "q_embed_pairs" -> ((s, d) => VectorOps.similarPairs(s, d, 20)),
-    // multimodal plumbing (decode stubbed — rows-only check, no oracle)
+    // multimodal: real PNG/WAV/AVI header parsing over synth containers
     "q_mm_features" -> ((s, d) => Multimodal.features(s, d))
   )
 
@@ -108,6 +108,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),
     "q_ann_ivf" -> OracleSqlOps.annIvf(0L, 10, 2),
-    "q_embed_pairs" -> OracleSqlOps.similarPairs(20)
+    "q_embed_pairs" -> OracleSqlOps.similarPairs(20),
+    "q_mm_features" -> OracleSqlOps.mmFeatures
   )
 }

@@ -125,6 +125,23 @@ object OracleSqlOps {
        |FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= $minJ
        |ORDER BY a, b""".stripMargin
 
+  /** Multimodal metadata: the closed-form synth formulas (Multimodal
+    * imageDims/audioParams/videoDims + header byte counts) recomputed from
+    * doc_id — the Spark side must recover the same values by PARSING the
+    * container bytes, so this oracle checks the decode path. */
+  def mmFeatures: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 33 WHEN doc_id % 3 = 1 THEN 44 ELSE 88 END
+       |       + strlen(text) AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 160 + (doc_id * 7) % 800
+       |            WHEN doc_id % 3 = 1 THEN 8000 + 1000 * (doc_id % 5)
+       |            ELSE 320 + (doc_id * 11) % 1280 END AS BIGINT) AS width,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 90 + (doc_id * 13) % 600
+       |            WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+       |            ELSE 240 + (doc_id * 17) % 720 END AS BIGINT) AS height
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- embeddings -----------------------------------------------------------
 
   private def cosAgg(vecA: String, vecB: String): String =

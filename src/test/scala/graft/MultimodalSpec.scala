@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The media container parsers must read real byte layouts: round-trip the
+  * synth writers, survive extra chunks (spec-correct chunk walking), and
+  * reject corrupt input instead of mis-parsing it. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private val payload = "hello media".getBytes("UTF-8")
+
+  test("PNG: signature + IHDR big-endian dims round-trip; corrupt rejected") {
+    val b = Multimodal.synthPng(1920, 1080, payload)
+    assert(b.length == Multimodal.PngHeaderBytes + payload.length)
+    assert(MediaCodec.parsePng(b).contains((1920, 1080)))
+    // corrupt signature byte
+    val bad = b.clone(); bad(1) = 'Q'.toByte
+    assert(MediaCodec.parsePng(bad).isEmpty)
+    assert(MediaCodec.parsePng(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.parse("image", bad) == (-1, -1))
+  }
+
+  test("WAV: fmt chunk found by walking, not fixed offsets") {
+    val b = Multimodal.synthWav(44100, 2, payload)
+    assert(b.length == Multimodal.WavHeaderBytes + payload.length)
+    assert(MediaCodec.parseRiff(b).contains(("audio", 44100, 2)))
+    // insert an extra chunk BEFORE fmt — a fixed-offset reader would break
+    val extra = new java.io.ByteArrayOutputStream()
+    extra.write(b, 0, 12) // RIFF..WAVE
+    extra.write("JUNK".getBytes("US-ASCII")); extra.write(Array[Byte](6, 0, 0, 0))
+    extra.write(Array[Byte](1, 2, 3, 4, 5, 6))
+    extra.write(b, 12, b.length - 12)
+    assert(MediaCodec.parseRiff(extra.toByteArray).contains(("audio", 44100, 2)))
+  }
+
+  test("AVI: avih dims inside LIST/hdrl; truncated rejected") {
+    val b = Multimodal.synthAvi(640, 480, payload)
+    assert(b.length == Multimodal.AviHeaderBytes + payload.length)
+    assert(MediaCodec.parseRiff(b).contains(("video", 640, 480)))
+    assert(MediaCodec.parseRiff(b.take(20)).isEmpty)
+    assert(MediaCodec.parse("video", b.take(20)) == (-1, -1))
+  }
+
+  test("features parses every synth row (no -1 dims) at sf0.001") {
+    val spark = TestSpark.spark
+    val out = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("width") > 0 && r.getAs[Long]("height") > 0))
+  }
+}
