@@ -16,15 +16,26 @@ import scala.collection.mutable
   *      which is what the DuckDB oracle SQL uses (verified: DuckDB's RE2
   *      supports \p{L}/\p{Nd} and its lower() agrees with Java's
   *      per-codepoint toLowerCase on everything but exotic 1:n mappings);
-  *   2. drop stopwords (the reference's embedded spaCy lists, matched
+  *   2. normalize each token through a pluggable `norm` hook (identity by
+  *      default) — the engine seam where a lemmatizer plugs in; like the
+  *      reference, stopwords are checked on the NORMALIZED form
+  *      (stopword-on-lemma, BM25Reranker.cs:435);
+  *   3. drop stopwords (the reference's embedded spaCy lists, matched
   *      case-insensitively like its OrdinalIgnoreCase comparer);
-  *   3. no lemmatization (configurable hook left out by design, D1).
+  *   4. no default lemmatizer ships (divergence D1) — any deterministic
+  *      String => String can be threaded through build + query (tested
+  *      with a suffix-stripper, rank-identity held).
   *
   * Pure function of (text, stopword set): same text ⇒ same tokens on any
   * executor, any partitioning, any parallelism — required for the N-vs-4N
   * rank-identity criterion.
   */
 object Analyzer extends Serializable {
+
+  /** Token-normalization hook type: must be pure + deterministic (the
+    * N-vs-4N rank-identity criterion rides on it). */
+  type Norm = String => String
+  val Identity: Norm = identity[String]
 
   /** Tokenize without stopword removal (codepoint iteration: surrogate
     * pairs are one character, like the oracle's regex engine sees them). */
@@ -48,9 +59,10 @@ object Analyzer extends Serializable {
     out.result()
   }
 
-  /** Tokenize + stopword filter. */
-  def tokenize(text: String, stop: Set[String]): Array[String] =
-    tokenizeRaw(text).filterNot(stop.contains)
+  /** Tokenize + normalize + stopword filter (stopword checked on the
+    * normalized form, like the reference's stopword-on-lemma). */
+  def tokenize(text: String, stop: Set[String], norm: Norm = Identity): Array[String] =
+    tokenizeRaw(text).map(norm).filterNot(stop.contains)
 
   def tokenizeEn(text: String): Array[String] = tokenize(text, StopWords.english)
 
@@ -70,7 +82,8 @@ object Analyzer extends Serializable {
     * (token count, sorted distinct terms, aligned tfs) without
     * materializing the full token array. Semantically identical to
     * termFreqs(tokenize(text, stop)) — pinned by a test. */
-  def analyze(text: String, stop: Set[String]): (Int, Array[String], Array[Int]) = {
+  def analyze(text: String, stop: Set[String],
+              norm: Norm = Identity): (Int, Array[String], Array[Int]) = {
     if (text == null || text.isEmpty) return (0, Array.empty, Array.empty)
     val tf = new java.util.HashMap[String, Int](32)
     val sb = new java.lang.StringBuilder(16)
@@ -82,7 +95,7 @@ object Analyzer extends Serializable {
       if (i < n && Character.isLetterOrDigit(cp)) {
         sb.appendCodePoint(Character.toLowerCase(cp))
       } else if (sb.length > 0) {
-        val tok = sb.toString
+        val tok = norm(sb.toString)
         sb.setLength(0)
         if (!stop.contains(tok)) {
           len += 1

@@ -6,6 +6,7 @@ import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable.ArrayBuffer
+import scala.util.chaining._
 
 /** One analyzed term of one doc (exploded form). */
 final case class TermRow(shard: Int, term: String, docId: Long, tf: Int)
@@ -60,7 +61,11 @@ object IndexBuilder {
       language: String = "en",
       /** Partitions for the shard-repartition passes; defaults to `shards`
         * (capped by it — more partitions than shards is useless). */
-      buildPartitions: Int = 0)
+      buildPartitions: Int = 0,
+      /** Token-normalization hook (lemmatizer seam); must be pure and
+        * deterministic, and the SAME function must be passed to the
+        * Searcher so queries normalize identically. */
+      normalizer: Analyzer.Norm = Analyzer.Identity)
 
   def build(spark: SparkSession, input: DataFrame, indexDir: String,
             cfg: Config = Config()): Unit = {
@@ -111,7 +116,8 @@ object IndexBuilder {
     // any parallelism.
     stage(spark, indexDir, "analyzed") { () =>
       val nShards = cfg.shards
-      val analyzeUdf = udf((text: String) => Analyzer.analyze(text, StopWords.forLang(stop)))
+      val norm = cfg.normalizer
+      val analyzeUdf = udf((text: String) => Analyzer.analyze(text, StopWords.forLang(stop), norm))
       withPkey(input
           .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
           .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int")))
@@ -133,11 +139,11 @@ object IndexBuilder {
           }
         }
         .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")
-        .write.mode("overwrite").parquet(s"$indexDir/analyzed")
-      spark.read.parquet(s"$indexDir/analyzed").count()
+        .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/analyzed"))
+      graft.sources.TableIO.read(spark, s"$indexDir/analyzed").count()
     }
 
-    lazy val analyzed = spark.read.parquet(s"$indexDir/analyzed")
+    lazy val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
     // NOTE: there is no separate "docs" table — doc metadata reads go
     // through Parquet column pruning on analyzed/ (only the selected
     // columns are scanned), so materializing a projection would only add
@@ -155,7 +161,7 @@ object IndexBuilder {
     Future(stage(spark, indexDir, "stats") { () =>
       analyzed.agg(count(lit(1)).as("n"), avg($"len").as("avgdl"))
         .select($"n".cast("long"), $"avgdl".cast("double"))
-        .write.mode("overwrite").parquet(s"$indexDir/stats")
+        .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats"))
       1L
     }),
 
@@ -165,7 +171,7 @@ object IndexBuilder {
       // Partial aggregation collapses head terms map-side before the shuffle.
       analyzed.select(explode($"terms").as("term"))
         .groupBy($"term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$indexDir/df")
+        .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/df"))
       spark.read.parquet(s"$indexDir/df").count()
     }),
 
@@ -297,8 +303,8 @@ object IndexBuilder {
             }
           }
         }
-      postings.write.mode("overwrite").parquet(s"$indexDir/postings")
-      spark.read.parquet(s"$indexDir/postings").count()
+      graft.sources.TableIO.write(postings.toDF(), s"$indexDir/postings")
+      graft.sources.TableIO.read(spark, s"$indexDir/postings").count()
     }))
 
     stages.foreach(Await.result(_, Duration.Inf))

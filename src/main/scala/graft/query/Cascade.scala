@@ -42,24 +42,34 @@ object Cascade {
   final case class StageMetric(stage: Int, nIn: Long, nThreshold: Long,
                                nOut: Long, wallMs: Long)
 
-  /** Like run(), but materializes each stage and reports metrics. */
+  /** Like run(), but materializes each stage and reports metrics. Each
+    * stage's scored set is persisted before counting so the count, the cut,
+    * and the next stage share ONE evaluation instead of recomputing the
+    * whole upstream per action; intermediates are released at the end
+    * (the final persisted stage stays hot for the caller). */
   def runWithMetrics(candidates: DataFrame, stages: Seq[DataFrame => DataFrame],
                      cfg: Config, tieBreak: String): (DataFrame, Seq[StageMetric]) = {
     require(stages.nonEmpty, "cascade needs at least one stage")
     var cur = candidates
+    var nCur = -1L // row count of `cur`, once known (saves the nIn job)
     val metrics = Seq.newBuilder[StageMetric]
+    val persisted = Seq.newBuilder[DataFrame]
     stages.zipWithIndex.foreach { case (stage, i) =>
       val t0 = System.nanoTime()
-      val nIn = cur.count()
+      val nIn = if (nCur >= 0) nCur else cur.count()
       val scored = stage(cur).filter(col("score") >= lit(cfg.threshold))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += scored
       val nThr = scored.count()
       val cut = if (i == stages.size - 1) cfg.topM else cfg.topK
       cur = scored
         .orderBy(round(col("score"), 4).desc, col(tieBreak).asc)
         .limit(cut)
-      metrics += StageMetric(i, nIn, nThr, math.min(nThr, cut),
+      nCur = math.min(nThr, cut)
+      metrics += StageMetric(i, nIn, nThr, nCur,
         (System.nanoTime() - t0) / 1000000L)
     }
+    persisted.result().dropRight(1).foreach(_.unpersist(false))
     (cur, metrics.result())
   }
 }

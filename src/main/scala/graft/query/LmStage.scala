@@ -34,6 +34,54 @@ object LmStage {
     df.select(col(idCol), f(col(textCol)).as("score"))
   }
 
+  /** Batched model-call adapter — the at-scale shape for a REAL model:
+    * the reference scores row-at-a-time (LMRanker.cs:211-268), which as a
+    * per-row UDF would be the wrong plan at 10^12 rows. Here each
+    * PARTITION is the client-session scope (initialize one connection,
+    * reuse it), requests are grouped into `batchSize` calls, each call is
+    * retried up to `maxRetries` times, and the per-item contracts still
+    * hold: clamp to [0,1], empty query/doc → 0 without calling the model,
+    * exhausted retries → 0 for the batch, never a failure. */
+  def scoreBatched(df: DataFrame, idCol: String, textCol: String, query: String,
+                   batchScorer: Seq[(String, String)] => Seq[Double],
+                   batchSize: Int = 32, maxRetries: Int = 2): DataFrame = {
+    val q = query
+    import df.sparkSession.implicits._
+    val src = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+    src.mapPartitions { rows =>
+      // per-partition init point for a real client (connection reuse,
+      // rate limiting live here)
+      rows.grouped(batchSize).flatMap { batch =>
+        val qEmpty = q == null || q.trim.isEmpty
+        val askIdx = batch.zipWithIndex.collect {
+          case ((_, t), i) if !qEmpty && t != null && t.trim.nonEmpty => i
+        }
+        val answers = new Array[Double](batch.size) // zeros by contract
+        if (askIdx.nonEmpty) {
+          val req = askIdx.map(i => (q, batch(i)._2))
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try {
+              val res = batchScorer(req)
+              require(res.length == req.length,
+                s"batch scorer returned ${res.length} scores for ${req.length} docs")
+              askIdx.zip(res).foreach { case (i, s) =>
+                answers(i) = math.max(0.0, math.min(1.0, s))
+              }
+              done = true
+            } catch {
+              case _: Throwable if attempt < maxRetries => attempt += 1
+              case _: Throwable => done = true // exhausted → whole batch 0.0
+            }
+          }
+        }
+        batch.zipWithIndex.map { case ((id, _), i) => (id, answers(i)) }
+      }
+    }.toDF(idCol, "score")
+  }
+
   /** Deterministic mock "LM": query-term overlap ratio + a length prior.
     * Deliberately exceeds 1.0 on long docs (exercises the clamp) and
     * throws on docs containing the token `slow` (exercises error→0). */

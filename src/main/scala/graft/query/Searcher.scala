@@ -40,14 +40,17 @@ object Searcher {
   /** Doc metadata view: a pruned-column read of analyzed/ (no separate doc
     * table is materialized — Parquet scans only these columns). */
   def docMeta(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/analyzed")
+    graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
       .select(col("shard"), col("docId"), col("conv_id"), col("turn_idx"), col("len"))
 }
 
 final class Searcher(spark: SparkSession, indexDir: String,
                      params: Bm25.Params = Bm25.RefDefaults,
                      language: String = "en",
-                     cacheTables: Boolean = false) {
+                     cacheTables: Boolean = false,
+                     /** Must equal the IndexBuilder.Config.normalizer the
+                       * index was built with. */
+                     normalizer: Analyzer.Norm = Analyzer.Identity) {
   import spark.implicits._
 
   /** Hot-index mode: pin the (small) per-query tables in executor memory.
@@ -56,11 +59,11 @@ final class Searcher(spark: SparkSession, indexDir: String,
   private def maybeCache(df: DataFrame): DataFrame =
     if (cacheTables) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
-  private val postingsDF = maybeCache(spark.read.parquet(s"$indexDir/postings"))
-  private val dfDF = maybeCache(spark.read.parquet(s"$indexDir/df"))
+  private val postingsDF = maybeCache(graft.sources.TableIO.read(spark, s"$indexDir/postings"))
+  private val dfDF = maybeCache(graft.sources.TableIO.read(spark, s"$indexDir/df"))
   private val docMetaDF = maybeCache(Searcher.docMeta(spark, indexDir))
 
-  private val statsRow = spark.read.parquet(s"$indexDir/stats").head()
+  private val statsRow = graft.sources.TableIO.read(spark, s"$indexDir/stats").head()
   val n: Long = statsRow.getAs[Long]("n")
   val avgdl: Double = statsRow.getAs[Double]("avgdl")
 
@@ -80,7 +83,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
   }
 
   def analyzeQuery(query: String): Map[String, Int] =
-    Analyzer.termFreqs(Analyzer.tokenize(query, StopWords.forLang(language)))
+    Analyzer.termFreqs(Analyzer.tokenize(query, StopWords.forLang(language), normalizer))
 
   /** Per-term global df, memoized across queries (misses cached as 0).
     * First sight of a term costs one pushed-down ≤|terms|-row scan of the
@@ -193,7 +196,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val qdf = qtf.toSeq.toDF("term", "qtf")
     val dfTable = dfDF
       .where(col("term").isin(qtf.keys.toSeq: _*))
-    val analyzed = spark.read.parquet(s"$indexDir/analyzed")
+    val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
     val exploded = analyzed
       .select($"docId", $"conv_id", $"turn_idx", $"len",
         explode(arrays_zip($"terms", $"tfs")).as("tt"))

@@ -71,4 +71,73 @@ class StagesSpec extends AnyFunSuite {
     // reference config defaults: TopK=20, TopM=5, threshold=0
     assert(Cascade.Config() == Cascade.Config(20, 5, 0.0))
   }
+
+  test("batched LM adapter: batching, retry, clamp, empty→0, exhausted→0") {
+    val texts = Seq("alpha spark", "", "spark spark spark", "flaky doc", "plain words")
+    val df = docsDF(texts).coalesce(1)
+    // scorer: fails the FIRST attempt of any batch containing 'flaky'
+    // (per-partition state — models a transient API error), returns
+    // overlap*3 (exercises the clamp)
+    var failedOnce = false
+    val scorer: Seq[(String, String)] => Seq[Double] = { batch =>
+      if (!failedOnce && batch.exists(_._2.contains("flaky"))) {
+        failedOnce = true; throw new RuntimeException("transient")
+      }
+      batch.map { case (q, t) =>
+        graft.analysis.Analyzer.tokenizeRaw(t).count(_ == q) * 3.0
+      }
+    }
+    val out = LmStage.scoreBatched(df, "id", "text", "spark", scorer, batchSize = 2)
+      .orderBy("id").as[(Long, Double)].collect()
+    assert(out(0)._2 == 1.0, "clamped to 1.0")      // 1 overlap * 3 → clamp
+    assert(out(1)._2 == 0.0, "empty doc → 0 without model call")
+    assert(out(2)._2 == 1.0)
+    assert(out(3)._2 == 0.0 && out(4)._2 == 0.0)    // retry succeeded, no overlap
+    // empty query: zero everywhere, scorer never called
+    val out2 = LmStage.scoreBatched(df, "id", "text", " ",
+      (_: Seq[(String, String)]) => throw new RuntimeException("must not be called"))
+      .as[(Long, Double)].collect()
+    assert(out2.forall(_._2 == 0.0))
+    // exhausted retries → whole batch 0, never a failure
+    val out3 = LmStage.scoreBatched(df, "id", "text", "spark",
+      (_: Seq[(String, String)]) => throw new RuntimeException("down"), maxRetries = 1)
+      .as[(Long, Double)].collect()
+    assert(out3.forall(_._2 == 0.0))
+  }
+
+  test("BM25→LM named pipeline: BM25 cuts to topK, LM emits topM") {
+    val df = docsDF(Transcripts.F3)
+    val out = graft.query.Bm25ThenLm.run(spark, df, "id", "text",
+        "quick brown fox", LmStage.mockScorer(),
+        Cascade.Config(topK = 4, topM = 2, threshold = 0.0))
+      .select("id", "score").as[(Long, Double)].collect()
+    assert(out.length == 2)
+    // LM mock favors overlap ratio: the all-terms docs 4 and 0 must win
+    assert(out.map(_._1).toSet == Set(4L, 0L))
+    assert(out.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
+  test("normalizer hook: suffix-stripper threads through build + query") {
+    val strip: graft.analysis.Analyzer.Norm =
+      t => if (t.length > 3 && t.endsWith("s")) t.dropRight(1) else t
+    val texts = Seq("spark jobs run fast", "many sparks fly upward", "unrelated words here")
+    val dir = TestSpark.tmpDir("idxnorm")
+    graft.build.IndexBuilder.build(spark,
+      Transcripts.fixture(spark, "c0", texts).toDF(), dir,
+      graft.build.IndexBuilder.Config(shards = 2, normalizer = strip))
+    val s = new graft.query.Searcher(spark, dir, normalizer = strip)
+    // query 'sparks' normalizes to 'spark' and matches BOTH docs
+    val hits = s.topK("sparks", 10).select("turn_idx").as[Int].collect().toSet
+    assert(hits == Set(0, 1), s"got $hits")
+    // rank-identity with an identity-normalizer index over pre-normalized text
+    val preNorm = texts.map(t => graft.analysis.Analyzer.tokenizeRaw(t).map(strip).mkString(" "))
+    val dir2 = TestSpark.tmpDir("idxnorm2")
+    graft.build.IndexBuilder.build(spark,
+      Transcripts.fixture(spark, "c0", preNorm).toDF(), dir2,
+      graft.build.IndexBuilder.Config(shards = 2))
+    val s2 = new graft.query.Searcher(spark, dir2)
+    val a = s.topK("sparks", 10).select("turn_idx", "score").as[(Int, Double)].collect().toSeq
+    val b = s2.topK("spark", 10).select("turn_idx", "score").as[(Int, Double)].collect().toSeq
+    assert(a == b)
+  }
 }
