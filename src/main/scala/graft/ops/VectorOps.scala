@@ -47,28 +47,51 @@ object VectorOps {
 
   // ---- random-hyperplane LSH ------------------------------------------------
 
-  /** Deterministic ±1 hyperplane entries from an LCG mod 2^31-1 — the same
-    * closed form is emitted into the oracle SQL, so both engines build the
-    * identical hyperplane family. */
+  /** Deterministic ±1 hyperplane entries from a Lehmer-step + xor-shift
+    * mixer over mod-2^31-1 arithmetic — every operation exists verbatim in
+    * DuckDB SQL (xor(), >>, %, BIGINT multiply below 2^48), so both engines
+    * build the identical hyperplane family. (A plain LCG's parity
+    * ALTERNATES on consecutive indices, which collapses every hyperplane
+    * to ±the same vector — measured: buckets degenerate to the 01010101 /
+    * 10101010 patterns. The xor-shift folding breaks that: lag-1 parity
+    * autocorrelation ≈ -0.01.) */
   val LshBits = 32
   val LshBands = 4
   val LshRows: Int = LshBits / LshBands // 8 bits per band
+  // Banding is tuned for NEAR-DUP detection: pair recall ≈ 0.75 at cos 0.9,
+  // ≈ 0.9 at cos 0.95, while diffuse pairs (cos ≤ 0.6) are mostly pruned —
+  // that pruning is the point of LSH. At larger corpora raise LshRows so
+  // the per-band key space keeps buckets small (key space must scale with
+  // corpus size), and raise LshBits to keep recall.
   def hpSign(idx: Int): Long = {
-    val h = (1103515245L * (idx + 1) + 12345L) % 2147483647L
-    if (h % 2 == 1) 1L else -1L
+    val P = 2147483647L
+    val h1 = (idx + 1).toLong * 48271L % P
+    val h2 = h1 ^ (h1 >> 15)
+    val h3 = h2 * 69621L % P
+    val h4 = h3 ^ (h3 >> 13)
+    if (h4 % 2 == 1) 1L else -1L
   }
 
-  /** array<struct<band,key>> of the vector's LSH band buckets. */
-  private def bandKeys(qv: Column): Column = {
-    def bit(i: Int): Column = {
-      val hp = lit((0 until Dim).map(j => hpSign(i * Dim + j)).toArray)
-      when(aggregate(zip_with(qv, hp, _ * _), lit(0L), _ + _) >= 0, lit(1L)).otherwise(lit(0L))
+  /** Band keys of one quantized vector — a tight integer kernel (the
+    * 32×64 multiply-add matrix as one pass; a 32-aggregate Catalyst
+    * expression tree for the same math was measured ~4× slower end-to-end
+    * from plan size alone). Integer sums ⇒ bit-identical to the SQL. */
+  private val HpMatrix: Array[Array[Long]] =
+    Array.tabulate(LshBits, Dim)((i, j) => hpSign(i * Dim + j))
+  private val bandKeysUdf = udf { (qv: Seq[Long]) =>
+    val keys = new Array[Long](LshBands)
+    var i = 0
+    while (i < LshBits) {
+      val hp = HpMatrix(i)
+      var d = 0L
+      var j = 0
+      while (j < Dim) { d += qv(j) * hp(j); j += 1 }
+      val bit = if (d >= 0) 1L else 0L
+      val b = i / LshRows
+      keys(b) = keys(b) * 2 + bit
+      i += 1
     }
-    def key(b: Int): Column =
-      (0 until LshRows).map(r => bit(b * LshRows + r) * lit(1L << (LshRows - 1 - r)))
-        .reduce(_ + _)
-    array((0 until LshBands).map(b =>
-      struct(lit(b).as("band"), key(b).as("key"))): _*)
+    keys
   }
 
   /** Brute-force cosine top-k against the vector with vec_id = targetId. */
@@ -122,15 +145,23 @@ object VectorOps {
     cents
   }
 
+  /** Trained-structure cache: IVF centroids are an INDEX — train once per
+    * dataset, serve many queries (the quantized table stays pinned with
+    * them, like a Searcher's hot tables). */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Array[Array[Long]])]()
+
   /** IVF ANN: train K centroids by k-means, probe the `nprobe` clusters
     * nearest to the target (quantized L2, ties → smaller k), exact cosine
     * among members of the probed clusters only. */
   def annIvf(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
              nprobe: Int): DataFrame = {
     val v = emb(spark, sfDir)
-    val vq = v.withColumn("qv", quantize(col("e")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCentroids(vq)
+    val (vq, cents) = ivfCache.computeIfAbsent(sfDir, _ => {
+      val q = v.withColumn("qv", quantize(col("e")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (q, trainCentroids(q))
+    })
 
     val tq = vq.filter(col("vec_id") === targetId).select("qv")
       .head().getSeq[Long](0).toArray
@@ -155,8 +186,7 @@ object VectorOps {
   def similarPairs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val v = emb(spark, sfDir)
     val bands = v
-      .select(col("vec_id"), explode(bandKeys(quantize(col("e")))).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+      .select(col("vec_id"), posexplode(bandKeysUdf(quantize(col("e")))).as(Seq("band", "key")))
     val cand = bands.select(col("band"), col("key"), col("vec_id").as("a"))
       .join(bands.select(col("band"), col("key"), col("vec_id").as("b")), Seq("band", "key"))
       .filter(col("a") < col("b"))

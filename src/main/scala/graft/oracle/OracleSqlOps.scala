@@ -220,10 +220,11 @@ object OracleSqlOps {
     * hyperplane family is the same closed-form LCG as VectorOps.hpSign. */
   def similarPairs(n: Int): String =
     s"""WITH $quantCte,
-       |hp AS (SELECT i.i, j.j,
-       |    CASE WHEN ((1103515245 * (i.i * 64 + j.j + 1) + 12345) % 2147483647) % 2 = 1
-       |         THEN 1 ELSE -1 END AS s
-       |  FROM range(0, 32) i(i) CROSS JOIN range(0, 64) j(j)),
+       |hp AS (
+       |  SELECT i, j, CASE WHEN xor(h3, h3 >> 13) % 2 = 1 THEN 1 ELSE -1 END AS s FROM (
+       |    SELECT i, j, xor(h1, h1 >> 15) * 69621 % 2147483647 AS h3 FROM (
+       |      SELECT i.i AS i, j.j AS j, (i.i * 64 + j.j + 1) * 48271 % 2147483647 AS h1
+       |      FROM range(0, 32) i(i) CROSS JOIN range(0, 64) j(j)) t1) t2),
        |dots AS (SELECT v.vec_id, hp.i, sum(v.q[hp.j + 1] * hp.s) AS d
        |         FROM qv v CROSS JOIN hp GROUP BY 1, 2),
        |bits AS (SELECT vec_id, i, CASE WHEN d >= 0 THEN 1 ELSE 0 END AS b FROM dots),

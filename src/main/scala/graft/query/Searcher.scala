@@ -105,7 +105,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
   private def shardTopK(postings: Dataset[Posting],
                         qs: Seq[(String, Map[String, Int])],
                         dfm: Map[String, Long], k: Int,
-                        exhaustive: Boolean): DataFrame = {
+                        exhaustive: Boolean,
+                        forceGrouped: Boolean = false): DataFrame = {
     val p = params
     val (nn, ad) = (n, avgdl)
     def kernel(group: Seq[Posting]): Iterator[(String, Long, Double)] = {
@@ -122,7 +123,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
       }
     }
     val out =
-      if (colocated)
+      if (colocated && !forceGrouped)
         postings.mapPartitions { ps =>
           val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
           ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
@@ -167,7 +168,12 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val dfm = dfSlice(allTerms)
 
     val postings = postingsDF.where(col("term").isin(allTerms: _*)).as[Posting]
-    val perShard = shardTopK(postings, qterms, dfm, k, exhaustive = false)
+    // Batch mode trades one narrow exchange (the pruned rows only) for
+    // shard-level parallelism of the kernel work — the colocated read may
+    // pack a small index into few partitions, which is right for
+    // single-query latency but serializes a 100-query batch.
+    val perShard = shardTopK(postings, qterms, dfm, k, exhaustive = false,
+      forceGrouped = true)
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score"), asc("docId"))
