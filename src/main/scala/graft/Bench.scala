@@ -39,14 +39,20 @@ object Bench {
       warmDir, IndexBuilder.Config(shards = 64))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
 
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_idx$cpus").toString
-    val input = Transcripts.synth(spark, nTurns, parallelism = cpus * 2).toDF()
-    val t0 = System.nanoTime()
-    IndexBuilder.build(spark, input, dir, IndexBuilder.Config(shards = 64))
-    val secs = (System.nanoTime() - t0) / 1e9
+    // best-of-2: the host has noisy neighbors (observed up to 3× wall
+    // variance); interference only ever slows a run, so max-throughput is
+    // the faithful estimator (same protocol as ScalingBench).
+    val tps = (1 to 2).map { _ =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_idx$cpus").toString
+      val input = Transcripts.synth(spark, nTurns, parallelism = cpus * 2).toDF()
+      val t0 = System.nanoTime()
+      IndexBuilder.build(spark, input, dir, IndexBuilder.Config(shards = 64))
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      nTurns / secs
+    }.max
     spark.stop()
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    nTurns / secs
+    tps
   }
 
   def main(args: Array[String]): Unit = {

@@ -28,6 +28,16 @@ object BuildIndex {
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
+    // total shuffle-write bytes — the scaling-efficiency lever we track
+    // across engine versions (reported in BUILD_JSON)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
     if (args.contains("--warmup")) {
       // JIT/codegen warmup so the timed build measures steady-state
       val warm = java.nio.file.Files.createTempDirectory("graft_warm").toString
@@ -35,6 +45,7 @@ object BuildIndex {
         warm, IndexBuilder.Config(shards = shards))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warm))
     }
+    shuffleBytes.set(0L)
     val t0 = System.nanoTime()
     val input =
       if (source.forall(_.isDigit))
@@ -44,7 +55,9 @@ object BuildIndex {
     val secs = (System.nanoTime() - t0) / 1e9
     val n = spark.read.parquet(s"$indexDir/stats").head().getAs[Long]("n")
     println(f"[build-index] $n turns in $secs%.2f s (${n / secs}%.0f turns/sec) → $indexDir")
-    println(f"""BUILD_JSON {"turns":$n,"secs":$secs%.3f,"tps":${n / secs}%.1f}""")
+    // listener events are posted asynchronously — let the bus drain
+    Thread.sleep(500)
+    println(f"""BUILD_JSON {"turns":$n,"secs":$secs%.3f,"tps":${n / secs}%.1f,"shuffle_bytes":${shuffleBytes.get}}""")
     graft.build.Manifests.all(indexDir).sortBy(_.stage).foreach { m =>
       println(f"[stage] ${m.stage}%-9s rows=${m.rows}%-9d bytes=${m.bytes}%-10d ${m.wallMs} ms")
     }

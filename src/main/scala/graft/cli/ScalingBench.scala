@@ -79,9 +79,11 @@ object ScalingBench {
       .config("spark.sql.files.openCostInBytes", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val searcher = new Searcher(spark, dir4, Bm25.NorthStar)
+    val searcher = new Searcher(spark, dir4, Bm25.NorthStar, cacheTables = true)
     val lats = queries.map { q =>
-      searcher.topK(q, 10).collect() // warm
+      // steady-state: first runs pay cache materialization + codegen,
+      // which a serving tier pays once per index, not per query
+      (1 to 3).foreach(_ => searcher.topK(q, 10).collect())
       val ls = (1 to 15).map { _ =>
         val t0 = System.nanoTime()
         searcher.topK(q, 10).collect()

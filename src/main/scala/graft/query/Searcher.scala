@@ -135,23 +135,38 @@ final class Searcher(spark: SparkSession, indexDir: String,
     out.toDF("qid", "docId", "score")
   }
 
-  /** WAND top-k. Deterministic order: score desc, docId asc. */
-  def topK(query: String, k: Int, exhaustiveKernel: Boolean = false): DataFrame = {
+  /** The kernel + merge plan of a single query, BEFORE hit collection —
+    * ends in a TakeOrdered over ≤ shards·k candidate rows. Exposed so plan
+    * tests can pin the scan pushdown / no-Exchange contracts. */
+  private[graft] def kernelFrame(query: String, k: Int,
+                                 exhaustiveKernel: Boolean = false): Option[DataFrame] = {
     val qtf = analyzeQuery(query)
-    if (qtf.isEmpty) return emptyHits()
+    if (qtf.isEmpty) return None
     val dfm = dfSlice(qtf.keys.toSeq)
-    if (dfm.isEmpty) return emptyHits()
+    if (dfm.isEmpty) return None
     val terms = dfm.keys.toSeq.sorted
-
     val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
     val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k, exhaustiveKernel)
       .select($"docId", $"score")
-    val top = perShard.orderBy(desc("score"), asc("docId")).limit(k)
-    // hits are ≤ k rows — broadcast them against the doc map; the final
-    // re-order is a TakeOrdered over ≤ k rows, not a global sort.
+    Some(perShard.orderBy(desc("score"), asc("docId")).limit(k))
+  }
+
+  /** WAND top-k. Deterministic order: score desc, docId asc. */
+  def topK(query: String, k: Int, exhaustiveKernel: Boolean = false): DataFrame = {
+    val kernel = kernelFrame(query, k, exhaustiveKernel)
+    if (kernel.isEmpty) return emptyHits()
+    // TakeOrdered merge of the ≤ shards·k candidates; the ≤ k winners come
+    // back to the driver so the doc-meta lookup becomes a PRUNED point
+    // read (docId IN (...) gets Parquet rowgroup / in-memory batch
+    // pruning — docIds are sorted within shard files) instead of a join
+    // that scans the whole doc map per query.
+    val hits = kernel.get.as[(Long, Double)].collect()
+    if (hits.isEmpty) return emptyHits()
+    val scoreMap = typedLit(hits.toMap)
     docMetaDF
-      .join(broadcast(top), "docId")
-      .select($"conv_id", $"turn_idx", $"docId", $"score")
+      .filter(col("docId").isin(hits.map(_._1): _*))
+      .select($"conv_id", $"turn_idx", $"docId",
+        element_at(scoreMap, $"docId").as("score"))
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 

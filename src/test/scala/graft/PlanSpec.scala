@@ -19,7 +19,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("postings scan pushes the query-term filter into Parquet") {
     val s = new Searcher(spark, dir)
-    val plan = s.topK("quick brown fox", 10).queryExecution.executedPlan.toString
+    val plan = s.kernelFrame("quick brown fox", 10).get
+      .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       (plan.contains("In(term") || plan.contains("term IN") || plan.contains("EqualTo(term")),
       s"no pushed term filter in:\n${plan.take(3000)}")
@@ -38,19 +39,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n${plan.take(3000)}")
   }
 
-  test("hits-to-docmeta join broadcasts the tiny hit set") {
+  test("doc-meta lookup is a pruned point read: docId IN-filter pushed to the scan") {
     val s = new Searcher(spark, dir)
     val plan = s.topK("quick brown fox", 10).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n${plan.take(3000)}")
+    assert(plan.contains("PushedFilters") && plan.contains("In(docId"),
+      s"no pushed docId filter in:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "doc-meta lookup must not be a join")
   }
 
-  test("single-query WAND plan is shuffle-free (no Exchange except the tiny hit broadcast)") {
+  test("single-query WAND plan is shuffle-free (no Exchange of any kind)") {
     val s = new Searcher(spark, dir)
     assert(s.colocated, "postings layout must satisfy the colocated precondition at test scale")
-    val plan = s.topK("quick brown fox", 10).queryExecution.executedPlan.toString
-    val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan)
-      .filterNot(_.contains("BroadcastExchange")).toList
-    assert(shuffles.isEmpty, s"unexpected shuffle Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
+    for (df <- Seq(s.kernelFrame("quick brown fox", 10).get, s.topK("quick brown fox", 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan).toList
+      assert(shuffles.isEmpty, s"unexpected Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
+    }
   }
 
   test("doc-metadata reads prune to the selected columns") {
