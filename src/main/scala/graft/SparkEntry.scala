@@ -48,6 +48,8 @@ object SparkEntry {
     "q_bm25_topk_rel" -> ((s, d) => DocQueries.topK(s, d, Q_TOPK_REL, 10, relational = true)),
     // empty-query contract: every doc, score exactly 0
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
+    // incremental maintenance: base build + append + refresh ≡ full index
+    "q_refresh_topk" -> ((s, d) => DocQueries.refreshTopK(s, d, Q_TOPK_REL, 10)),
     // O9-O14 cascade (BM25 stage → mock LM stage, threshold/topK/topM)
     "q_cascade" -> ((s, d) => DocQueries.cascade(s, d, Q_CASCADE, 0.5, 20, 5)),
     // O6/O8 two-pass scoring without a prebuilt index, caller-named columns
@@ -91,6 +93,7 @@ object SparkEntry {
     "q_bm25_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
     "q_bm25_topk_rel" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_bm25_empty" -> OracleSql.emptyQuery,
+    "q_refresh_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),
     "q_bm25_twopass" -> OracleSql.scoreAll(qt(Q_SCORE), P),
     "q_cascade_metrics" -> OracleSql.cascadeMetrics(qt(Q_CASCADE), P, 0.5, 20, 5),

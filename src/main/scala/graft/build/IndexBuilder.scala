@@ -24,14 +24,18 @@ final case class AnalyzedRow(
   * Layout under `indexDir`:
   *   analyzed/  (shard, docId, conv_id, turn_idx, len, terms[], tfs[])
   *              — also serves as the doc map via Parquet column pruning
-  *   stats/     (n, avgdl)                        — single row
-  *   df/        (term, df)                        — global document freqs
+  *   stats/     (n, avgdl, sumlen)                 — single row
+  *   df/        (term, df)                         — global document freqs
   *   postings/  Posting rows, sorted by (shard, term); doc lengths ride
   *              INLINE in each posting (Lucene-norms-style), so the query
   *              path needs no side length table — no per-query shuffle and
   *              no O(shard) state anywhere. One output file per build
   *              partition; a shard never spans files (the colocated
   *              zero-exchange read path relies on this).
+  *   postings_seg_<g>/  delta posting segments written by [[refresh]] —
+  *              Lucene's segment model re-expressed: index maintenance
+  *              costs ∝ NEW data, never the corpus. [[compact]] folds
+  *              segments back into postings/.
   *   _manifest/ per-stage JSON checkpoints (Manifests)
   *
   * Scale design (10^12 turns):
@@ -50,11 +54,15 @@ final case class AnalyzedRow(
   *    which collapses head terms per partition before the shuffle.
   *  - Every stage is checkpointed to the index directory with an atomic
   *    manifest, so an interrupted build resumes without recomputation.
+  *  - Invariant: stats/, df/ and the union of posting segments always
+  *    describe the SAME document set. [[append]]/streaming add rows to
+  *    analyzed/ only; [[refresh]] moves all three forward together over
+  *    exactly the uncovered rows (tracked by per-shard cover manifests).
   */
 object IndexBuilder {
 
   /** Bump when the on-disk index layout changes — consumers key caches on it. */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   final case class Config(
       shards: Int = 32,
@@ -68,8 +76,111 @@ object IndexBuilder {
       normalizer: Analyzer.Norm = Analyzer.Identity)
 
   def build(spark: SparkSession, input: DataFrame, indexDir: String,
-            cfg: Config = Config()): Unit = {
+            cfg: Config = Config()): Unit =
+    withBuildConf(spark) { buildStages(spark, input, indexDir, cfg) }
+
+  /** Batch-append new turns into an existing index's analyzed table: same
+    * shard routing and analyzer as the build, docIds allocated above the
+    * per-shard high-water marks (shared with streaming ingest). The new
+    * documents become searchable after the next [[refresh]]. */
+  def append(spark: SparkSession, input: DataFrame, indexDir: String,
+             cfg: Config = Config()): Unit = withBuildConf(spark) {
+    val shards = metaShards(indexDir).getOrElse(cfg.shards)
+    val parts = partsFor(cfg, shards)
+    val pkeys = ShardKeys.keys(shards, parts)
+    val hwm = Hwm.read(spark, indexDir, shards)
+    val rows = analyzedRows(input, shards, parts, pkeys, cfg.language,
+      cfg.normalizer, hwm)
+    graft.sources.TableIO.write(rows, s"$indexDir/analyzed", mode = "append")
+    // Advance HWMs by the per-shard counts that landed (small agg; the
+    // input is a deterministic source, same protocol as streaming ingest).
+    input.select(pmod(hash(col("conv_id").cast("string")), lit(shards))
+        .cast("int").as("shard"))
+      .groupBy("shard").count().collect()
+      .foreach(r => hwm(r.getAs[Int]("shard")) += r.getAs[Long]("count"))
+    Hwm.write(indexDir, hwm)
+  }
+
+  /** Make appended/streamed documents searchable WITHOUT touching the
+    * existing postings: build a delta posting segment over exactly the
+    * analyzed rows not yet covered by any segment, and advance stats/df
+    * incrementally (cost ∝ new rows + vocabulary, never the corpus). The
+    * Searcher reads base + segments and merges per-(shard,term) lists on
+    * the fly — ranges are disjoint, so the merge is a concatenation. */
+  def refresh(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
     import spark.implicits._
+    val shards = metaShards(indexDir).getOrElse(
+      throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
+    val parts = shards
+    val pkeys = ShardKeys.keys(shards, parts)
+    val cover = readCover(spark, indexDir, shards)
+    val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+    val rankCol = expr(s"docId & ${Ids.RankMask}")
+    val newRows = analyzed.where(rankCol >= element_at(lit(cover), col("shard") + 1))
+
+    val delta = newRows.agg(count(lit(1)).as("dn"),
+      coalesce(sum($"len"), lit(0L)).as("dsum")).head()
+    val dn = delta.getAs[Long]("dn")
+    if (dn == 0L) return
+    val dsum = delta.getAs[Long]("dsum")
+
+    // delta posting segment (same chunked assembly as the base build)
+    val gen = Manifests.read(indexDir, "postings_gen").map(_.rows).getOrElse(0L) + 1L
+    val segDir = s"$indexDir/postings_seg_$gen"
+    graft.sources.TableIO.write(
+      assemblePostings(spark, newRows, parts, pkeys).toDF(), segDir)
+
+    // stats: exact incremental update via the persisted length sum
+    val st = graft.sources.TableIO.read(spark, s"$indexDir/stats").head()
+    val oldN = st.getAs[Long]("n")
+    val oldSum =
+      if (st.schema.fieldNames.contains("sumlen")) st.getAs[Long]("sumlen")
+      else math.round(oldN * st.getAs[Double]("avgdl"))
+    val n2 = oldN + dn
+    val sum2 = oldSum + dsum
+    Seq((n2, sum2.toDouble / n2, sum2)).toDF("n", "avgdl", "sumlen")
+      .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats"))
+
+    // df: vocabulary-sized union-merge, written aside then swapped (the
+    // merged plan reads the old table; on Iceberg this is one commit)
+    val deltaDf = newRows.select(explode($"terms").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val merged = graft.sources.TableIO.read(spark, s"$indexDir/df")
+      .unionByName(deltaDf)
+      .groupBy($"term").agg(sum($"df").cast("long").as("df"))
+    graft.sources.TableIO.write(merged, s"$indexDir/df_tmp")
+    swapDir(spark, s"$indexDir/df_tmp", s"$indexDir/df")
+
+    // advance per-shard coverage to the new max ranks, then publish the gen
+    newRows.groupBy($"shard").agg(max(rankCol).as("maxRank")).collect()
+      .foreach(r => cover(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
+    writeCover(indexDir, cover)
+    Manifests.write(indexDir, StageManifest("postings_gen", gen, 0, "gen", 0))
+  }
+
+  /** Fold all delta segments back into the base postings table (one full
+    * posting rebuild — run it on the compaction cadence, not per refresh). */
+  def compact(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
+    val shards = metaShards(indexDir).getOrElse(
+      throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
+    val parts = shards
+    val pkeys = ShardKeys.keys(shards, parts)
+    val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+    graft.sources.TableIO.write(
+      assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings_tmp")
+    swapDir(spark, s"$indexDir/postings_tmp", s"$indexDir/postings")
+    // drop the now-redundant segments
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).foreach { f =>
+      if (f.getPath.getName.startsWith("postings_seg_")) fs.delete(f.getPath, true)
+    }
+    writeCover(indexDir, nextRanks(spark, analyzed, shards))
+  }
+
+  // ---- shared build configuration -----------------------------------------
+
+  private def withBuildConf[T](spark: SparkSession)(body: => T): T = {
     // Task-side file commit (v2): the v1 default renames every task's
     // output sequentially on the driver, a constant cost that destroys
     // scaling efficiency on many-file stages. (On object stores, swap for
@@ -88,59 +199,83 @@ object IndexBuilder {
     ).map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try buildStages(spark, input, indexDir, cfg)
+    try body
     finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
   }
 
+  private def partsFor(cfg: Config, shards: Int): Int =
+    if (cfg.buildPartitions > 0) math.min(cfg.buildPartitions, shards) else shards
+
+  /** Shard count recorded at build time (index_meta manifest). */
+  def metaShards(indexDir: String): Option[Int] =
+    Manifests.read(indexDir, "index_meta").map(_.rows.toInt)
+
+  // ---- analyzed-row production (build + append share this) -----------------
+
+  /** Analyze raw turns into analyzed-table rows: ONE exchange (exact
+    * placement by shard) carrying RAW TEXT only — the analyzer runs AFTER
+    * the shuffle, fused into the same per-partition pass that assigns
+    * ranks, so the exchange never moves the (larger) term/tf arrays and the
+    * analyzed form is materialized exactly once, straight into the Parquet
+    * writer. shard = murmur3(conv_id) mod FIXED shard count: a pure
+    * function of the data, so docIds are identical at any parallelism.
+    * `base(shard)` is the first rank to allocate (0 on a fresh build; the
+    * HWM on append). */
+  private def analyzedRows(input: DataFrame, nShards: Int, parts: Int,
+                           pkeys: Array[Int], language: String,
+                           norm: Analyzer.Norm, base: Array[Long]): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val stop = language
+    input
+      .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
+      .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int"))
+      .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
+      .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"), col("text"))
+      .repartition(parts, col("pkey"))
+      .sortWithinPartitions("shard", "conv_id", "turn_idx")
+      .mapPartitions { rows =>
+        val stopSet = StopWords.forLang(stop)
+        var curShard = -1
+        var rank = 0L
+        rows.map { r =>
+          val shard = r.getInt(1)
+          if (shard != curShard) { curShard = shard; rank = base(shard) }
+          val docId = Ids.docId(shard, rank)
+          rank += 1L
+          val (len, terms, tfs) = Analyzer.analyze(r.getString(4), stopSet, norm)
+          (shard, docId, r.getString(2), r.getInt(3), len, terms, tfs)
+        }
+      }
+      .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")
+  }
+
   private def buildStages(spark: SparkSession, input: DataFrame, indexDir: String,
                           cfg: Config): Unit = {
     import spark.implicits._
-    val parts = if (cfg.buildPartitions > 0) math.min(cfg.buildPartitions, cfg.shards) else cfg.shards
-    val stop = cfg.language // resolved on executors via StopWords.forLang
+    val parts = partsFor(cfg, cfg.shards)
 
     // Exact shard→partition placement (see ShardKeys): shard s goes to
     // partition s % parts, so every stage keyed by shard is perfectly
     // balanced — no balls-in-bins stragglers.
     val pkeys = ShardKeys.keys(cfg.shards, parts)
-    def withPkey(df: DataFrame): DataFrame =
-      df.withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
 
     // ---- stage: analyzed -------------------------------------------------
-    // One exchange (exact placement by shard) carrying RAW TEXT only — the
-    // analyzer runs AFTER the shuffle, fused into the same per-partition
-    // pass that assigns ranks, so the exchange never moves the (larger)
-    // term/tf arrays and the analyzed form is materialized exactly once,
-    // straight into the Parquet writer. shard = murmur3(conv_id) mod FIXED
-    // shard count: a pure function of the data, so docIds are identical at
-    // any parallelism.
     stage(spark, indexDir, "analyzed") { () =>
-      val nShards = cfg.shards
-      val norm = cfg.normalizer
-      withPkey(input
-          .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
-          .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int")))
-        .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"), col("text"))
-        .repartition(parts, col("pkey"))
-        .sortWithinPartitions("shard", "conv_id", "turn_idx")
-        .mapPartitions { rows =>
-          val stopSet = StopWords.forLang(stop)
-          var curShard = -1
-          var rank = 0L
-          rows.map { r =>
-            val shard = r.getInt(1)
-            if (shard != curShard) { curShard = shard; rank = 0L }
-            val docId = Ids.docId(shard, rank)
-            rank += 1L
-            val (len, terms, tfs) = Analyzer.analyze(r.getString(4), stopSet, norm)
-            (shard, docId, r.getString(2), r.getInt(3), len, terms, tfs)
-          }
-        }
-        .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")
+      analyzedRows(input, cfg.shards, parts, pkeys, cfg.language, cfg.normalizer,
+          new Array[Long](cfg.shards))
         .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/analyzed"))
-      graft.sources.TableIO.read(spark, s"$indexDir/analyzed").count()
+      val written = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+      // Record docId-allocation HWMs so append/streaming continue above the
+      // batch-assigned ranks (one pruned shard+docId scan of what was just
+      // written — trivial next to the write itself).
+      Hwm.write(indexDir, nextRanks(spark, written, cfg.shards))
+      Manifests.write(indexDir,
+        StageManifest("index_meta", cfg.shards, FormatVersion, "meta", 0))
+      written.count()
     }
 
     lazy val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
@@ -149,7 +284,7 @@ object IndexBuilder {
     // columns are scanned), so materializing a projection would only add
     // a stage and double the doc-map storage.
 
-    // The four post-analyze stages depend only on analyzed/ and not on each
+    // The post-analyze stages depend only on analyzed/ and not on each
     // other — submit them concurrently so the small aggregations overlap
     // the posting-assembly shuffle instead of serializing after it.
     import scala.concurrent.{Await, Future}
@@ -157,10 +292,11 @@ object IndexBuilder {
     import scala.concurrent.ExecutionContext.Implicits.global
     val stages = Seq(
 
-    // ---- stage: stats (N, avgdl) -----------------------------------------
+    // ---- stage: stats (N, avgdl, sumlen) ---------------------------------
     Future(stage(spark, indexDir, "stats") { () =>
-      analyzed.agg(count(lit(1)).as("n"), avg($"len").as("avgdl"))
-        .select($"n".cast("long"), $"avgdl".cast("double"))
+      analyzed.agg(count(lit(1)).as("n"), coalesce(avg($"len"), lit(0.0)).as("avgdl"),
+          coalesce(sum($"len"), lit(0L)).as("sumlen"))
+        .select($"n".cast("long"), $"avgdl".cast("double"), $"sumlen".cast("long"))
         .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats"))
       1L
     }),
@@ -177,137 +313,234 @@ object IndexBuilder {
 
     // ---- stage: postings --------------------------------------------------
     Future(stage(spark, indexDir, "postings") { () =>
-      // Chunked sort-merge assembly (SURVEY.md §7.3). Map side pre-groups
-      // each input slice into (shard, term, docIds[], tfs[]) CHUNKS — the
-      // shuffle carries ~vocab-sized rows per slice instead of one row per
-      // term occurrence (orders of magnitude fewer rows and no per-row
-      // overhead), which is THE shuffle-volume lever at 10^12 turns.
-      // Because analyzed rows are docId-ordered per shard and every
-      // (file-slice, shard) covers a contiguous docId range, chunks of one
-      // (shard, term) have disjoint ranges: the reduce side just sorts
-      // chunks by head docId and concatenates — no element-wise merge.
-      // Head terms are already split across all shards by the document
-      // partitioning; within a shard they stream through the encoder.
-      val chunks = analyzed
-        .select(col("shard"), col("docId"), col("len"), col("terms"), col("tfs"))
-        .mapPartitions { rows =>
-          // Map-side pre-grouping AND pre-compression: each chunk's docId
-          // deltas + tfs + doc lens are VByte-encoded BEFORE the shuffle,
-          // so the exchange carries ~1-2 bytes per posting entry instead
-          // of 12 — the shuffle-volume lever at 10^12 turns. Keys are
-          // "term shard" (tokens never contain spaces). The map FLUSHES
-          // whenever it holds FlushEntries postings, so task memory is
-          // bounded no matter how hard Parquet compressed the input
-          // slice; a key flushed twice just produces two chunks, and
-          // chunk docId ranges stay disjoint because flushes preserve
-          // arrival (= docId) order.
-          final class Chunk(val shard: Int) {
-            val docs = new ArrayBuffer[Byte](16)
-            val tfs = new ArrayBuffer[Byte](8)
-            val lens = new ArrayBuffer[Byte](8)
-            var n = 0
-            var firstDoc = 0L
-            private var prev = 0L
-            def add(d: Long, f: Int, dl: Int): Unit = {
-              if (n == 0) firstDoc = d
-              VByte.writeVLong(docs, d - prev); prev = d
-              VByte.writeVLong(tfs, f.toLong)
-              VByte.writeVLong(lens, dl.toLong)
-              n += 1
-            }
-          }
-          val FlushEntries = 4000000
-          new Iterator[(Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte])] {
-            private val m = new java.util.HashMap[String, Chunk]()
-            private var entries = 0
-            private var pending: java.util.Iterator[java.util.Map.Entry[String, Chunk]] =
-              java.util.Collections.emptyIterator()
-            private def refill(): Unit = {
-              while (rows.hasNext && entries < FlushEntries) {
-                val r = rows.next()
-                val shard = r.getInt(0)
-                val docId = r.getLong(1)
-                val dl = r.getInt(2)
-                val terms = r.getSeq[String](3)
-                val tfs = r.getSeq[Int](4)
-                var i = 0
-                while (i < terms.length) {
-                  val key = terms(i) + " " + shard
-                  var c = m.get(key)
-                  if (c == null) { c = new Chunk(shard); m.put(key, c) }
-                  c.add(docId, tfs(i), dl)
-                  entries += 1
-                  i += 1
-                }
-              }
-              pending = new java.util.HashMap(m).entrySet().iterator()
-              m.clear()
-              entries = 0
-            }
-            // Iterator contract: a refill can produce ZERO entries (e.g. a
-            // stopword-only slice) — keep refilling until something pends
-            // or the input is exhausted.
-            def hasNext: Boolean = {
-              while (!pending.hasNext && rows.hasNext) refill()
-              pending.hasNext
-            }
-            def next(): (Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte]) = {
-              if (!hasNext) throw new NoSuchElementException("postings chunk iterator")
-              val e = pending.next()
-              val c = e.getValue
-              (c.shard, e.getKey.substring(0, e.getKey.indexOf(' ')), c.firstDoc, c.n,
-                c.docs.toArray, c.tfs.toArray, c.lens.toArray)
-            }
-          }
-        }
-        .toDF("shard", "term", "firstDoc", "n", "docs", "tfs", "lens")
-      val postings = withPkey(chunks)
-        .repartition(parts, $"pkey")
-        .select(col("shard"), col("term"), col("firstDoc"), col("n"),
-          col("docs"), col("tfs"), col("lens"))
-        .sortWithinPartitions("shard", "term", "firstDoc")
-        .mapPartitions { rows =>
-          new Iterator[Posting] {
-            private val it = rows.buffered
-            def hasNext: Boolean = it.hasNext
-            def next(): Posting = {
-              val first = it.head
-              val shard = first.getInt(0)
-              val term = first.getString(1)
-              // chunks arrive sorted by firstDoc; ranges are disjoint, so
-              // decode + concatenate (no element-wise merge), then re-encode
-              // with block-aligned skip metadata.
-              var parts = List.empty[(Array[Long], Array[Int], Array[Int])]
-              var total = 0
-              while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
-                val r = it.next()
-                val n = r.getInt(3)
-                val d = VByte.decodeDeltas(r.getAs[Array[Byte]](4), n)
-                val t = VByte.decodeInts(r.getAs[Array[Byte]](5), n)
-                val l = VByte.decodeInts(r.getAs[Array[Byte]](6), n)
-                parts = (d, t, l) :: parts
-                total += n
-              }
-              val ordered = parts.reverse
-              val docs = new Array[Long](total)
-              val tfs = new Array[Int](total)
-              val lens = new Array[Int](total)
-              var o = 0
-              ordered.foreach { case (d, t, l) =>
-                System.arraycopy(d, 0, docs, o, d.length)
-                System.arraycopy(t, 0, tfs, o, t.length)
-                System.arraycopy(l, 0, lens, o, l.length)
-                o += d.length
-              }
-              Postings.encode(shard, term, docs, tfs, lens)
-            }
-          }
-        }
-      graft.sources.TableIO.write(postings.toDF(), s"$indexDir/postings")
+      graft.sources.TableIO.write(
+        assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings")
+      // coverage = every analyzed rank at this point (refresh picks up from
+      // here); computed from the same analyzed snapshot the assembly read.
+      writeCover(indexDir, nextRanks(spark, analyzed, cfg.shards))
       graft.sources.TableIO.read(spark, s"$indexDir/postings").count()
     }))
 
     stages.foreach(Await.result(_, Duration.Inf))
+  }
+
+  // ---- posting assembly (build + refresh + compact share this) -------------
+
+  /** Chunked sort-merge posting assembly (SURVEY.md §7.3). Map side
+    * pre-groups each input slice into (shard, term, docIds[], tfs[]) CHUNKS
+    * — the shuffle carries ~vocab-sized rows per slice instead of one row
+    * per term occurrence (orders of magnitude fewer rows and no per-row
+    * overhead), which is THE shuffle-volume lever at 10^12 turns. Because
+    * analyzed rows are docId-ordered per shard and every (file-slice,
+    * shard) covers a contiguous docId range, chunks of one (shard, term)
+    * have disjoint ranges: the reduce side just sorts chunks by head docId
+    * and concatenates — no element-wise merge. Head terms are already split
+    * across all shards by the document partitioning; within a shard they
+    * stream through the encoder. */
+  private def assemblePostings(spark: SparkSession, analyzed: DataFrame,
+                               parts: Int, pkeys: Array[Int]): Dataset[Posting] = {
+    import spark.implicits._
+    val chunks = analyzed
+      .select(col("shard"), col("docId"), col("len"), col("terms"), col("tfs"))
+      .mapPartitions { rows =>
+        // Map-side pre-grouping AND pre-compression: each chunk's docId
+        // deltas + tfs + doc lens are VByte-encoded BEFORE the shuffle,
+        // so the exchange carries ~1-2 bytes per posting entry instead
+        // of 12 — the shuffle-volume lever at 10^12 turns. Keys are
+        // "term shard" (tokens never contain spaces). The map FLUSHES
+        // whenever it holds FlushEntries postings, so task memory is
+        // bounded no matter how hard Parquet compressed the input
+        // slice; a key flushed twice just produces two chunks, and
+        // chunk docId ranges stay disjoint because flushes preserve
+        // arrival (= docId) order.
+        final class Chunk(val shard: Int) {
+          val docs = new ArrayBuffer[Byte](16)
+          val tfs = new ArrayBuffer[Byte](8)
+          val lens = new ArrayBuffer[Byte](8)
+          var n = 0
+          var firstDoc = 0L
+          var prev = 0L
+          def add(d: Long, f: Int, dl: Int): Unit = {
+            if (n == 0) firstDoc = d
+            VByte.writeVLong(docs, d - prev); prev = d
+            VByte.writeVLong(tfs, f.toLong)
+            VByte.writeVLong(lens, dl.toLong)
+            n += 1
+          }
+        }
+        val FlushEntries = 4000000
+        new Iterator[(Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte])] {
+          private val m = new java.util.HashMap[String, Chunk]()
+          // Chunks sealed early because arrival order regressed (see below);
+          // emitted with the next flush. Keyed storage not needed — they're
+          // complete.
+          private val sealedChunks = new ArrayBuffer[(String, Chunk)]()
+          private var entries = 0
+          private var pending: Iterator[(String, Chunk)] = Iterator.empty
+          private def refill(): Unit = {
+            while (rows.hasNext && entries < FlushEntries) {
+              val r = rows.next()
+              val shard = r.getInt(0)
+              val docId = r.getLong(1)
+              val dl = r.getInt(2)
+              val terms = r.getSeq[String](3)
+              val tfs = r.getSeq[Int](4)
+              var i = 0
+              while (i < terms.length) {
+                val key = terms(i) + " " + shard
+                var c = m.get(key)
+                if (c == null) { c = new Chunk(shard); m.put(key, c) }
+                else if (docId <= c.prev) {
+                  // Arrival order restarts when a read partition packs
+                  // several small files of the SAME shard (base + appended
+                  // analyzed files): each file is rank-ascending with a
+                  // range disjoint from the others, so sealing the current
+                  // chunk at the file boundary keeps every chunk internally
+                  // ascending and chunk ranges mutually disjoint.
+                  sealedChunks += ((key, c))
+                  c = new Chunk(shard); m.put(key, c)
+                }
+                c.add(docId, tfs(i), dl)
+                entries += 1
+                i += 1
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            // copy BEFORE clear — Iterator.++'s right operand is by-name,
+            // so anything referencing `m` lazily would see the cleared map
+            val copy = new java.util.HashMap(m)
+            val tail = copy.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+            pending = sealedChunks.toList.iterator ++ tail
+            sealedChunks.clear()
+            m.clear()
+            entries = 0
+          }
+          // Iterator contract: a refill can produce ZERO entries (e.g. a
+          // stopword-only slice) — keep refilling until something pends
+          // or the input is exhausted.
+          def hasNext: Boolean = {
+            while (!pending.hasNext && rows.hasNext) refill()
+            pending.hasNext
+          }
+          def next(): (Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+            if (!hasNext) throw new NoSuchElementException("postings chunk iterator")
+            val (key, c) = pending.next()
+            (c.shard, key.substring(0, key.indexOf(' ')), c.firstDoc, c.n,
+              c.docs.toArray, c.tfs.toArray, c.lens.toArray)
+          }
+        }
+      }
+      .toDF("shard", "term", "firstDoc", "n", "docs", "tfs", "lens")
+    chunks
+      .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
+      .repartition(parts, $"pkey")
+      .select(col("shard"), col("term"), col("firstDoc"), col("n"),
+        col("docs"), col("tfs"), col("lens"))
+      .sortWithinPartitions("shard", "term", "firstDoc")
+      .mapPartitions { rows =>
+        new Iterator[Posting] {
+          private val it = rows.buffered
+          def hasNext: Boolean = it.hasNext
+          def next(): Posting = {
+            val first = it.head
+            val shard = first.getInt(0)
+            val term = first.getString(1)
+            // chunks arrive sorted by firstDoc; ranges are disjoint, so
+            // decode + concatenate (no element-wise merge), then re-encode
+            // with block-aligned skip metadata.
+            var parts = List.empty[(Array[Long], Array[Int], Array[Int])]
+            var total = 0
+            while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
+              val r = it.next()
+              val n = r.getInt(3)
+              val d = VByte.decodeDeltas(r.getAs[Array[Byte]](4), n)
+              val t = VByte.decodeInts(r.getAs[Array[Byte]](5), n)
+              val l = VByte.decodeInts(r.getAs[Array[Byte]](6), n)
+              parts = (d, t, l) :: parts
+              total += n
+            }
+            val ordered = parts.reverse
+            var docs = new Array[Long](total)
+            var tfs = new Array[Int](total)
+            var lens = new Array[Int](total)
+            var o = 0
+            ordered.foreach { case (d, t, l) =>
+              System.arraycopy(d, 0, docs, o, d.length)
+              System.arraycopy(t, 0, tfs, o, t.length)
+              System.arraycopy(l, 0, lens, o, l.length)
+              o += d.length
+            }
+            // Fresh builds produce non-interleaving chunk ranges and the
+            // concat above is already sorted. After appends, a read
+            // partition that packed several small analyzed files can yield
+            // chunks whose RANGES interleave (each chunk is still
+            // internally ascending) — detect and fall back to one sort.
+            var asc = true
+            var i = 1
+            while (asc && i < total) { asc = docs(i) > docs(i - 1); i += 1 }
+            if (!asc) {
+              val idx = Array.range(0, total).sortBy(docs(_))
+              val d2 = new Array[Long](total)
+              val t2 = new Array[Int](total)
+              val l2 = new Array[Int](total)
+              var j = 0
+              while (j < total) {
+                d2(j) = docs(idx(j)); t2(j) = tfs(idx(j)); l2(j) = lens(idx(j))
+                j += 1
+              }
+              docs = d2; tfs = t2; lens = l2
+            }
+            Postings.encode(shard, term, docs, tfs, lens)
+          }
+        }
+      }
+  }
+
+  // ---- segment coverage ------------------------------------------------------
+
+  /** Next free rank per shard (max analyzed rank + 1; 0 for empty shards). */
+  private def nextRanks(spark: SparkSession, analyzed: DataFrame,
+                        shards: Int): Array[Long] = {
+    val next = new Array[Long](shards)
+    analyzed.groupBy("shard")
+      .agg(max(expr(s"docId & ${Ids.RankMask}")).as("maxRank")).collect()
+      .foreach(r => next(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
+    next
+  }
+
+  private def writeCover(indexDir: String, cover: Array[Long]): Unit =
+    cover.zipWithIndex.foreach { case (v, s) =>
+      Manifests.write(indexDir, StageManifest(s"postings_cover_$s", v, 0, "cover", 0))
+    }
+
+  /** Per-shard first rank NOT covered by any posting segment. Falls back to
+    * deriving coverage from the posting blobs themselves (each Posting's
+    * blockLast array ends at its max docId — no blob decode needed) for
+    * indexes built before cover manifests existed. */
+  private def readCover(spark: SparkSession, indexDir: String,
+                        shards: Int): Array[Long] = {
+    val cover = new Array[Long](shards)
+    if (Manifests.read(indexDir, "postings_cover_0").isDefined) {
+      (0 until shards).foreach { s =>
+        cover(s) = Manifests.read(indexDir, s"postings_cover_$s").map(_.rows).getOrElse(0L)
+      }
+    } else {
+      graft.sources.TableIO.read(spark, s"$indexDir/postings")
+        .select(col("shard"),
+          (element_at(col("blockLast"), -1).bitwiseAND(lit(Ids.RankMask))).as("maxRank"))
+        .groupBy("shard").agg(max(col("maxRank")).as("maxRank")).collect()
+        .foreach(r => cover(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
+    }
+    cover
+  }
+
+  private def swapDir(spark: SparkSession, tmp: String, dest: String): Unit = {
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(destPath, true)
+    if (!fs.rename(tmpPath, destPath))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
   /** Run one stage unless its manifest says done; record rows/bytes/time. */

@@ -73,6 +73,32 @@ object Postings {
       blockLast, blockMaxTf, blockDocOff, blockTfOff, blockLenOff)
   }
 
+  /** Merge posting lists of the SAME (shard, term) coming from different
+    * index segments (base + refresh deltas). Segment docId ranges are
+    * disjoint by construction — a document lives in exactly one segment and
+    * delta ranks start above the covered high-water mark — so the merge is
+    * sort-segments-by-first-docId + concatenate, then one re-encode that
+    * rebuilds the block-max skip metadata over the combined list. */
+  def merge(parts: Seq[Posting]): Posting = {
+    if (parts.lengthCompare(1) == 0) return parts.head
+    val decoded = parts.filter(_.count > 0).map(p => (p, decode(p)))
+      .sortBy(_._2._1.head)
+    if (decoded.isEmpty) return parts.head
+    val total = decoded.iterator.map(_._1.count).sum
+    val docs = new Array[Long](total)
+    val tfs = new Array[Int](total)
+    val lens = new Array[Int](total)
+    var o = 0
+    decoded.foreach { case (_, (d, t, l)) =>
+      System.arraycopy(d, 0, docs, o, d.length)
+      System.arraycopy(t, 0, tfs, o, t.length)
+      System.arraycopy(l, 0, lens, o, l.length)
+      o += d.length
+    }
+    val head = decoded.head._1
+    encode(head.shard, head.term, docs, tfs, lens)
+  }
+
   /** Full decode (test / exhaustive paths): (docIds, tfs, lens). */
   def decode(p: Posting): (Array[Long], Array[Int], Array[Int]) = {
     val docs = new Array[Long](p.count)

@@ -59,7 +59,25 @@ final class Searcher(spark: SparkSession, indexDir: String,
   private def maybeCache(df: DataFrame): DataFrame =
     if (cacheTables) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
-  private val postingsDF = maybeCache(graft.sources.TableIO.read(spark, s"$indexDir/postings"))
+  /** Base postings + any refresh-written delta segments (postings_seg_<g>).
+    * A document lives in exactly ONE segment, so per-doc scores never span
+    * segments; when one kernel group sees the same term from two segments
+    * the lists are merged (disjoint ranges — pure concatenation). Snapshot
+    * of the segment list is taken at construction: a Searcher serves one
+    * index generation; the serving tier builds a new Searcher on publish. */
+  private val postingsPaths: Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs =
+      try fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("postings_seg_"))
+        .sortBy(n => n.stripPrefix("postings_seg_").toLong)
+        .map(n => s"$indexDir/$n")
+      catch { case _: Throwable => Seq.empty }
+    s"$indexDir/postings" +: segs
+  }
+  private val postingsDF = maybeCache(graft.sources.TableIO.read(spark, postingsPaths))
   private val dfDF = maybeCache(graft.sources.TableIO.read(spark, s"$indexDir/df"))
   private val docMetaDF = maybeCache(Searcher.docMeta(spark, indexDir))
 
@@ -73,11 +91,13 @@ final class Searcher(spark: SparkSession, indexDir: String,
     try {
       val conf = spark.sessionState.conf
       val noSplitBound = math.min(conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
-      val path = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(path).forall { f =>
-        val name = f.getPath.getName
-        !f.isFile || name.startsWith("_") || name.startsWith(".") || f.getLen <= noSplitBound
+      postingsPaths.forall { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(path).forall { f =>
+          val name = f.getPath.getName
+          !f.isFile || name.startsWith("_") || name.startsWith(".") || f.getLen <= noSplitBound
+        }
       }
     } catch { case _: Throwable => false }
   }
@@ -110,7 +130,13 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val p = params
     val (nn, ad) = (n, avgdl)
     def kernel(group: Seq[Posting]): Iterator[(String, Long, Double)] = {
-      val byTerm = group.iterator.map(po => po.term -> po).toMap
+      // A term can appear once per SEGMENT (base + refresh deltas) when a
+      // partition holds both; merge on the fly — segment docId ranges are
+      // disjoint, so the merge is a concatenation + one re-encode.
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
       qs.iterator.flatMap { case (qid, qtf) =>
         val inputs = qtf.toSeq.collect {
           case (t, f) if byTerm.contains(t) && dfm.contains(t) =>

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.analysis.{Analyzer, StopWords}
-import graft.build.{Manifests, ShardKeys}
+import graft.build.{Hwm, Manifests, ShardKeys}
 import graft.model.{Ids, StageManifest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,36 +33,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamIngest {
 
-  /** Per-shard next-rank high-water marks. When no stream manifests exist
-    * yet but analyzed/ already holds batch-built rows, the HWM is seeded
-    * from max(rank)+1 of the existing table — streaming into a batch-built
-    * index must not reuse its docIds. */
-  private def readHwm(spark: SparkSession, indexDir: String, shards: Int): Array[Long] = {
-    val hwm = new Array[Long](shards)
-    if (Manifests.read(indexDir, "stream_hwm_max").isDefined) {
-      (0 until shards).foreach { s =>
-        hwm(s) = Manifests.read(indexDir, s"stream_hwm_$s").map(_.rows).getOrElse(0L)
-      }
-    } else {
-      val analyzedPath = new org.apache.hadoop.fs.Path(s"$indexDir/analyzed")
-      val fs = analyzedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(analyzedPath)) {
-        spark.read.parquet(s"$indexDir/analyzed")
-          .groupBy("shard")
-          .agg(max(expr(s"docId & ${Ids.RankMask}")).as("maxRank"))
-          .collect()
-          .foreach(r => hwm(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
-      }
-    }
-    hwm
-  }
+  // Per-shard next-rank HWMs are shared with the batch builder/append —
+  // see graft.build.Hwm.
+  private def readHwm(spark: SparkSession, indexDir: String, shards: Int): Array[Long] =
+    Hwm.read(spark, indexDir, shards)
 
-  private def writeHwm(indexDir: String, hwm: Array[Long]): Unit = {
-    hwm.zipWithIndex.foreach { case (v, s) =>
-      Manifests.write(indexDir, StageManifest(s"stream_hwm_$s", v, 0, "hwm", 0))
-    }
-    Manifests.write(indexDir, StageManifest("stream_hwm_max", hwm.max, 0, "hwm", 0))
-  }
+  private def writeHwm(indexDir: String, hwm: Array[Long]): Unit =
+    Hwm.write(indexDir, hwm)
 
   /** Start ingesting a streaming DataFrame of turns into
     * `<indexDir>/analyzed`. Returns the StreamingQuery (caller awaits /

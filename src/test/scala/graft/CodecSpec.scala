@@ -83,4 +83,31 @@ class CodecSpec extends AnyFunSuite {
       t = c.docId + 13
     }
   }
+
+  test("merge: segment lists concatenate to one list with rebuilt skip metadata") {
+    val rnd = new scala.util.Random(7)
+    // three disjoint ascending ranges, out of order, sizes crossing blocks
+    val ranges = Seq((5000L, 300), (0L, 450), (9000L, 40))
+    val parts = ranges.map { case (base, n) =>
+      var d = base - 1L
+      val docs = Array.fill(n) { d += 1 + rnd.nextInt(3); d }
+      val tfs = Array.fill(n)(1 + rnd.nextInt(9))
+      val lens = Array.fill(n)(5 + rnd.nextInt(90))
+      (docs, tfs, lens)
+    }
+    val postings = parts.map { case (d, t, l) => Postings.encode(1, "x", d, t, l) }
+    val merged = Postings.merge(postings)
+    val (docs, tfs, lens) = Postings.decode(merged)
+    val exp = parts.sortBy(_._1.head)
+    assert(docs.sameElements(exp.flatMap(_._1)))
+    assert(tfs.sameElements(exp.flatMap(_._2)))
+    assert(lens.sameElements(exp.flatMap(_._3)))
+    assert(merged.count == parts.map(_._1.length).sum)
+    // skip metadata is usable: advanceTo lands across segment boundaries
+    val c = new Postings.Cursor(merged)
+    assert(c.advanceTo(5000L) && c.docId >= 5000L)
+    assert(c.advanceTo(9000L) && c.docId >= 9000L)
+    // single-element merge is identity
+    assert(Postings.merge(Seq(postings.head)) eq postings.head)
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import graft.build.{IndexBuilder, Manifests}
+import graft.query.Searcher
+import graft.sources.Transcripts
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental index maintenance: append → refresh produces an index whose
+  * QUERY SEMANTICS are identical to a one-shot build over the full corpus
+  * (stats, df, and every BM25 score match), while only the new rows are
+  * analyzed/assembled — the Lucene-segment model re-expressed on Spark. */
+class RefreshSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Queries =
+    Seq("quick brown fox", "tok0", "machine learning datasets", "tok0 rare1000")
+
+  /** max |score delta| between the two searchers' scoreAll over every doc. */
+  private def assertSameScores(a: Searcher, b: Searcher, q: String): Unit = {
+    val sa = a.scoreAll(q).select($"conv_id", $"turn_idx", $"score".as("sa"))
+    val sb = b.scoreAll(q).select($"conv_id", $"turn_idx", $"score".as("sb"))
+    val joined = sa.join(sb, Seq("conv_id", "turn_idx"), "full_outer")
+    assert(joined.filter($"sa".isNull || $"sb".isNull).count() == 0,
+      s"scored doc sets differ for '$q'")
+    val maxD = joined.agg(max(abs($"sa" - $"sb"))).as[Double].head()
+    assert(maxD <= 1e-9, s"scores diverge by $maxD for '$q'")
+  }
+
+  private def assertSameTopK(a: Searcher, b: Searcher, q: String, k: Int): Unit = {
+    val ta = a.topK(q, k).select("score").as[Double].collect()
+    val tb = b.topK(q, k).select("score").as[Double].collect()
+    assert(ta.nonEmpty, s"top-$k unexpectedly empty for '$q' (postings lost?)")
+    assert(ta.length == tb.length, s"top-$k sizes differ for '$q'")
+    ta.zip(tb).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+        s"top-$k score $x vs $y for '$q'")
+    }
+  }
+
+  test("append + refresh ≡ one-shot full build (scores, stats, df)") {
+    val all = Transcripts.synth(spark, 4000, turnsPerConv = 9).toDF()
+    val first = all.filter(pmod(hash($"conv_id"), lit(5)) =!= 0)
+    val rest = all.filter(pmod(hash($"conv_id"), lit(5)) === 0)
+    assert(rest.count() > 0 && first.count() > 0)
+
+    val fullDir = TestSpark.tmpDir("full")
+    IndexBuilder.build(spark, all, fullDir, IndexBuilder.Config(shards = 8))
+
+    val incDir = TestSpark.tmpDir("inc")
+    IndexBuilder.build(spark, first, incDir, IndexBuilder.Config(shards = 8))
+    IndexBuilder.append(spark, rest, incDir, IndexBuilder.Config(shards = 8))
+    IndexBuilder.refresh(spark, incDir)
+
+    // one delta segment, disjoint from base
+    assert(new java.io.File(s"$incDir/postings_seg_1").exists())
+
+    // stats advanced exactly
+    val fs = spark.read.parquet(s"$fullDir/stats").head()
+    val is = spark.read.parquet(s"$incDir/stats").head()
+    assert(is.getAs[Long]("n") == fs.getAs[Long]("n"))
+    assert(math.abs(is.getAs[Double]("avgdl") - fs.getAs[Double]("avgdl")) < 1e-9)
+
+    // df identical as a set
+    val dfFull = spark.read.parquet(s"$fullDir/df")
+    val dfInc = spark.read.parquet(s"$incDir/df")
+    assert(dfFull.except(dfInc).count() == 0 && dfInc.except(dfFull).count() == 0)
+
+    val sFull = new Searcher(spark, fullDir)
+    val sInc = new Searcher(spark, incDir)
+    Queries.foreach { q =>
+      assertSameScores(sFull, sInc, q)
+      assertSameTopK(sFull, sInc, q, 15)
+    }
+  }
+
+  test("second refresh adds a second segment; results still match; compact folds them") {
+    val all = Transcripts.synth(spark, 3000, turnsPerConv = 7).toDF()
+    val p1 = all.filter(pmod(hash($"conv_id"), lit(3)) === 0)
+    val p2 = all.filter(pmod(hash($"conv_id"), lit(3)) === 1)
+    val p3 = all.filter(pmod(hash($"conv_id"), lit(3)) === 2)
+
+    val fullDir = TestSpark.tmpDir("full2")
+    IndexBuilder.build(spark, all, fullDir, IndexBuilder.Config(shards = 4))
+
+    val incDir = TestSpark.tmpDir("inc2")
+    IndexBuilder.build(spark, p1, incDir, IndexBuilder.Config(shards = 4))
+    IndexBuilder.append(spark, p2, incDir, IndexBuilder.Config(shards = 4))
+    IndexBuilder.refresh(spark, incDir)
+    IndexBuilder.append(spark, p3, incDir, IndexBuilder.Config(shards = 4))
+    IndexBuilder.refresh(spark, incDir)
+    assert(new java.io.File(s"$incDir/postings_seg_1").exists())
+    assert(new java.io.File(s"$incDir/postings_seg_2").exists())
+
+    val sFull = new Searcher(spark, fullDir)
+    Queries.foreach(q => assertSameScores(sFull, new Searcher(spark, incDir), q))
+    Queries.foreach(q => assertSameTopK(sFull, new Searcher(spark, incDir), q, 10))
+
+    IndexBuilder.compact(spark, incDir)
+    assert(!new java.io.File(s"$incDir/postings_seg_1").exists())
+    assert(!new java.io.File(s"$incDir/postings_seg_2").exists())
+    val sCompact = new Searcher(spark, incDir)
+    Queries.foreach(q => assertSameScores(sFull, sCompact, q))
+    // a refresh after compact with nothing new is a no-op
+    IndexBuilder.refresh(spark, incDir)
+    assert(!new java.io.File(s"$incDir/postings_seg_3").exists())
+  }
+
+  test("refresh with no new rows is a no-op; append alone leaves queries unchanged") {
+    val all = Transcripts.synth(spark, 800, turnsPerConv = 5).toDF()
+    val dir = TestSpark.tmpDir("noop")
+    IndexBuilder.build(spark, all, dir, IndexBuilder.Config(shards = 4))
+    val before = new Searcher(spark, dir).topK("tok0", 5)
+      .select("conv_id", "turn_idx", "score").collect().toSeq
+    IndexBuilder.refresh(spark, dir)
+    assert(Manifests.read(dir, "postings_gen").isEmpty)
+    // append new docs but do NOT refresh: search serves the old generation
+    IndexBuilder.append(spark,
+      Transcripts.fixture(spark, "cNEW", Seq("tok0 tok0 tok0 fresh appended doc")).toDF(),
+      dir, IndexBuilder.Config(shards = 4))
+    val after = new Searcher(spark, dir).topK("tok0", 5)
+      .select("conv_id", "turn_idx", "score").collect().toSeq
+    assert(before == after)
+    // …and refresh makes the appended doc visible
+    IndexBuilder.refresh(spark, dir)
+    val visible = new Searcher(spark, dir).topK("fresh appended", 5)
+      .select("conv_id").as[String].collect()
+    assert(visible.contains("cNEW"))
+  }
+}
