@@ -1,14 +1,17 @@
 package graft.ops
 
+import graft.functions.VectorFunctions.cosineSim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-similarity operators over the embeddings table
   * (vec_id, embedding: array<float>).
   *
-  * Cosine math runs as Catalyst higher-order functions (zip_with +
-  * aggregate), fully codegen-friendly — no UDFs. Floats are cast to double
-  * BEFORE any arithmetic so both engines compute in f64.
+  * Cosine math runs as a native Catalyst expression with codegen
+  * ([[graft.functions.CosineSim]]) — one fused Java loop inside the
+  * generated stage, no per-element lambda frames and no UDF
+  * serialization. Floats are cast to double BEFORE any arithmetic so both
+  * engines compute in f64.
   *
   * Every *bucketing/assignment* decision (LSH signatures, k-means
   * distances, centroid updates) is computed in QUANTIZED INTEGER arithmetic
@@ -34,11 +37,6 @@ object VectorOps {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Quantized milli-unit vector: round(x·1000) as BIGINT. round() is
     * half-away-from-zero in both Spark (HALF_UP on BigDecimal) and DuckDB. */
@@ -100,7 +98,7 @@ object VectorOps {
     val q = v.filter(col("vec_id") === targetId).select(col("e").as("qe"))
     v.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4).as("cos"))
+        round(cosineSim(col("e"), col("qe")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -175,27 +173,48 @@ object VectorOps {
       .filter(col("k").isin(probed.toSeq: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4).as("cos"))
+        round(cosineSim(col("e"), col("qe")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
 
+  /** A band bucket larger than this means the band key space is
+    * misconfigured for the corpus size (LshRows must grow with the corpus,
+    * see the banding note above) — fail fast instead of going quietly
+    * quadratic inside one reducer. */
+  val BucketCap = 4096
+
   /** Top-n most similar candidate pairs (a < b) by cosine; candidates come
-    * from the random-hyperplane band buckets (equi-join on (band, key)) —
-    * the 100-TB shape: no label blocking, no all-pairs join anywhere. */
+    * from the random-hyperplane band buckets — the 100-TB shape: no label
+    * blocking, no all-pairs join anywhere.
+    *
+    * Pairs are generated INSIDE each (band, key) bucket: one shuffle
+    * carries (vec_id, e) to its buckets, a nested explode emits the a<b
+    * pairs with both vectors in hand, and the exact cosine verify runs in
+    * the same codegen stage — no join-back to the embeddings table and no
+    * global distinct (the per-pair dedup across bands is a tiny aggregate
+    * over candidate pairs, ≪ corpus). The earlier band self-join +
+    * two-sided join-back computed the same candidate set through 4
+    * shuffles and 3 joins; this plan does it in 2 shuffles. */
   def similarPairs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val v = emb(spark, sfDir)
-    val bands = v
-      .select(col("vec_id"), posexplode(bandKeysUdf(quantize(col("e")))).as(Seq("band", "key")))
-    val cand = bands.select(col("band"), col("key"), col("vec_id").as("a"))
-      .join(bands.select(col("band"), col("key"), col("vec_id").as("b")), Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    cand
-      .join(v.select(col("vec_id").as("a"), col("e").as("ea")), "a")
-      .join(v.select(col("vec_id").as("b"), col("e").as("eb")), "b")
-      .select(col("a"), col("b"),
-        round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 4).as("cos"))
+    val buckets = v
+      .select(col("vec_id"), col("e"),
+        posexplode(bandKeysUdf(quantize(col("e")))).as(Seq("band", "key")))
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+    val guarded = buckets.withColumn("vs",
+      when(size(col("vs")) <= BucketCap, col("vs"))
+        .otherwise(raise_error(concat(lit(s"LSH bucket exceeds $BucketCap for corpus — raise LshRows (band "),
+          col("band"), lit(", key "), col("key"), lit(")")))))
+    guarded
+      .select(explode(col("vs")).as("x"), col("vs"))
+      .select(col("x"), explode(col("vs")).as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosineSim(col("x.e"), col("y.e")), 4).as("cos"))
+      .groupBy("a", "b").agg(max("cos").as("cos")) // dedup across bands
       .orderBy(desc("cos"), asc("a"), asc("b"))
       .limit(n)
   }
