@@ -142,9 +142,11 @@ object IndexBuilder {
       .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats"))
 
     // df: vocabulary-sized union-merge, written aside then swapped (the
-    // merged plan reads the old table; on Iceberg this is one commit)
-    val deltaDf = newRows.select(explode($"terms").as("term"))
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+    // merged plan reads the old table; on Iceberg this is one commit).
+    // The delta df comes from the delta segment just written — pruned
+    // (term, count) columns, not a re-aggregation of the rows.
+    val deltaDf = graft.sources.TableIO.read(spark, segDir)
+      .groupBy($"term").agg(sum($"count").cast("long").as("df"))
     val merged = graft.sources.TableIO.read(spark, s"$indexDir/df")
       .unionByName(deltaDf)
       .groupBy($"term").agg(sum($"df").cast("long").as("df"))
@@ -268,14 +270,12 @@ object IndexBuilder {
       analyzedRows(input, cfg.shards, parts, pkeys, cfg.language, cfg.normalizer,
           new Array[Long](cfg.shards))
         .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/analyzed"))
-      val written = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
-      // Record docId-allocation HWMs so append/streaming continue above the
-      // batch-assigned ranks (one pruned shard+docId scan of what was just
-      // written — trivial next to the write itself).
-      Hwm.write(indexDir, nextRanks(spark, written, cfg.shards))
+      // docId-allocation HWMs are NOT computed here: the build path stays
+      // job-minimal, and Hwm.read derives them from analyzed/ on the first
+      // append/stream into this index (then persists manifests).
       Manifests.write(indexDir,
         StageManifest("index_meta", cfg.shards, FormatVersion, "meta", 0))
-      written.count()
+      graft.sources.TableIO.read(spark, s"$indexDir/analyzed").count()
     }
 
     lazy val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
@@ -284,9 +284,10 @@ object IndexBuilder {
     // columns are scanned), so materializing a projection would only add
     // a stage and double the doc-map storage.
 
-    // The post-analyze stages depend only on analyzed/ and not on each
-    // other — submit them concurrently so the small aggregations overlap
-    // the posting-assembly shuffle instead of serializing after it.
+    // stats depends only on analyzed/ and overlaps the posting assembly;
+    // df is DERIVED FROM the finished postings table (df(term) = Σ over
+    // shards of the per-shard posting count) — a vocabulary-sized read
+    // instead of a second corpus-sized explode+aggregate pass.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -301,25 +302,26 @@ object IndexBuilder {
       1L
     }),
 
-    // ---- stage: df (global document frequencies) -------------------------
-    Future(stage(spark, indexDir, "df") { () =>
-      // terms are distinct per doc already → count(*) = document frequency.
-      // Partial aggregation collapses head terms map-side before the shuffle.
-      analyzed.select(explode($"terms").as("term"))
-        .groupBy($"term").agg(count(lit(1)).as("df"))
-        .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/df"))
-      spark.read.parquet(s"$indexDir/df").count()
-    }),
-
-    // ---- stage: postings --------------------------------------------------
-    Future(stage(spark, indexDir, "postings") { () =>
-      graft.sources.TableIO.write(
-        assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings")
-      // coverage = every analyzed rank at this point (refresh picks up from
-      // here); computed from the same analyzed snapshot the assembly read.
-      writeCover(indexDir, nextRanks(spark, analyzed, cfg.shards))
-      graft.sources.TableIO.read(spark, s"$indexDir/postings").count()
-    }))
+    // ---- stages: postings, then df from the postings ----------------------
+    Future {
+      stage(spark, indexDir, "postings") { () =>
+        graft.sources.TableIO.write(
+          assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings")
+        // segment-coverage manifests are NOT written here (job-minimal build):
+        // the first refresh derives coverage from the posting blobs' blockLast
+        // arrays (readCover fallback) and persists manifests from then on.
+        graft.sources.TableIO.read(spark, s"$indexDir/postings").count()
+      }
+      stage(spark, indexDir, "df") { () =>
+        // terms are distinct per doc, so a term's document frequency is the
+        // total length of its posting lists — pruned columns (term, count)
+        // of the postings table, never the corpus.
+        graft.sources.TableIO.read(spark, s"$indexDir/postings")
+          .groupBy($"term").agg(sum($"count").cast("long").as("df"))
+          .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/df"))
+        spark.read.parquet(s"$indexDir/df").count()
+      }
+    })
 
     stages.foreach(Await.result(_, Duration.Inf))
   }
