@@ -96,13 +96,23 @@ object Bench {
     val qps = batch.size / ((System.nanoTime() - tb0) / 1e9)
     spark.stop()
 
-    // scaling: same job, same input, N=8 vs 4N=32 threads
+    // scaling: same job, same input, N=8 vs 4N=32 threads. The host probe
+    // (pure-register and DRAM-streaming 8→32 speedups) brackets the build
+    // samples so the same noisy-neighbor windows ground both numbers; the
+    // best-window ceiling is the conservative normalizer (a higher ceiling
+    // can only lower the normalized efficiency).
+    val probeA = graft.cli.HostProbe.measure()
     val (tp8, tp32) = buildThroughputs(scaleTurns)
+    val probeB = graft.cli.HostProbe.measure()
+    val reg = math.max(probeA._1, probeB._1)
+    val mem = math.max(probeA._2, probeB._2)
+    val ceil = math.max(reg, mem)
     val eff = (tp32 / tp8) / 4.0
+    val effVsCeil = (tp32 / tp8) / ceil
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"batch_qps":$qps%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"batch_qps":$qps%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f,"host_probe_register_x":$reg%.2f,"host_probe_memory_x":$mem%.2f,"efficiency_vs_host_ceiling":$effVsCeil%.3f}}""")
   }
 }

@@ -68,4 +68,14 @@ class VectorExprSpec extends AnyFunSuite {
     val hof = base.select(hofCos($"a", $"b").as("cos"))
     assert(fast.except(hof).count() == 0 && hof.except(fast).count() == 0)
   }
+
+  test("GraftExtensions: cosine_sim callable from SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS c").as[Double].head()
+    assert(math.abs(got - 24.0 / 25.0) < 1e-15)
+    // arity error surfaces at analysis, not execution
+    val err = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))").collect())
+    assert(err.getMessage.contains("2 arguments"))
+  }
 }
