@@ -188,4 +188,32 @@ zurück zusammen zwanzig zwar zwei zweite zweiten zweiter zweites zwischen
     case "de" | "german"  => german
     case _                => english
   }
+
+  // ---- language-ID-only function-word lists --------------------------------
+  // NOT analyzer stopword sets: the reference embeds exactly en/fr/de
+  // (StopWords/English.cs etc.) and the analyzer keeps that parity
+  // (forLang falls back to English like BM25Reranker.cs:453-456). These
+  // curated high-frequency function words extend ONLY the langId vote
+  // (ops/TextOps.langId) and its generated oracle SQL.
+
+  val langIdSpanish: Set[String] = split("""
+al algo ante antes aquel aquella aquellas aquellos aqui aquí como con contra
+cual cuando de del desde donde dos durante el ella ellas ellos en entre era
+eran es esa esas ese eso esos esta estaba estan están este esto estos fue
+fueron ha haber habia había han hasta hay la las le les lo los mas más me mi
+mientras muy nos nosotros nuestra nuestro o otra otras otro otros para pero
+por porque pues que qué quien quién se ser si sí sin sobre son soy su sus
+también te tiene tienen todo todos tras tu tú un una unas uno unos usted
+ustedes vosotros y ya yo
+""")
+
+  val langIdItalian: Set[String] = split("""
+abbiamo agli ai al alla alle allo anche ancora avere aveva avete ha hanno ho
+che chi ci come con cosa cui da dal dalla degli dei del della delle dello di
+dove e ed era erano essere fra gli il in io la le lei li lo loro lui ma mai
+mi molto ne nei nel nella nelle noi non o ogni per perche perché piu più
+quale quando quella quelle quelli quello questa queste questi questo qui se
+sei sempre si sì siamo siete sono sua sue sui sul sulla suo te tra tu tutti
+tutto un una uno voi
+""")
 }

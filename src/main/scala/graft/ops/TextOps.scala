@@ -27,19 +27,26 @@ object TextOps {
       .select(col("doc_id"), size(rawToksUdf(col("text"))).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
-  /** (doc_id, pred_lang) — stopword-vote language ID over en/fr/de lists;
-    * ties resolved en > fr > de; no votes → 'und'. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val pred = udf { (t: String) =>
-      val toks = Analyzer.tokenizeRaw(t)
-      val en = toks.count(StopWords.english.contains)
-      val fr = toks.count(StopWords.french.contains)
-      val de = toks.count(StopWords.german.contains)
-      if (en == 0 && fr == 0 && de == 0) "und"
-      else if (en >= fr && en >= de) "en"
-      else if (fr >= de) "fr"
-      else "de"
+  /** (doc_id, pred_lang) — function-word-vote language ID over en/fr/de
+    * (the reference's embedded stopword sets) plus es/it (curated langId
+    * lists); ties resolved en > fr > de > es > it; no votes → 'und'. */
+  private[graft] def predictLang(t: String): String = {
+    val toks = Analyzer.tokenizeRaw(t)
+    val votes = Array(
+      toks.count(StopWords.english.contains),
+      toks.count(StopWords.french.contains),
+      toks.count(StopWords.german.contains),
+      toks.count(StopWords.langIdSpanish.contains),
+      toks.count(StopWords.langIdItalian.contains))
+    if (votes.forall(_ == 0)) "und"
+    else {
+      val langs = Array("en", "fr", "de", "es", "it")
+      langs(votes.indexOf(votes.max))
     }
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = udf(predictLang _)
     docs(spark, sfDir).select(col("doc_id"), pred(col("text")).as("pred_lang"))
       .orderBy("doc_id")
   }

@@ -11,6 +11,8 @@ object OracleSqlOps {
   private lazy val en = inList(StopWords.english)
   private lazy val fr = inList(StopWords.french)
   private lazy val de = inList(StopWords.german)
+  private lazy val es = inList(StopWords.langIdSpanish)
+  private lazy val it = inList(StopWords.langIdItalian)
 
   /** Raw tokens (stopwords kept) — mirror of Analyzer.tokenizeRaw. */
   private val rawToks =
@@ -41,12 +43,16 @@ object OracleSqlOps {
        |  SELECT doc_id,
        |    sum(CASE WHEN term IN ($en) THEN 1 ELSE 0 END) AS en,
        |    sum(CASE WHEN term IN ($fr) THEN 1 ELSE 0 END) AS fr,
-       |    sum(CASE WHEN term IN ($de) THEN 1 ELSE 0 END) AS de
+       |    sum(CASE WHEN term IN ($de) THEN 1 ELSE 0 END) AS de,
+       |    sum(CASE WHEN term IN ($es) THEN 1 ELSE 0 END) AS es,
+       |    sum(CASE WHEN term IN ($it) THEN 1 ELSE 0 END) AS it
        |  FROM rt GROUP BY 1)
        |SELECT d.doc_id,
-       |  CASE WHEN v.doc_id IS NULL OR (v.en = 0 AND v.fr = 0 AND v.de = 0) THEN 'und'
-       |       WHEN v.en >= v.fr AND v.en >= v.de THEN 'en'
-       |       WHEN v.fr >= v.de THEN 'fr' ELSE 'de' END AS pred_lang
+       |  CASE WHEN v.doc_id IS NULL OR (v.en = 0 AND v.fr = 0 AND v.de = 0 AND v.es = 0 AND v.it = 0) THEN 'und'
+       |       WHEN v.en >= v.fr AND v.en >= v.de AND v.en >= v.es AND v.en >= v.it THEN 'en'
+       |       WHEN v.fr >= v.de AND v.fr >= v.es AND v.fr >= v.it THEN 'fr'
+       |       WHEN v.de >= v.es AND v.de >= v.it THEN 'de'
+       |       WHEN v.es >= v.it THEN 'es' ELSE 'it' END AS pred_lang
        |FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
 
   def quality: String =

@@ -51,4 +51,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cosines == cosines.sortBy(-_))
     assert(p1.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
   }
+
+  test("language ID votes across en/fr/de/es/it; no function words → und") {
+    import graft.ops.TextOps.predictLang
+    assert(predictLang("the quick brown fox jumps over the lazy dog") == "en")
+    assert(predictLang("le chat est sur la table dans la maison") == "fr")
+    assert(predictLang("die Katze ist auf dem Tisch und der Hund auch") == "de")
+    assert(predictLang("el gato está sobre la mesa porque quiere comer algo") == "es")
+    assert(predictLang("il gatto è sul tavolo perché vuole mangiare qualcosa") == "it")
+    assert(predictLang("zxqv 12345 blorp") == "und")
+    assert(predictLang("") == "und")
+  }
 }
