@@ -122,16 +122,22 @@ object TextOps {
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
-  /** Candidate pairs (a, b) sharing ≥1 MinHash band bucket, via equi-join
-    * on (band, key) — never an all-pairs comparison. */
-  private def minHashCandidates(source: DataFrame): DataFrame = {
-    val bands = minHashBands(source)
-    val l = bands.select(col("band"), col("key"), col("doc_id").as("a"))
-    val r = bands.select(col("band"), col("key"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "key"))
+  /** Candidate pairs (a, b) sharing ≥1 MinHash band bucket — never an
+    * all-pairs comparison. Pairs are generated INSIDE each (band, key)
+    * bucket (one shuffle to buckets, nested explode) rather than a band
+    * self-join: the bands table is computed and shuffled once instead of
+    * twice, with the same candidate set (VectorOps.similarPairs uses the
+    * same shape for embeddings). Bucket sizes stay bounded because the
+    * band key space scales with corpus size (raise MinHash rows per band
+    * at larger corpora). */
+  private def minHashCandidates(source: DataFrame): DataFrame =
+    minHashBands(source)
+      .groupBy("band", "key").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-  }
 
   /** MinHash-LSH candidate pairs (a, b). */
   def minHashPairs(spark: SparkSession, sfDir: String): DataFrame =

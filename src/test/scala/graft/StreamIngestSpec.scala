@@ -102,4 +102,30 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(analyzed.count() == 300, "replay after partial commit must not duplicate rows")
     assert(analyzed.select("docId").distinct().count() == 300)
   }
+
+  test("stream → refresh → searchable: end-to-end freshness without a rebuild") {
+    val srcDir = TestSpark.tmpDir("stream_src4")
+    val idxDir = TestSpark.tmpDir("stream_idx4")
+    // batch-built base index
+    graft.build.IndexBuilder.build(spark,
+      Transcripts.synth(spark, 400, turnsPerConv = 5).toDF(), idxDir,
+      graft.build.IndexBuilder.Config(shards = 4))
+    // a streamed doc with a vocabulary the base corpus lacks
+    Transcripts.fixture(spark, "cSTREAM",
+        Seq("zeppelin zeppelin archive fresh streamed turn")).toDF()
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(Transcripts.synth(spark, 1).toDF().schema).parquet(srcDir)
+    val q = StreamIngest.start(spark, stream, idxDir, shards = 4)
+    q.processAllAvailable()
+    q.stop()
+    // not yet searchable (postings/stats/df unchanged)...
+    val before = new graft.query.Searcher(spark, idxDir)
+    assert(before.topK("zeppelin archive", 5).count() == 0)
+    // ...one refresh makes it searchable through a delta segment
+    graft.build.IndexBuilder.refresh(spark, idxDir)
+    val after = new graft.query.Searcher(spark, idxDir)
+    val hits = after.topK("zeppelin archive", 5).select("conv_id").as[String].collect()
+    assert(hits.contains("cSTREAM"))
+  }
 }
