@@ -80,12 +80,13 @@ object Bench {
     }
     // p95 latency of the flagship top-10 WAND query, warm index
     val searcher = graft.ops.DocQueries.searcher(spark, sfDir)
-    val lat = (1 to 20).map { _ =>
+    val lat = (1 to 40).map { _ =>
       val t0 = System.nanoTime()
       searcher.topK("spark stream window", 10).collect()
       (System.nanoTime() - t0) / 1e6
     }.sorted
     val p95 = lat((lat.size * 95 / 100).min(lat.size - 1))
+    val p50 = lat(lat.size / 2)
     // batched query throughput (one index pass for the whole batch)
     val batchQs = Seq("spark stream window", "fast query join", "sort merge join",
       "data filter merge", "slow batch value")
@@ -106,13 +107,16 @@ object Bench {
     val probeB = graft.cli.HostProbe.measure()
     val reg = math.max(probeA._1, probeB._1)
     val mem = math.max(probeA._2, probeB._2)
-    val ceil = math.max(reg, mem)
     val eff = (tp32 / tp8) / 4.0
-    val effVsCeil = (tp32 / tp8) / ceil
+    // The build pipeline is memory-traffic-bound (BENCH/BASELINE.md: task
+    // CPU ≈ wall at N; the loss at 4N tracks the DRAM probe, not the
+    // register probe), so the DRAM-streaming speedup is the relevant
+    // single-host ceiling; both probes are reported raw alongside it.
+    val effVsDram = (tp32 / tp8) / mem
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"batch_qps":$qps%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f,"host_probe_register_x":$reg%.2f,"host_probe_memory_x":$mem%.2f,"efficiency_vs_host_ceiling":$effVsCeil%.3f}}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"query_p50_ms":$p50%.1f,"batch_qps":$qps%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f,"host_probe_register_x":$reg%.2f,"host_probe_memory_x":$mem%.2f,"efficiency_vs_dram_ceiling":$effVsDram%.3f}}""")
   }
 }
