@@ -107,6 +107,31 @@ class RefreshSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$incDir/postings_seg_3").exists())
   }
 
+  test("a term spanning base and delta segments merges: hits from both generations") {
+    val dir = TestSpark.tmpDir("xseg")
+    IndexBuilder.build(spark,
+      Transcripts.fixture(spark, "cBASE",
+        Seq("zzmerge alpha shared term", "other base doc entirely")).toDF(),
+      dir, IndexBuilder.Config(shards = 1)) // one shard → same kernel group
+    IndexBuilder.append(spark,
+      Transcripts.fixture(spark, "cDELTA",
+        Seq("zzmerge beta shared term zzmerge")).toDF(),
+      dir, IndexBuilder.Config(shards = 1))
+    IndexBuilder.refresh(spark, dir)
+    val s = new Searcher(spark, dir)
+    // single-query (colocated) path and the grouped batch path must both
+    // see the merged posting list — one hit from each segment
+    val single = s.topK("zzmerge", 10).select("conv_id").as[String].collect().toSet
+    assert(single == Set("cBASE", "cDELTA"), s"colocated path saw $single")
+    val batch = s.topKBatch(Map("q" -> "zzmerge"), 10)
+      .select("conv_id").as[String].collect().toSet
+    assert(batch == Set("cBASE", "cDELTA"), s"grouped path saw $batch")
+    // the delta doc (tf=2) must outscore the base doc (tf=1) — stats/df
+    // reflect BOTH segments after refresh
+    val top = s.topK("zzmerge", 1).select("conv_id").as[String].head()
+    assert(top == "cDELTA")
+  }
+
   test("refresh with no new rows is a no-op; append alone leaves queries unchanged") {
     val all = Transcripts.synth(spark, 800, turnsPerConv = 5).toDF()
     val dir = TestSpark.tmpDir("noop")
