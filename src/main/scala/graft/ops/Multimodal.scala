@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * metadata, feature extraction as a batched per-partition pass.
   *
   * The decode step is REAL byte-level container parsing (pure JVM, no
-  * codec jars): PNG signature + IHDR for images, RIFF/WAVE fmt-chunk walk
-  * for audio, RIFF/AVI hdrl/avih walk for video. The media table itself is
+  * codec jars): PNG signature + IHDR and JPEG marker-segment walk to SOF
+  * for images, RIFF/WAVE fmt-chunk walk for audio, RIFF/AVI hdrl/avih walk
+  * for video — and the container is SNIFFED from magic bytes, never taken
+  * from a metadata column. The media table itself is
   * synthesized deterministically (doc_id-derived dimensions, text payload)
   * because the sandbox ships no media files — but the parsers read the
   * actual container bytes, so the oracle check (closed-form dims from
@@ -45,11 +47,14 @@ object Multimodal {
     ((8000 + 1000 * (id % 5)).toInt, (1 + id % 2).toInt)
   def videoDims(id: Long): (Int, Int) =
     ((320 + (id * 11) % 1280).toInt, (240 + (id * 17) % 720).toInt)
+  def jpegDims(id: Long): (Int, Int) =
+    ((64 + (id * 5) % 2048).toInt, (48 + (id * 3) % 1536).toInt)
 
   /** Header byte counts (pinned by tests + the oracle's n_bytes formula). */
   val PngHeaderBytes = 33   // 8 sig + (4 len + 4 "IHDR" + 13 body + 4 crc)
   val WavHeaderBytes = 44   // 12 RIFF/WAVE + (8 + 16 fmt) + 8 data hdr
   val AviHeaderBytes = 88   // 12 RIFF/AVI + 8 LIST + 4 hdrl + 8 avih hdr + 56 avih
+  val JpegHeaderBytes = 33  // 2 SOI + 18 APP0/JFIF + 13 SOF0 (1 component)
 
   def synthPng(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream(PngHeaderBytes + payload.length)
@@ -84,6 +89,26 @@ object Multimodal {
     le32(avih, width); le32(avih, height)                             // dwWidth @32, dwHeight @36
     le32(avih, 0); le32(avih, 0); le32(avih, 0); le32(avih, 0)        // reserved
     o.write(avih.toByteArray, 0, 56)
+    o.write(payload, 0, payload.length)
+    o.toByteArray
+  }
+
+  def synthJpeg(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(JpegHeaderBytes + payload.length)
+    o.write(0xFF); o.write(0xD8)                       // SOI
+    o.write(0xFF); o.write(0xE0)                       // APP0
+    o.write(0); o.write(16)                            // segment length (incl. itself)
+    tag(o, "JFIF"); o.write(0)
+    o.write(1); o.write(2)                             // version 1.2
+    o.write(0); o.write(0); o.write(1); o.write(0); o.write(1) // units, densities
+    o.write(0); o.write(0)                             // no thumbnail
+    o.write(0xFF); o.write(0xC0)                       // SOF0 (baseline)
+    o.write(0); o.write(11)                            // length
+    o.write(8)                                         // precision
+    o.write((height >>> 8) & 0xFF); o.write(height & 0xFF)
+    o.write((width >>> 8) & 0xFF); o.write(width & 0xFF)
+    o.write(1)                                         // 1 component
+    o.write(1); o.write(0x11); o.write(0)              // comp id, sampling, qtable
     o.write(payload, 0, payload.length)
     o.toByteArray
   }
@@ -148,13 +173,37 @@ object Multimodal {
       } else None
     }
 
-    /** (width, height) of any supported container; audio maps to
-      * (sampleRate, channels). (-1, -1) for unparseable bytes. */
-    def parse(kind: String, b: Array[Byte]): (Int, Int) =
-      (kind match {
-        case "image" => parsePng(b)
-        case _       => parseRiff(b).map { case (_, w, h) => (w, h) }
-      }).getOrElse((-1, -1))
+    /** JPEG: SOI, then walk marker segments by their declared lengths
+      * (APPn/COM/anything) until a start-of-frame (SOF0/1/2) yields
+      * (width, height); stop at start-of-scan or a malformed marker. */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
+      var i = 2
+      while (i + 4 <= b.length && u8(b, i) == 0xFF) {
+        val m = u8(b, i + 1)
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2) {
+          if (i + 9 > b.length) return None
+          val h = (u8(b, i + 5) << 8) | u8(b, i + 6)
+          val w = (u8(b, i + 7) << 8) | u8(b, i + 8)
+          return Some((w, h))
+        }
+        if (m == 0xDA || m == 0xD9) return None // scan data / end: no SOF seen
+        val len = (u8(b, i + 2) << 8) | u8(b, i + 3)
+        if (len < 2) return None
+        i += 2 + len
+      }
+      None
+    }
+
+    /** Sniff the container from magic bytes and parse its header:
+      * (kind, width, height); audio maps to (sampleRate, channels);
+      * ("unknown", -1, -1) for unrecognized or corrupt bytes. */
+    def parse(b: Array[Byte]): (String, Int, Int) = {
+      val png = parsePng(b).map { case (w, h) => ("image", w, h) }
+      lazy val jpeg = parseJpeg(b).map { case (w, h) => ("image", w, h) }
+      lazy val riff = parseRiff(b)
+      png.orElse(jpeg).orElse(riff).getOrElse(("unknown", -1, -1))
+    }
   }
 
   /** Synth media table: real PNG/WAV/AVI containers with doc_id-derived
@@ -167,16 +216,19 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
-        id % 3 match {
+        id % 4 match {
           case 0 =>
             val (w, h) = imageDims(id)
             MediaRow(id, "image", synthPng(w, h, payload))
           case 1 =>
             val (sr, ch) = audioParams(id)
             MediaRow(id, "audio", synthWav(sr, ch, payload))
-          case _ =>
+          case 2 =>
             val (w, h) = videoDims(id)
             MediaRow(id, "video", synthAvi(w, h, payload))
+          case _ =>
+            val (w, h) = jpegDims(id)
+            MediaRow(id, "image", synthJpeg(w, h, payload))
         }
       }
   }
@@ -188,8 +240,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h) = MediaCodec.parse(r.kind, r.media)
-        MediaFeatures(r.doc_id, r.kind, r.media.length.toLong, w, h)
+        // kind is SNIFFED from the bytes, not read from the source column —
+        // the source label exists only so a mismatch would fail the oracle
+        val (kind, w, h) = MediaCodec.parse(r.media)
+        MediaFeatures(r.doc_id, kind, r.media.length.toLong, w, h)
       }
     }
   }

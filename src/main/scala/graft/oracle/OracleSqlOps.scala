@@ -137,15 +137,19 @@ object OracleSqlOps {
     * container bytes, so this oracle checks the decode path. */
   def mmFeatures: String =
     s"""SELECT doc_id,
-       |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 33 WHEN doc_id % 3 = 1 THEN 44 ELSE 88 END
+       |  CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 3 THEN 'image'
+       |       WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST(CASE WHEN doc_id % 4 = 0 THEN 33 WHEN doc_id % 4 = 1 THEN 44
+       |            WHEN doc_id % 4 = 2 THEN 88 ELSE 33 END
        |       + strlen(text) AS BIGINT) AS n_bytes,
-       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 160 + (doc_id * 7) % 800
-       |            WHEN doc_id % 3 = 1 THEN 8000 + 1000 * (doc_id % 5)
-       |            ELSE 320 + (doc_id * 11) % 1280 END AS BIGINT) AS width,
-       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 90 + (doc_id * 13) % 600
-       |            WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
-       |            ELSE 240 + (doc_id * 17) % 720 END AS BIGINT) AS height
+       |  CAST(CASE WHEN doc_id % 4 = 0 THEN 160 + (doc_id * 7) % 800
+       |            WHEN doc_id % 4 = 1 THEN 8000 + 1000 * (doc_id % 5)
+       |            WHEN doc_id % 4 = 2 THEN 320 + (doc_id * 11) % 1280
+       |            ELSE 64 + (doc_id * 5) % 2048 END AS BIGINT) AS width,
+       |  CAST(CASE WHEN doc_id % 4 = 0 THEN 90 + (doc_id * 13) % 600
+       |            WHEN doc_id % 4 = 1 THEN 1 + doc_id % 2
+       |            WHEN doc_id % 4 = 2 THEN 240 + (doc_id * 17) % 720
+       |            ELSE 48 + (doc_id * 3) % 1536 END AS BIGINT) AS height
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- embeddings -----------------------------------------------------------

@@ -19,7 +19,26 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = b.clone(); bad(1) = 'Q'.toByte
     assert(MediaCodec.parsePng(bad).isEmpty)
     assert(MediaCodec.parsePng(Array[Byte](1, 2, 3)).isEmpty)
-    assert(MediaCodec.parse("image", bad) == (-1, -1))
+    assert(MediaCodec.parse(bad) == ("unknown", -1, -1))
+  }
+
+  test("JPEG: marker walk skips APPn/COM segments to SOF0; corrupt rejected") {
+    val b = Multimodal.synthJpeg(1280, 720, payload)
+    assert(b.length == Multimodal.JpegHeaderBytes + payload.length)
+    assert(MediaCodec.parseJpeg(b).contains((1280, 720)))
+    assert(MediaCodec.parse(b) == ("image", 1280, 720))
+    // insert a COM segment between APP0 and SOF0 — the walk must skip it
+    val withCom = new java.io.ByteArrayOutputStream()
+    withCom.write(b, 0, 20) // SOI + APP0
+    withCom.write(0xFF); withCom.write(0xFE) // COM
+    withCom.write(0); withCom.write(7)       // len = 2 + 5
+    withCom.write("notes".getBytes("US-ASCII"))
+    withCom.write(b, 20, b.length - 20)
+    assert(MediaCodec.parseJpeg(withCom.toByteArray).contains((1280, 720)))
+    // SOS before any SOF → None; truncated → None
+    assert(MediaCodec.parseJpeg(Array(0xFF, 0xD8, 0xFF, 0xDA, 0, 4).map(_.toByte)).isEmpty)
+    assert(MediaCodec.parseJpeg(b.take(10)).isEmpty)
+    assert(MediaCodec.parse(Array[Byte](9, 9, 9)) == ("unknown", -1, -1))
   }
 
   test("WAV: fmt chunk found by walking, not fixed offsets") {
@@ -40,13 +59,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(b.length == Multimodal.AviHeaderBytes + payload.length)
     assert(MediaCodec.parseRiff(b).contains(("video", 640, 480)))
     assert(MediaCodec.parseRiff(b.take(20)).isEmpty)
-    assert(MediaCodec.parse("video", b.take(20)) == (-1, -1))
+    assert(MediaCodec.parse(b.take(20)) == ("unknown", -1, -1))
   }
 
-  test("features parses every synth row (no -1 dims) at sf0.001") {
+  test("features parses and SNIFFS every synth row (no -1 dims) at sf0.001") {
     val spark = TestSpark.spark
     val out = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
     assert(out.forall(r => r.getAs[Long]("width") > 0 && r.getAs[Long]("height") > 0))
+    // kind came from magic-byte sniffing and must match the %4 source cycle
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = (id % 4) match {
+        case 0 | 3 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      assert(r.getAs[String]("kind") == expected, s"doc $id sniffed ${r.getAs[String]("kind")}")
+    }
   }
 }
