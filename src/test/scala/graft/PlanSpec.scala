@@ -62,4 +62,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema") && !plan.contains("terms"),
       s"terms column not pruned from doc-meta scan:\n${plan.take(3000)}")
   }
+
+  test("LSH pair ops generate candidates without any join (bucket-local)") {
+    // embedding pairs and MinHash candidate pairs both build pairs INSIDE
+    // their hash buckets — the plan must contain no join operator at all
+    // (the old band self-join + join-backs computed the same set through
+    // 4 shuffles; a reappearing Join here is a scale regression)
+    val sf = "/root/testdata/sf0.001"
+    val embPlan = graft.ops.VectorOps.similarPairs(spark, sf, 10)
+      .queryExecution.executedPlan.toString
+    assert(!embPlan.contains("Join"), s"join in similarPairs plan:\n${embPlan.take(3000)}")
+    val mhPlan = graft.ops.TextOps.minHashPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!mhPlan.contains("Join"), s"join in minHashPairs plan:\n${mhPlan.take(3000)}")
+  }
 }
