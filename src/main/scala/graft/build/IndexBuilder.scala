@@ -62,7 +62,7 @@ final case class AnalyzedRow(
 object IndexBuilder {
 
   /** Bump when the on-disk index layout changes — consumers key caches on it. */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   final case class Config(
       shards: Int = 32,
@@ -106,7 +106,17 @@ object IndexBuilder {
     * analyzed rows not yet covered by any segment, and advance stats/df
     * incrementally (cost ∝ new rows + vocabulary, never the corpus). The
     * Searcher reads base + segments and merges per-(shard,term) lists on
-    * the fly — ranges are disjoint, so the merge is a concatenation. */
+    * the fly — ranges are disjoint, so the merge is a concatenation.
+    *
+    * CRASH SAFETY (generation-pointer commit, the manifest analogue of an
+    * Iceberg snapshot): every output of generation g is STAGED under a
+    * gen-suffixed name — postings_seg_<g>/, stats_g<g>/, df_g<g>/ and
+    * per-shard postings_cover_g<g>_<s> manifests — and readers resolve
+    * paths through the `postings_gen` pointer manifest, whose atomic write
+    * is the single commit point. A crash anywhere before the pointer write
+    * leaves only unreachable staging (overwritten by the retried refresh);
+    * a crash after it leaves a fully consistent index. Nothing is ever
+    * updated in place. */
   def refresh(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
     import spark.implicits._
     val shards = metaShards(indexDir).getOrElse(
@@ -124,14 +134,14 @@ object IndexBuilder {
     if (dn == 0L) return
     val dsum = delta.getAs[Long]("dsum")
 
-    // delta posting segment (same chunked assembly as the base build)
-    val gen = Manifests.read(indexDir, "postings_gen").map(_.rows).getOrElse(0L) + 1L
+    // ---- staging (all writes idempotent, none visible until the commit) --
+    val gen = committedGen(indexDir) + 1L
     val segDir = s"$indexDir/postings_seg_$gen"
     graft.sources.TableIO.write(
       assemblePostings(spark, newRows, parts, pkeys).toDF(), segDir)
 
     // stats: exact incremental update via the persisted length sum
-    val st = graft.sources.TableIO.read(spark, s"$indexDir/stats").head()
+    val st = graft.sources.TableIO.read(spark, statsPath(indexDir)).head()
     val oldN = st.getAs[Long]("n")
     val oldSum =
       if (st.schema.fieldNames.contains("sumlen")) st.getAs[Long]("sumlen")
@@ -139,45 +149,97 @@ object IndexBuilder {
     val n2 = oldN + dn
     val sum2 = oldSum + dsum
     Seq((n2, sum2.toDouble / n2, sum2)).toDF("n", "avgdl", "sumlen")
-      .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats"))
+      .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats_g$gen"))
 
-    // df: vocabulary-sized union-merge, written aside then swapped (the
-    // merged plan reads the old table; on Iceberg this is one commit).
-    // The delta df comes from the delta segment just written — pruned
-    // (term, count) columns, not a re-aggregation of the rows.
+    // df: vocabulary-sized union-merge reading the CURRENT generation and
+    // writing the next — no in-place swap. The delta df comes from the
+    // delta segment just written (pruned (term, count) columns), not a
+    // re-aggregation of the rows.
     val deltaDf = graft.sources.TableIO.read(spark, segDir)
       .groupBy($"term").agg(sum($"count").cast("long").as("df"))
-    val merged = graft.sources.TableIO.read(spark, s"$indexDir/df")
+    graft.sources.TableIO.read(spark, dfPath(indexDir))
       .unionByName(deltaDf)
       .groupBy($"term").agg(sum($"df").cast("long").as("df"))
-    graft.sources.TableIO.write(merged, s"$indexDir/df_tmp")
-    swapDir(spark, s"$indexDir/df_tmp", s"$indexDir/df")
+      .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/df_g$gen"))
 
-    // advance per-shard coverage to the new max ranks, then publish the gen
+    // coverage of generation g (part of the staged state: a retry after a
+    // crash must re-derive newRows from the COMMITTED covers, never these)
     newRows.groupBy($"shard").agg(max(rankCol).as("maxRank")).collect()
       .foreach(r => cover(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
-    writeCover(indexDir, cover)
+    cover.zipWithIndex.foreach { case (v, s) =>
+      Manifests.write(indexDir, StageManifest(s"postings_cover_g${gen}_$s", v, 0, "cover", 0))
+    }
+
+    // ---- commit (atomic manifest rename) ---------------------------------
     Manifests.write(indexDir, StageManifest("postings_gen", gen, 0, "gen", 0))
+
+    // retention: generations ≤ g-2 are unreachable by any new reader —
+    // drop their stats/df copies (segments stay: they ARE the index until
+    // compact folds them). Production would keep a time-based window for
+    // long-lived reader snapshots.
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to gen - 2).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/stats_g$g"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/df_g$g"), true)
+    }
   }
 
   /** Fold all delta segments back into the base postings table (one full
-    * posting rebuild — run it on the compaction cadence, not per refresh). */
+    * posting rebuild — run it on the compaction cadence, not per refresh).
+    * Only COVERED rows are compacted: rows appended after the last refresh
+    * stay out of the postings until their refresh, preserving the
+    * stats/df/postings same-document-set invariant. Offline maintenance:
+    * requires no concurrent refresh, and a crash during the base-table
+    * swap is repaired by re-running compact. */
   def compact(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
     val shards = metaShards(indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
     val parts = shards
     val pkeys = ShardKeys.keys(shards, parts)
+    val cover = readCover(spark, indexDir, shards)
     val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+      .where(expr(s"docId & ${Ids.RankMask}") < element_at(lit(cover), col("shard") + 1))
     graft.sources.TableIO.write(
       assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings_tmp")
     swapDir(spark, s"$indexDir/postings_tmp", s"$indexDir/postings")
-    // drop the now-redundant segments
+    // drop the now-redundant segments (covers are untouched: the covered
+    // document set did not change, only its physical layout)
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir).foreach { f =>
       if (f.getPath.getName.startsWith("postings_seg_")) fs.delete(f.getPath, true)
     }
-    writeCover(indexDir, nextRanks(spark, analyzed, shards))
+  }
+
+  // ---- generation-pointer path resolution ----------------------------------
+
+  /** Committed refresh generation (0 = base build only). */
+  def committedGen(indexDir: String): Long =
+    Manifests.read(indexDir, "postings_gen").map(_.rows).getOrElse(0L)
+
+  /** Current stats table location (gen-suffixed after a refresh). */
+  def statsPath(indexDir: String): String = {
+    val g = committedGen(indexDir)
+    if (g == 0L) s"$indexDir/stats" else s"$indexDir/stats_g$g"
+  }
+
+  /** Current df table location (gen-suffixed after a refresh). */
+  def dfPath(indexDir: String): String = {
+    val g = committedGen(indexDir)
+    if (g == 0L) s"$indexDir/df" else s"$indexDir/df_g$g"
+  }
+
+  /** Live posting segment dirs: generations 1..committed that still exist
+    * (compact deletes folded segments; staging above the pointer is never
+    * read, so a crashed half-written segment is invisible). */
+  def segmentPaths(spark: SparkSession, indexDir: String): Seq[String] = {
+    val g = committedGen(indexDir)
+    if (g == 0L) return Seq.empty
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to g).map(i => s"$indexDir/postings_seg_$i")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
   }
 
   // ---- shared build configuration -----------------------------------------
@@ -308,8 +370,8 @@ object IndexBuilder {
         graft.sources.TableIO.write(
           assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings")
         // segment-coverage manifests are NOT written here (job-minimal build):
-        // the first refresh derives coverage from the posting blobs' blockLast
-        // arrays (readCover fallback) and persists manifests from then on.
+        // at generation 0 refresh derives coverage from the posting blobs'
+        // blockLast arrays; committed generations carry their own covers.
         graft.sources.TableIO.read(spark, s"$indexDir/postings").count()
       }
       stage(spark, indexDir, "df") { () =>
@@ -500,31 +562,21 @@ object IndexBuilder {
 
   // ---- segment coverage ------------------------------------------------------
 
-  /** Next free rank per shard (max analyzed rank + 1; 0 for empty shards). */
-  private def nextRanks(spark: SparkSession, analyzed: DataFrame,
-                        shards: Int): Array[Long] = {
-    val next = new Array[Long](shards)
-    analyzed.groupBy("shard")
-      .agg(max(expr(s"docId & ${Ids.RankMask}")).as("maxRank")).collect()
-      .foreach(r => next(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
-    next
-  }
-
-  private def writeCover(indexDir: String, cover: Array[Long]): Unit =
-    cover.zipWithIndex.foreach { case (v, s) =>
-      Manifests.write(indexDir, StageManifest(s"postings_cover_$s", v, 0, "cover", 0))
-    }
-
-  /** Per-shard first rank NOT covered by any posting segment. Falls back to
-    * deriving coverage from the posting blobs themselves (each Posting's
-    * blockLast array ends at its max docId — no blob decode needed) for
-    * indexes built before cover manifests existed. */
+  /** Per-shard first rank NOT covered by any committed posting segment.
+    * Generation g > 0 reads the covers committed WITH that generation
+    * (postings_cover_g<g>_<s>); a fresh base build (g = 0) derives
+    * coverage from the posting blobs themselves — each Posting's blockLast
+    * array ends at its max docId, so one pruned column scan of the base
+    * table recovers it with no blob decode and no extra build-time job. */
   private def readCover(spark: SparkSession, indexDir: String,
                         shards: Int): Array[Long] = {
     val cover = new Array[Long](shards)
-    if (Manifests.read(indexDir, "postings_cover_0").isDefined) {
+    val g = committedGen(indexDir)
+    if (g > 0L) {
       (0 until shards).foreach { s =>
-        cover(s) = Manifests.read(indexDir, s"postings_cover_$s").map(_.rows).getOrElse(0L)
+        cover(s) = Manifests.read(indexDir, s"postings_cover_g${g}_$s").map(_.rows)
+          .getOrElse(throw new IllegalStateException(
+            s"committed generation $g lacks cover manifest for shard $s"))
       }
     } else {
       graft.sources.TableIO.read(spark, s"$indexDir/postings")

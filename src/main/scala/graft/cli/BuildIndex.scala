@@ -53,7 +53,7 @@ object BuildIndex {
       else spark.read.parquet(source)
     IndexBuilder.build(spark, input, indexDir, IndexBuilder.Config(shards = shards))
     val secs = (System.nanoTime() - t0) / 1e9
-    val n = spark.read.parquet(s"$indexDir/stats").head().getAs[Long]("n")
+    val n = spark.read.parquet(graft.build.IndexBuilder.statsPath(indexDir)).head().getAs[Long]("n")
     println(f"[build-index] $n turns in $secs%.2f s (${n / secs}%.0f turns/sec) → $indexDir")
     // listener events are posted asynchronously — let the bus drain
     Thread.sleep(500)

@@ -65,23 +65,15 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * the lists are merged (disjoint ranges — pure concatenation). Snapshot
     * of the segment list is taken at construction: a Searcher serves one
     * index generation; the serving tier builds a new Searcher on publish. */
-  private val postingsPaths: Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs =
-      try fs.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith("postings_seg_"))
-        .sortBy(n => n.stripPrefix("postings_seg_").toLong)
-        .map(n => s"$indexDir/$n")
-      catch { case _: Throwable => Seq.empty }
-    s"$indexDir/postings" +: segs
-  }
+  private val postingsPaths: Seq[String] =
+    s"$indexDir/postings" +: graft.build.IndexBuilder.segmentPaths(spark, indexDir)
   private val postingsDF = maybeCache(graft.sources.TableIO.read(spark, postingsPaths))
-  private val dfDF = maybeCache(graft.sources.TableIO.read(spark, s"$indexDir/df"))
+  private val dfDF = maybeCache(graft.sources.TableIO.read(spark,
+    graft.build.IndexBuilder.dfPath(indexDir)))
   private val docMetaDF = maybeCache(Searcher.docMeta(spark, indexDir))
 
-  private val statsRow = graft.sources.TableIO.read(spark, s"$indexDir/stats").head()
+  private val statsRow = graft.sources.TableIO.read(spark,
+    graft.build.IndexBuilder.statsPath(indexDir)).head()
   val n: Long = statsRow.getAs[Long]("n")
   val avgdl: Double = statsRow.getAs[Double]("avgdl")
 

@@ -58,13 +58,13 @@ class RefreshSpec extends AnyFunSuite {
 
     // stats advanced exactly
     val fs = spark.read.parquet(s"$fullDir/stats").head()
-    val is = spark.read.parquet(s"$incDir/stats").head()
+    val is = spark.read.parquet(IndexBuilder.statsPath(incDir)).head()
     assert(is.getAs[Long]("n") == fs.getAs[Long]("n"))
     assert(math.abs(is.getAs[Double]("avgdl") - fs.getAs[Double]("avgdl")) < 1e-9)
 
     // df identical as a set
     val dfFull = spark.read.parquet(s"$fullDir/df")
-    val dfInc = spark.read.parquet(s"$incDir/df")
+    val dfInc = spark.read.parquet(IndexBuilder.dfPath(incDir))
     assert(dfFull.except(dfInc).count() == 0 && dfInc.except(dfFull).count() == 0)
 
     val sFull = new Searcher(spark, fullDir)
@@ -130,6 +130,33 @@ class RefreshSpec extends AnyFunSuite {
     // reflect BOTH segments after refresh
     val top = s.topK("zzmerge", 1).select("conv_id").as[String].head()
     assert(top == "cDELTA")
+  }
+
+  test("crashed refresh staging is invisible; the retry commits cleanly") {
+    val dir = TestSpark.tmpDir("crash")
+    IndexBuilder.build(spark,
+      Transcripts.synth(spark, 600, turnsPerConv = 5).toDF(), dir,
+      IndexBuilder.Config(shards = 4))
+    IndexBuilder.append(spark,
+      Transcripts.fixture(spark, "cLATE", Seq("qqcrash unique appended doc")).toDF(),
+      dir, IndexBuilder.Config(shards = 4))
+    // simulate a refresh that died mid-staging: a half-written segment and
+    // stats copy above the committed pointer (gen 0)
+    new java.io.File(s"$dir/postings_seg_1").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/postings_seg_1/part-garbage.parquet"), "corrupt")
+    new java.io.File(s"$dir/stats_g1").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/stats_g1/part-garbage.parquet"), "corrupt")
+    // readers resolve through the pointer → the garbage is unreachable
+    val s0 = new Searcher(spark, dir)
+    assert(s0.topK("tok0", 5).count() == 5)
+    assert(s0.topK("qqcrash", 5).count() == 0) // not yet committed
+    // the retried refresh overwrites the staging and commits atomically
+    IndexBuilder.refresh(spark, dir)
+    assert(Manifests.read(dir, "postings_gen").map(_.rows).contains(1L))
+    val s1 = new Searcher(spark, dir)
+    assert(s1.topK("qqcrash", 5).select("conv_id").as[String].collect().contains("cLATE"))
   }
 
   test("refresh with no new rows is a no-op; append alone leaves queries unchanged") {
