@@ -130,10 +130,20 @@ object TextOps {
     * same shape for embeddings). Bucket sizes stay bounded because the
     * band key space scales with corpus size (raise MinHash rows per band
     * at larger corpora). */
+  /** A band bucket larger than this means the corpus has a huge
+    * exact/near-dup cluster that candidate pairing would go quadratic on —
+    * fail fast with instructions (run dedupExact first, or raise the
+    * MinHash rows per band) instead of OOMing one reducer. */
+  val BucketCap = 4096
+
   private def minHashCandidates(source: DataFrame): DataFrame =
     minHashBands(source)
       .groupBy("band", "key").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
+      .withColumn("ds", when(size(col("ds")) <= BucketCap, col("ds"))
+        .otherwise(raise_error(concat(
+          lit(s"MinHash band bucket exceeds $BucketCap docs — dedupExact first or raise rows/band (band "),
+          col("band"), lit(")")))))
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a") < col("b"))
