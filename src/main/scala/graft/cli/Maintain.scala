@@ -1,0 +1,61 @@
+package graft.cli
+
+import graft.build.IndexBuilder
+import org.apache.spark.sql.SparkSession
+
+/** Index-maintenance entry point for the incremental path:
+  *
+  *   Maintain append  <indexDir> <parquetPath|nTurns>   — land new turns
+  *   Maintain refresh <indexDir>                        — make them searchable
+  *   Maintain compact <indexDir>                        — fold delta segments
+  *   Maintain status  <indexDir>                        — generation + manifests
+  */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    val cmd = args(0)
+    val indexDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val builder = SparkSession.builder()
+      .appName(s"graft-maintain-$cmd")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    if (!sys.props.contains("spark.master")) builder.master(s"local[$cpus]")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    cmd match {
+      case "append" =>
+        val src = args(2)
+        val input =
+          if (src.forall(_.isDigit))
+            graft.sources.Transcripts.synth(spark, src.toLong, parallelism = cpus.toInt).toDF()
+          else spark.read.parquet(src)
+        IndexBuilder.append(spark, input, indexDir)
+        println(f"[maintain] appended in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          "(searchable after the next refresh)")
+      case "refresh" =>
+        val before = IndexBuilder.committedGen(indexDir)
+        IndexBuilder.refresh(spark, indexDir)
+        val after = IndexBuilder.committedGen(indexDir)
+        if (after == before)
+          println(s"[maintain] nothing to refresh (generation $before)")
+        else
+          println(f"[maintain] committed generation $after in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      case "compact" =>
+        IndexBuilder.compact(spark, indexDir)
+        println(f"[maintain] compacted in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(generation ${IndexBuilder.committedGen(indexDir)})")
+      case "status" =>
+        val gen = IndexBuilder.committedGen(indexDir)
+        val segs = IndexBuilder.segmentPaths(spark, indexDir)
+        val st = spark.read.parquet(IndexBuilder.statsPath(indexDir)).head()
+        println(s"[maintain] generation $gen; ${segs.size} live segment(s); " +
+          s"n=${st.getAs[Long]("n")} avgdl=${st.getAs[Double]("avgdl")}")
+        segs.foreach(p => println(s"  segment: $p"))
+      case other => sys.error(s"unknown command '$other' (append|refresh|compact|status)")
+    }
+    spark.stop()
+  }
+}
