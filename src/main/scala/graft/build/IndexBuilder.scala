@@ -85,19 +85,25 @@ object IndexBuilder {
     * documents become searchable after the next [[refresh]]. */
   def append(spark: SparkSession, input: DataFrame, indexDir: String,
              cfg: Config = Config()): Unit = withBuildConf(spark) {
-    val shards = metaShards(indexDir).getOrElse(cfg.shards)
+    // never guess the shard count: routing rows with the wrong modulus
+    // would corrupt the shard layout (refresh silently drops out-of-range
+    // shards, HWM arrays overflow)
+    val shards = metaShards(indexDir).getOrElse(
+      throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
     val parts = partsFor(cfg, shards)
     val pkeys = ShardKeys.keys(shards, parts)
     val hwm = Hwm.read(spark, indexDir, shards)
     val rows = analyzedRows(input, shards, parts, pkeys, cfg.language,
       cfg.normalizer, hwm)
     graft.sources.TableIO.write(rows, s"$indexDir/analyzed", mode = "append")
-    // Advance HWMs by the per-shard counts that landed (small agg; the
-    // input is a deterministic source, same protocol as streaming ingest).
-    input.select(pmod(hash(col("conv_id").cast("string")), lit(shards))
-        .cast("int").as("shard"))
-      .groupBy("shard").count().collect()
-      .foreach(r => hwm(r.getAs[Int]("shard")) += r.getAs[Long]("count"))
+    // Advance HWMs from the ranks that actually LANDED (pruned shard+docId
+    // scan of the analyzed table above the old HWMs) — never by re-scanning
+    // the input, which a non-deterministic source could replay differently.
+    graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+      .where(expr(s"docId & ${Ids.RankMask}") >= element_at(lit(hwm.clone()), col("shard") + 1))
+      .groupBy("shard").agg(max(expr(s"docId & ${Ids.RankMask}")).as("maxRank"))
+      .collect()
+      .foreach(r => hwm(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
     Hwm.write(indexDir, hwm)
   }
 
@@ -202,14 +208,18 @@ object IndexBuilder {
       .where(expr(s"docId & ${Ids.RankMask}") < element_at(lit(cover), col("shard") + 1))
     graft.sources.TableIO.write(
       assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings_tmp")
-    swapDir(spark, s"$indexDir/postings_tmp", s"$indexDir/postings")
-    // drop the now-redundant segments (covers are untouched: the covered
-    // document set did not change, only its physical layout)
+    // Segments are deleted BEFORE the base swap: a crash in between leaves
+    // queries temporarily missing the folded docs (visible staleness,
+    // repaired by re-running compact) — the reverse order would leave the
+    // same docIds in base AND segments, and the kernel's segment merge
+    // would silently corrupt on the overlapping ranges. Covers are
+    // untouched: the covered document set did not change, only its layout.
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir).foreach { f =>
       if (f.getPath.getName.startsWith("postings_seg_")) fs.delete(f.getPath, true)
     }
+    swapDir(spark, s"$indexDir/postings_tmp", s"$indexDir/postings")
   }
 
   // ---- generation-pointer path resolution ----------------------------------
@@ -355,12 +365,28 @@ object IndexBuilder {
     import scala.concurrent.ExecutionContext.Implicits.global
     val stages = Seq(
 
-    // ---- stage: stats (N, avgdl, sumlen) ---------------------------------
+    // ---- stage: stats (N, avgdl, sumlen) + generation-0 covers -----------
+    // ONE pruned per-shard aggregation yields both the corpus statistics
+    // and the per-shard coverage high-water marks. Covers must come from
+    // the ANALYZED ranks, not the posting blobs: a zero-term (stopword-
+    // only) doc above a shard's last posting is counted in stats, and a
+    // blob-derived cover would let the first refresh count it AGAIN.
     Future(stage(spark, indexDir, "stats") { () =>
-      analyzed.agg(count(lit(1)).as("n"), coalesce(avg($"len"), lit(0.0)).as("avgdl"),
-          coalesce(sum($"len"), lit(0L)).as("sumlen"))
-        .select($"n".cast("long"), $"avgdl".cast("double"), $"sumlen".cast("long"))
+      val per = analyzed.groupBy($"shard").agg(
+          count(lit(1)).as("cnt"),
+          coalesce(sum($"len"), lit(0L)).as("s"),
+          max(expr(s"docId & ${Ids.RankMask}")).as("maxRank"))
+        .collect()
+      val n = per.map(_.getAs[Long]("cnt")).sum
+      val sumlen = per.map(_.getAs[Long]("s")).sum
+      Seq((n, if (n == 0) 0.0 else sumlen.toDouble / n, sumlen))
+        .toDF("n", "avgdl", "sumlen")
         .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats"))
+      val cover = new Array[Long](cfg.shards)
+      per.foreach(r => cover(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
+      cover.zipWithIndex.foreach { case (v, s) =>
+        Manifests.write(indexDir, StageManifest(s"postings_cover_g0_$s", v, 0, "cover", 0))
+      }
       1L
     }),
 
@@ -369,9 +395,6 @@ object IndexBuilder {
       stage(spark, indexDir, "postings") { () =>
         graft.sources.TableIO.write(
           assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings")
-        // segment-coverage manifests are NOT written here (job-minimal build):
-        // at generation 0 refresh derives coverage from the posting blobs'
-        // blockLast arrays; committed generations carry their own covers.
         graft.sources.TableIO.read(spark, s"$indexDir/postings").count()
       }
       stage(spark, indexDir, "df") { () =>
@@ -562,28 +585,19 @@ object IndexBuilder {
 
   // ---- segment coverage ------------------------------------------------------
 
-  /** Per-shard first rank NOT covered by any committed posting segment.
-    * Generation g > 0 reads the covers committed WITH that generation
-    * (postings_cover_g<g>_<s>); a fresh base build (g = 0) derives
-    * coverage from the posting blobs themselves — each Posting's blockLast
-    * array ends at its max docId, so one pruned column scan of the base
-    * table recovers it with no blob decode and no extra build-time job. */
-  private def readCover(spark: SparkSession, indexDir: String,
-                        shards: Int): Array[Long] = {
-    val cover = new Array[Long](shards)
+  /** Per-shard first rank NOT covered by any committed posting segment:
+    * every generation (the base build's stats stage writes g = 0) commits
+    * per-shard cover manifests; missing covers mean a foreign/corrupt
+    * index — fail fast rather than silently re-index or skip rows. */
+  private[graft] def readCover(spark: SparkSession, indexDir: String,
+                               shards: Int): Array[Long] = {
     val g = committedGen(indexDir)
-    if (g > 0L) {
-      (0 until shards).foreach { s =>
-        cover(s) = Manifests.read(indexDir, s"postings_cover_g${g}_$s").map(_.rows)
-          .getOrElse(throw new IllegalStateException(
-            s"committed generation $g lacks cover manifest for shard $s"))
-      }
-    } else {
-      graft.sources.TableIO.read(spark, s"$indexDir/postings")
-        .select(col("shard"),
-          (element_at(col("blockLast"), -1).bitwiseAND(lit(Ids.RankMask))).as("maxRank"))
-        .groupBy("shard").agg(max(col("maxRank")).as("maxRank")).collect()
-        .foreach(r => cover(r.getAs[Int]("shard")) = r.getAs[Long]("maxRank") + 1L)
+    val cover = new Array[Long](shards)
+    (0 until shards).foreach { s =>
+      cover(s) = Manifests.read(indexDir, s"postings_cover_g${g}_$s").map(_.rows)
+        .getOrElse(throw new IllegalStateException(
+          s"generation $g lacks cover manifest for shard $s — " +
+            "index predates this format (rebuild) or is corrupt"))
     }
     cover
   }

@@ -126,8 +126,8 @@ object ScalingBench {
     val normalized = eff / (memSpeed / 4.0)
     sb.append(f"**Probe-normalized efficiency = $eff%.3f / ${memSpeed / 4.0}%.2f = $normalized%.2f** — the\n")
     sb.append("fraction of the host's concurrently-measured parallel-scaling ceiling the\n")
-    sb.append("engine achieves. This metric is stable across noisy-neighbor windows\n")
-    sb.append("(0.83-0.84 observed both in quiet and contended windows) and is the\n")
+    sb.append("engine achieves. Observed 0.79-0.84 across quiet and contended windows\n")
+    sb.append("(far tighter than the raw ratio's 0.58-0.80 swing) and is the\n")
     sb.append("cluster-relevant number: on 4 real nodes each with its own DRAM the\n")
     sb.append("ceiling is ≈1.0, so the same pipeline projects to ≥0.8 efficiency.\n\n")
     sb.append("## Per-stage build metrics (from the checkpoint manifests)\n\n")

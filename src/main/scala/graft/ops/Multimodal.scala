@@ -180,17 +180,22 @@ object Multimodal {
       if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
       var i = 2
       while (i + 4 <= b.length && u8(b, i) == 0xFF) {
-        val m = u8(b, i + 1)
+        // the spec allows any number of 0xFF FILL bytes before a marker
+        // code — skip them, then read the code
+        var j = i + 1
+        while (j + 1 < b.length && u8(b, j) == 0xFF) j += 1
+        val m = u8(b, j)
         if (m == 0xC0 || m == 0xC1 || m == 0xC2) {
-          if (i + 9 > b.length) return None
-          val h = (u8(b, i + 5) << 8) | u8(b, i + 6)
-          val w = (u8(b, i + 7) << 8) | u8(b, i + 8)
+          if (j + 8 > b.length) return None
+          val h = (u8(b, j + 4) << 8) | u8(b, j + 5)
+          val w = (u8(b, j + 6) << 8) | u8(b, j + 7)
           return Some((w, h))
         }
         if (m == 0xDA || m == 0xD9) return None // scan data / end: no SOF seen
-        val len = (u8(b, i + 2) << 8) | u8(b, i + 3)
+        if (j + 2 >= b.length) return None
+        val len = (u8(b, j + 1) << 8) | u8(b, j + 2)
         if (len < 2) return None
-        i += 2 + len
+        i = j + 1 + len
       }
       None
     }

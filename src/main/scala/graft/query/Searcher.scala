@@ -70,10 +70,28 @@ final class Searcher(spark: SparkSession, indexDir: String,
   private val postingsDF = maybeCache(graft.sources.TableIO.read(spark, postingsPaths))
   private val dfDF = maybeCache(graft.sources.TableIO.read(spark,
     graft.build.IndexBuilder.dfPath(indexDir)))
-  private val docMetaDF = maybeCache(Searcher.docMeta(spark, indexDir))
+  private lazy val docMetaDF = maybeCache(
+    covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
+      .select(col("shard"), col("docId"), col("conv_id"), col("turn_idx"), col("len")))
 
   private val statsRow = graft.sources.TableIO.read(spark,
     graft.build.IndexBuilder.statsPath(indexDir)).head()
+
+  /** Committed-coverage filter: analyzed/ may hold appended-but-UNREFRESHED
+    * rows, and the relational paths (scoreAll, doc-meta) scan analyzed/
+    * directly — without this filter they would surface documents the WAND
+    * path (committed postings only) and the committed stats/df cannot see.
+    * None when no append/stream ever touched the index (no HWM manifests):
+    * coverage is then trivially complete and the filter would only cost. */
+  private val coveredOnly: Option[org.apache.spark.sql.Column] =
+    if (graft.build.Manifests.read(indexDir, "stream_hwm_max").isEmpty) None
+    else graft.build.IndexBuilder.metaShards(indexDir).map { shards =>
+      val cover = graft.build.IndexBuilder.readCover(spark, indexDir, shards)
+      expr(s"docId & ${graft.model.Ids.RankMask}")
+        .lt(element_at(lit(cover), col("shard") + 1))
+    }
+  private def covered(df: DataFrame): DataFrame =
+    coveredOnly.fold(df)(df.where)
   val n: Long = statsRow.getAs[Long]("n")
   val avgdl: Double = statsRow.getAs[Double]("avgdl")
 
@@ -235,7 +253,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val qdf = qtf.toSeq.toDF("term", "qtf")
     val dfTable = dfDF
       .where(col("term").isin(qtf.keys.toSeq: _*))
-    val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+    val analyzed = covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
     val exploded = analyzed
       .select($"docId", $"conv_id", $"turn_idx", $"len",
         explode(arrays_zip($"terms", $"tfs")).as("tt"))

@@ -35,6 +35,12 @@ class MultimodalSpec extends AnyFunSuite {
     withCom.write("notes".getBytes("US-ASCII"))
     withCom.write(b, 20, b.length - 20)
     assert(MediaCodec.parseJpeg(withCom.toByteArray).contains((1280, 720)))
+    // 0xFF FILL bytes before a marker code are legal — the walk skips them
+    val withFill = new java.io.ByteArrayOutputStream()
+    withFill.write(b, 0, 20)             // SOI + APP0
+    withFill.write(0xFF); withFill.write(0xFF) // two fill bytes, then SOF's own FF
+    withFill.write(b, 20, b.length - 20)
+    assert(MediaCodec.parseJpeg(withFill.toByteArray).contains((1280, 720)))
     // SOS before any SOF → None; truncated → None
     assert(MediaCodec.parseJpeg(Array(0xFF, 0xD8, 0xFF, 0xDA, 0, 4).map(_.toByte)).isEmpty)
     assert(MediaCodec.parseJpeg(b.take(10)).isEmpty)

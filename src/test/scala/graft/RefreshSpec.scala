@@ -132,6 +132,21 @@ class RefreshSpec extends AnyFunSuite {
     assert(top == "cDELTA")
   }
 
+  test("a zero-term doc above the last posting stays covered: refresh is a no-op") {
+    // regression: covers derived from posting blockLast (instead of
+    // analyzed ranks) would see a stopword-only TAIL doc as uncovered and
+    // the first refresh would double-count it in stats
+    val dir = TestSpark.tmpDir("ztail")
+    val texts = Seq("alpha beta gamma", "delta epsilon", "the and of a is") // tail = stopword-only
+    IndexBuilder.build(spark, Transcripts.fixture(spark, "cZ", texts).toDF(), dir,
+      IndexBuilder.Config(shards = 1))
+    val n0 = spark.read.parquet(IndexBuilder.statsPath(dir)).head().getAs[Long]("n")
+    assert(n0 == 3)
+    IndexBuilder.refresh(spark, dir)
+    assert(Manifests.read(dir, "postings_gen").isEmpty, "refresh must be a no-op")
+    assert(spark.read.parquet(IndexBuilder.statsPath(dir)).head().getAs[Long]("n") == 3)
+  }
+
   test("crashed refresh staging is invisible; the retry commits cleanly") {
     val dir = TestSpark.tmpDir("crash")
     IndexBuilder.build(spark,
@@ -174,6 +189,11 @@ class RefreshSpec extends AnyFunSuite {
     val after = new Searcher(spark, dir).topK("tok0", 5)
       .select("conv_id", "turn_idx", "score").collect().toSeq
     assert(before == after)
+    // the RELATIONAL paths must not leak the unrefreshed doc either: it is
+    // in analyzed/ but outside the committed coverage
+    val sAfter = new Searcher(spark, dir)
+    assert(sAfter.scoreAll("tok0").filter($"conv_id" === "cNEW").count() == 0)
+    assert(sAfter.scoreAll("", keepZeros = true).filter($"conv_id" === "cNEW").count() == 0)
     // …and refresh makes the appended doc visible
     IndexBuilder.refresh(spark, dir)
     val visible = new Searcher(spark, dir).topK("fresh appended", 5)
