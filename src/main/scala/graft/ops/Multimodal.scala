@@ -147,27 +147,38 @@ object Multimodal {
         var i = 12
         while (i + 8 <= b.length) {
           val size = le32(b, i + 4)
+          // adversarial/corrupt sizes: negative or overflowing declared
+          // lengths must fail the parse, never hang or index out of bounds
+          if (size < 0) return None
           if (tagAt(b, i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
             return Some(("audio", le32(b, i + 12), le16(b, i + 10)))
-          i += 8 + size + (size & 1)
+          val next = i.toLong + 8L + size + (size & 1)
+          if (next > b.length) return None
+          i = next.toInt
         }
         None
       } else if (tagAt(b, 8, "AVI ")) {
         var i = 12
         while (i + 12 <= b.length) {
           val size = le32(b, i + 4)
+          if (size < 0) return None
           if (tagAt(b, i, "LIST") && tagAt(b, i + 8, "hdrl")) {
             var j = i + 12
-            val end = math.min(i + 8 + size, b.length)
+            val end = math.min(i.toLong + 8L + size, b.length.toLong).toInt
             while (j + 8 <= end) {
               val s2 = le32(b, j + 4)
+              if (s2 < 0) return None
               if (tagAt(b, j, "avih") && s2 >= 40 && j + 8 + 40 <= b.length)
                 return Some(("video", le32(b, j + 8 + 32), le32(b, j + 8 + 36)))
-              j += 8 + s2 + (s2 & 1)
+              val nj = j.toLong + 8L + s2 + (s2 & 1)
+              if (nj > end) return None
+              j = nj.toInt
             }
             return None
           }
-          i += 8 + size + (size & 1)
+          val next = i.toLong + 8L + size + (size & 1)
+          if (next > b.length) return None
+          i = next.toInt
         }
         None
       } else None

@@ -85,8 +85,25 @@ object TextOps {
     * cnt > 1, keep_id = min doc_id. Token-less docs carry no signature
     * (the SQL mirror's unnest drops them the same way). Byte-exact text
     * identity is the separate `fingerprint` op. */
+  /** UTF-8-byte-order comparison (== codepoint order): Java's default
+    * String ordering compares UTF-16 code units, which sorts astral-plane
+    * tokens BEFORE high-BMP ones while the DuckDB oracle's binary UTF-8
+    * collation sorts them after — signatures must agree byte-for-byte. */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigUdf = udf((t: String) => Analyzer.tokenizeRaw(t).distinct.sorted.mkString(" "))
+    val sigUdf = udf((t: String) =>
+      Analyzer.tokenizeRaw(t).distinct.sortWith(utf8Less).mkString(" "))
     docs(spark, sfDir)
       .select(col("doc_id"), sigUdf(col("text")).as("rawsig"))
       .filter(col("rawsig") =!= "")

@@ -155,14 +155,25 @@ object VectorOps {
   def annIvf(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
              nprobe: Int): DataFrame = {
     val v = emb(spark, sfDir)
+    // invalidate entries bound to a stopped SparkSession (tests and
+    // services recreate sessions; a cached DataFrame would throw)
+    Option(ivfCache.get(sfDir)).foreach { case (cached, _) =>
+      if (cached.sparkSession.sparkContext.isStopped) ivfCache.remove(sfDir)
+    }
     val (vq, cents) = ivfCache.computeIfAbsent(sfDir, _ => {
       val q = v.withColumn("qv", quantize(col("e")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (q, trainCentroids(q))
     })
 
-    val tq = vq.filter(col("vec_id") === targetId).select("qv")
-      .head().getSeq[Long](0).toArray
+    val tqRow = vq.filter(col("vec_id") === targetId).select("qv").collect()
+    if (tqRow.isEmpty) {
+      // unknown target: empty result, same shape (the brute-force path's
+      // crossJoin against an empty query side does this implicitly)
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
+    val tq = tqRow.head.getSeq[Long](0).toArray
     val probed = cents.zipWithIndex.map { case (c, kk) =>
       val d = (0 until Dim).map(j => { val g = tq(j) - c(j); g * g }).sum
       (d, kk)

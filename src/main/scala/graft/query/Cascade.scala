@@ -45,8 +45,8 @@ object Cascade {
   /** Like run(), but materializes each stage and reports metrics. Each
     * stage's scored set is persisted before counting so the count, the cut,
     * and the next stage share ONE evaluation instead of recomputing the
-    * whole upstream per action; intermediates are released at the end
-    * (the final persisted stage stays hot for the caller). */
+    * whole upstream per action; every persisted stage is released before
+    * returning (the ≤ topM result recomputes if re-used). */
   def runWithMetrics(candidates: DataFrame, stages: Seq[DataFrame => DataFrame],
                      cfg: Config, tieBreak: String): (DataFrame, Seq[StageMetric]) = {
     require(stages.nonEmpty, "cascade needs at least one stage")
@@ -69,7 +69,10 @@ object Cascade {
       metrics += StageMetric(i, nIn, nThr, nCur,
         (System.nanoTime() - t0) / 1000000L)
     }
-    persisted.result().dropRight(1).foreach(_.unpersist(false))
+    // all intermediates released — metrics are materialized and the
+    // returned frame is a small (≤ topM) plan the caller can recompute;
+    // holding the last stage hot would leak one cached table per call
+    persisted.result().foreach(_.unpersist(false))
     (cur, metrics.result())
   }
 }

@@ -47,9 +47,12 @@ object LmStage {
                    batchSize: Int = 32, maxRetries: Int = 2): DataFrame = {
     val q = query
     import df.sparkSession.implicits._
-    val src = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-    src.mapPartitions { rows =>
+    // ids ride through AS STRINGS so any id type works (conv_id strings,
+    // numeric doc_ids); the original column is joined back at the end —
+    // a long-cast here would null out non-numeric ids and crash the encoder
+    val src = df.select(col(idCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+    val scored = src.mapPartitions { rows =>
       // per-partition init point for a real client (connection reuse,
       // rate limiting live here)
       rows.grouped(batchSize).flatMap { batch =>
@@ -72,14 +75,19 @@ object LmStage {
               }
               done = true
             } catch {
-              case _: Throwable if attempt < maxRetries => attempt += 1
-              case _: Throwable => done = true // exhausted → whole batch 0.0
+              // never swallow cancellation or VM death — only model errors
+              // fall under the retry/zero contract
+              case e: InterruptedException => throw e
+              case scala.util.control.NonFatal(_) if attempt < maxRetries => attempt += 1
+              case scala.util.control.NonFatal(_) => done = true // exhausted → batch 0.0
             }
           }
         }
         batch.zipWithIndex.map { case ((id, _), i) => (id, answers(i)) }
       }
     }.toDF(idCol, "score")
+    // restore the caller's id type (string→long round-trips numeric ids)
+    scored.withColumn(idCol, col(idCol).cast(df.schema(idCol).dataType))
   }
 
   /** Deterministic mock "LM": query-term overlap ratio + a length prior.

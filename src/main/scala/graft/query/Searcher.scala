@@ -95,21 +95,30 @@ final class Searcher(spark: SparkSession, indexDir: String,
   val n: Long = statsRow.getAs[Long]("n")
   val avgdl: Double = statsRow.getAs[Double]("avgdl")
 
-  /** True when the zero-exchange colocated kernel is sound: no postings
-    * file can be split across read partitions (see class doc). */
-  val colocated: Boolean = {
+  /** Largest posting file across base + segments (listed once at
+    * construction); -1 when listing failed. */
+  private val maxPostingsFileLen: Long = {
     try {
-      val conf = spark.sessionState.conf
-      val noSplitBound = math.min(conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
-      postingsPaths.forall { p =>
+      postingsPaths.flatMap { p =>
         val path = new org.apache.hadoop.fs.Path(p)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(path).forall { f =>
-          val name = f.getPath.getName
-          !f.isFile || name.startsWith("_") || name.startsWith(".") || f.getLen <= noSplitBound
+        fs.listStatus(path).collect {
+          case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".") => f.getLen
         }
-      }
-    } catch { case _: Throwable => false }
+      }.foldLeft(0L)(math.max)
+    } catch { case _: Throwable => -1L }
+  }
+
+  /** True when the zero-exchange colocated kernel is sound: no postings
+    * file can be split across read partitions (see class doc). Evaluated
+    * against the CURRENT session conf on every call — split sizes are
+    * mutable session state (IndexBuilder.build temporarily lowers
+    * maxPartitionBytes on the same session), and a stale construction-time
+    * answer would let a split file be scored as two half-shards. */
+  def colocated: Boolean = maxPostingsFileLen >= 0 && {
+    val conf = spark.sessionState.conf
+    maxPostingsFileLen <= math.min(conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
   }
 
   def analyzeQuery(query: String): Map[String, Int] =

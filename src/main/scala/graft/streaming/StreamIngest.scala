@@ -47,9 +47,14 @@ object StreamIngest {
     * analyzer as the batch build. */
   def start(spark: SparkSession, stream: DataFrame, indexDir: String,
             shards: Int, language: String = "en",
-            checkpoint: String = null): StreamingQuery = {
+            checkpoint: String = null,
+            /** Must equal the IndexBuilder.Config.normalizer the index was
+              * built with — streamed docs must normalize identically or
+              * their terms never match normalized query terms. */
+            normalizer: Analyzer.Norm = Analyzer.Identity): StreamingQuery = {
     val lang = language
-    val analyzeUdf = udf((text: String) => Analyzer.analyze(text, StopWords.forLang(lang)))
+    val norm = normalizer
+    val analyzeUdf = udf((text: String) => Analyzer.analyze(text, StopWords.forLang(lang), norm))
     val pkeys = ShardKeys.keys(shards, shards)
     val cp = Option(checkpoint).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_stream_cp").toString)
