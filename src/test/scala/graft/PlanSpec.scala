@@ -63,6 +63,27 @@ class PlanSpec extends AnyFunSuite {
       s"terms column not pruned from doc-meta scan:\n${plan.take(3000)}")
   }
 
+  test("conf drift: shrinking split sizes mid-session flips colocated off; grouped fallback matches") {
+    val s = new Searcher(spark, dir)
+    assert(s.colocated)
+    val before = s.topK("quick brown fox tok0", 10)
+      .select("docId", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      // the soundness check must track the LIVE conf — a stale snapshot
+      // would score split shard fragments independently (silent wrong top-k)
+      assert(!s.colocated)
+      val after = s.topK("quick brown fox tok0", 10)
+        .select("docId", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(after == before, "grouped fallback must reproduce the colocated results")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    assert(s.colocated, "restoring the conf restores the zero-exchange path")
+  }
+
   test("LSH pair ops generate candidates without any join (bucket-local)") {
     // embedding pairs and MinHash candidate pairs both build pairs INSIDE
     // their hash buckets — the plan must contain no join operator at all
