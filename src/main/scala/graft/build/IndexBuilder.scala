@@ -427,36 +427,140 @@ object IndexBuilder {
   private def assemblePostings(spark: SparkSession, analyzed: DataFrame,
                                parts: Int, pkeys: Array[Int]): Dataset[Posting] = {
     import spark.implicits._
-    val chunks = analyzed
+    val chunks = chunkRows(spark, analyzed)
+    chunks
+      .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
+      .repartition(parts, $"pkey")
+      .select(col("shard"), col("term"), col("firstDoc"), col("n"),
+        col("docs"), col("aux"))
+      .sortWithinPartitions("shard", "term", "firstDoc")
+      .mapPartitions { rows =>
+        new Iterator[Posting] {
+          private val it = rows.buffered
+
+          // Decode + concatenate all chunks of the current (shard, term):
+          // chunks arrive sorted by firstDoc with disjoint ranges, so the
+          // concat is usually already ascending — no element-wise merge.
+          // After appends, a read partition that packed several small
+          // analyzed files can yield chunks whose RANGES interleave (each
+          // still internally ascending): detect and fall back to one sort.
+          private def gather(shard: Int, term: String): (Array[Long], Array[Int]) = {
+            var parts = List.empty[(Array[Long], Array[Int])]
+            var total = 0
+            while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
+              val r = it.next()
+              val n = r.getInt(3)
+              val d = VByte.decodeDeltas(r.getAs[Array[Byte]](4), n)
+              val v = VByte.decodeInts(r.getAs[Array[Byte]](5), n)
+              parts = (d, v) :: parts
+              total += n
+            }
+            val ordered = parts.reverse
+            var docs = new Array[Long](total)
+            var vals = new Array[Int](total)
+            var o = 0
+            ordered.foreach { case (d, v) =>
+              System.arraycopy(d, 0, docs, o, d.length)
+              System.arraycopy(v, 0, vals, o, v.length)
+              o += d.length
+            }
+            var asc = true
+            var i = 1
+            while (asc && i < total) { asc = docs(i) > docs(i - 1); i += 1 }
+            if (!asc) {
+              val idx = Array.range(0, total).sortBy(docs(_))
+              val d2 = new Array[Long](total)
+              val v2 = new Array[Int](total)
+              var j = 0
+              while (j < total) { d2(j) = docs(idx(j)); v2(j) = vals(idx(j)); j += 1 }
+              docs = d2; vals = v2
+            }
+            (docs, vals)
+          }
+
+          // Length sidecar of the CURRENT shard (LensTerm sorts before
+          // every real token, so it is always absorbed before the shard's
+          // first term). Memory is O(docs of this shard in this partition)
+          // — the same class as a head term's materialized posting list,
+          // bounded by the documented docs-per-shard cap.
+          private var lensShard = -1
+          private var lensDocs: Array[Long] = Array.emptyLongArray
+          private var lensVals: Array[Int] = Array.emptyIntArray
+          private def absorbLens(): Unit =
+            while (it.hasNext && it.head.getString(1) == LensTerm) {
+              lensShard = it.head.getInt(0)
+              val (d, v) = gather(lensShard, LensTerm)
+              lensDocs = d; lensVals = v
+            }
+
+          def hasNext: Boolean = { absorbLens(); it.hasNext }
+
+          def next(): Posting = {
+            if (!hasNext) throw new NoSuchElementException("posting merge iterator")
+            val shard = it.head.getInt(0)
+            val term = it.head.getString(1)
+            val (docs, tfs) = gather(shard, term)
+            // Re-attach each doc's length from the sidecar (shipped once
+            // per doc instead of once per (doc, term) — measured 33% of
+            // the exchange). Every posting's doc MUST have a sidecar entry
+            // from its own slice; a miss means chunk routing is broken.
+            require(shard == lensShard,
+              s"shard $shard postings arrived without a length sidecar")
+            val lens = new Array[Int](docs.length)
+            var j = 0
+            while (j < docs.length) {
+              val p = java.util.Arrays.binarySearch(lensDocs, docs(j))
+              if (p < 0) throw new IllegalStateException(
+                s"doc ${docs(j)} (shard $shard, term '$term') missing from length sidecar")
+              lens(j) = lensVals(p)
+              j += 1
+            }
+            Postings.encode(shard, term, docs, tfs, lens)
+          }
+        }
+      }
+  }
+
+  /** Map-side chunk production of [[assemblePostings]] — the rows that ride
+    * the postings shuffle. Exposed package-private so profiling tools can
+    * measure the exchange's exact byte composition. */
+  private[graft] def chunkRows(spark: SparkSession, analyzed: DataFrame): DataFrame = {
+    import spark.implicits._
+    analyzed
       .select(col("shard"), col("docId"), col("len"), col("terms"), col("tfs"))
       .mapPartitions { rows =>
         // Map-side pre-grouping AND pre-compression: each chunk's docId
-        // deltas + tfs + doc lens are VByte-encoded BEFORE the shuffle,
-        // so the exchange carries ~1-2 bytes per posting entry instead
-        // of 12 — the shuffle-volume lever at 10^12 turns. Keys are
+        // deltas + tfs are VByte-encoded BEFORE the shuffle (doc lengths
+        // travel in per-shard sidecar chunks, once per doc), so the
+        // exchange carries ~2 bytes per posting entry instead
+        // of 12+ — the shuffle-volume lever at 10^12 turns. Keys are
         // "term shard" (tokens never contain spaces). The map FLUSHES
         // whenever it holds FlushEntries postings, so task memory is
         // bounded no matter how hard Parquet compressed the input
         // slice; a key flushed twice just produces two chunks, and
         // chunk docId ranges stay disjoint because flushes preserve
         // arrival (= docId) order.
+        // Term chunks carry (docId deltas, tfs); doc lengths do NOT ride
+        // them — a doc's length would be duplicated once per distinct term
+        // (~40-50×, measured 33% of the exchange). Instead each (slice,
+        // shard) emits ONE lens sidecar chunk (term = LensTerm, which sorts
+        // before every real token) carrying each doc's length exactly once;
+        // the reduce side re-attaches lengths before encoding.
         final class Chunk(val shard: Int) {
           val docs = new ArrayBuffer[Byte](16)
-          val tfs = new ArrayBuffer[Byte](8)
-          val lens = new ArrayBuffer[Byte](8)
+          val aux = new ArrayBuffer[Byte](8) // tfs for term chunks, lens for sidecars
           var n = 0
           var firstDoc = 0L
           var prev = 0L
-          def add(d: Long, f: Int, dl: Int): Unit = {
+          def add(d: Long, v: Int): Unit = {
             if (n == 0) firstDoc = d
             VByte.writeVLong(docs, d - prev); prev = d
-            VByte.writeVLong(tfs, f.toLong)
-            VByte.writeVLong(lens, dl.toLong)
+            VByte.writeVLong(aux, v.toLong)
             n += 1
           }
         }
         val FlushEntries = 4000000
-        new Iterator[(Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte])] {
+        new Iterator[(Int, String, Long, Int, Array[Byte], Array[Byte])] {
           private val m = new java.util.HashMap[String, Chunk]()
           // Chunks sealed early because arrival order regressed (see below);
           // emitted with the next flush. Keyed storage not needed — they're
@@ -472,22 +576,28 @@ object IndexBuilder {
               val dl = r.getInt(2)
               val terms = r.getSeq[String](3)
               val tfs = r.getSeq[Int](4)
-              var i = 0
-              while (i < terms.length) {
-                val key = terms(i) + " " + shard
+              // Seal-on-regression: arrival order restarts when a read
+              // partition packs several small files of the SAME shard
+              // (base + appended analyzed files): each file is
+              // rank-ascending with a range disjoint from the others, so
+              // sealing the current chunk at the file boundary keeps every
+              // chunk internally ascending and ranges mutually disjoint.
+              def chunkFor(key: String): Chunk = {
                 var c = m.get(key)
                 if (c == null) { c = new Chunk(shard); m.put(key, c) }
                 else if (docId <= c.prev) {
-                  // Arrival order restarts when a read partition packs
-                  // several small files of the SAME shard (base + appended
-                  // analyzed files): each file is rank-ascending with a
-                  // range disjoint from the others, so sealing the current
-                  // chunk at the file boundary keeps every chunk internally
-                  // ascending and chunk ranges mutually disjoint.
                   sealedChunks += ((key, c))
                   c = new Chunk(shard); m.put(key, c)
                 }
-                c.add(docId, tfs(i), dl)
+                c
+              }
+              if (terms.nonEmpty) { // zero-term docs never appear in postings
+                chunkFor(LensTerm + " " + shard).add(docId, dl)
+                entries += 1
+              }
+              var i = 0
+              while (i < terms.length) {
+                chunkFor(terms(i) + " " + shard).add(docId, tfs(i))
                 entries += 1
                 i += 1
               }
@@ -509,79 +619,20 @@ object IndexBuilder {
             while (!pending.hasNext && rows.hasNext) refill()
             pending.hasNext
           }
-          def next(): (Int, String, Long, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+          def next(): (Int, String, Long, Int, Array[Byte], Array[Byte]) = {
             if (!hasNext) throw new NoSuchElementException("postings chunk iterator")
             val (key, c) = pending.next()
             (c.shard, key.substring(0, key.indexOf(' ')), c.firstDoc, c.n,
-              c.docs.toArray, c.tfs.toArray, c.lens.toArray)
+              c.docs.toArray, c.aux.toArray)
           }
         }
       }
-      .toDF("shard", "term", "firstDoc", "n", "docs", "tfs", "lens")
-    chunks
-      .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
-      .repartition(parts, $"pkey")
-      .select(col("shard"), col("term"), col("firstDoc"), col("n"),
-        col("docs"), col("tfs"), col("lens"))
-      .sortWithinPartitions("shard", "term", "firstDoc")
-      .mapPartitions { rows =>
-        new Iterator[Posting] {
-          private val it = rows.buffered
-          def hasNext: Boolean = it.hasNext
-          def next(): Posting = {
-            val first = it.head
-            val shard = first.getInt(0)
-            val term = first.getString(1)
-            // chunks arrive sorted by firstDoc; ranges are disjoint, so
-            // decode + concatenate (no element-wise merge), then re-encode
-            // with block-aligned skip metadata.
-            var parts = List.empty[(Array[Long], Array[Int], Array[Int])]
-            var total = 0
-            while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
-              val r = it.next()
-              val n = r.getInt(3)
-              val d = VByte.decodeDeltas(r.getAs[Array[Byte]](4), n)
-              val t = VByte.decodeInts(r.getAs[Array[Byte]](5), n)
-              val l = VByte.decodeInts(r.getAs[Array[Byte]](6), n)
-              parts = (d, t, l) :: parts
-              total += n
-            }
-            val ordered = parts.reverse
-            var docs = new Array[Long](total)
-            var tfs = new Array[Int](total)
-            var lens = new Array[Int](total)
-            var o = 0
-            ordered.foreach { case (d, t, l) =>
-              System.arraycopy(d, 0, docs, o, d.length)
-              System.arraycopy(t, 0, tfs, o, t.length)
-              System.arraycopy(l, 0, lens, o, l.length)
-              o += d.length
-            }
-            // Fresh builds produce non-interleaving chunk ranges and the
-            // concat above is already sorted. After appends, a read
-            // partition that packed several small analyzed files can yield
-            // chunks whose RANGES interleave (each chunk is still
-            // internally ascending) — detect and fall back to one sort.
-            var asc = true
-            var i = 1
-            while (asc && i < total) { asc = docs(i) > docs(i - 1); i += 1 }
-            if (!asc) {
-              val idx = Array.range(0, total).sortBy(docs(_))
-              val d2 = new Array[Long](total)
-              val t2 = new Array[Int](total)
-              val l2 = new Array[Int](total)
-              var j = 0
-              while (j < total) {
-                d2(j) = docs(idx(j)); t2(j) = tfs(idx(j)); l2(j) = lens(idx(j))
-                j += 1
-              }
-              docs = d2; tfs = t2; lens = l2
-            }
-            Postings.encode(shard, term, docs, tfs, lens)
-          }
-        }
-      }
+      .toDF("shard", "term", "firstDoc", "n", "docs", "aux")
   }
+
+  /** Sidecar-chunk key: sorts before every real token (analyzer tokens are
+    * letters/digits only, so NUL can never collide with a term). */
+  private[graft] val LensTerm = "\u0000"
 
   // ---- segment coverage ------------------------------------------------------
 
