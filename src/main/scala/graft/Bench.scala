@@ -30,9 +30,28 @@ object Bench {
     s
   }
 
+  /** Corpus materialized to Parquet ONCE per JVM: the north metric is
+    * indexing throughput FROM A TABLE (Iceberg in production, Parquet
+    * standing in — TableIO), so the timed region must start at the table
+    * scan. Generating synthetic text inside the timed build would charge
+    * the generator's memory traffic to the index — and charge it twice
+    * differently at the two parallelism levels. Both levels read the SAME
+    * files. */
+  private val corpusCache = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  private def corpusPath(nTurns: Long): String =
+    corpusCache.computeIfAbsent(nTurns, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_corpus_$nTurns").toString
+      val spark = session(32)
+      Transcripts.synth(spark, nTurns, parallelism = 128).toDF()
+        .write.mode("overwrite").parquet(dir)
+      spark.stop()
+      dir
+    })
+
   /** One warmed, timed build at `cpus` threads (fresh session per sample
     * so the two parallelism levels never share executor state). */
   private def buildOnce(cpus: Int, nTurns: Long): Double = {
+    val corpus = corpusPath(nTurns)
     val spark = session(cpus)
     // JIT/codegen warmup on a small corpus so the timed run measures
     // steady-state throughput, not first-job compilation
@@ -41,7 +60,7 @@ object Bench {
       warmDir, IndexBuilder.Config(shards = 64))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_idx$cpus").toString
-    val input = Transcripts.synth(spark, nTurns, parallelism = cpus * 2).toDF()
+    val input = spark.read.parquet(corpus)
     val t0 = System.nanoTime()
     IndexBuilder.build(spark, input, dir, IndexBuilder.Config(shards = 64))
     val secs = (System.nanoTime() - t0) / 1e9
@@ -105,6 +124,8 @@ object Bench {
     val probeA = graft.cli.HostProbe.measure()
     val (tp8, tp32) = buildThroughputs(scaleTurns)
     val probeB = graft.cli.HostProbe.measure()
+    corpusCache.values.forEach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     val reg = math.max(probeA._1, probeB._1)
     val mem = math.max(probeA._2, probeB._2)
     val eff = (tp32 / tp8) / 4.0

@@ -112,3 +112,168 @@ object Analyzer extends Serializable {
     (len, terms, tfs)
   }
 }
+
+/** Steady-state-allocation-free analyzer for the index-build hot path:
+  * same output as [[Analyzer.analyze]] (pinned by a property test), with
+  * the partition's vocabulary INTERNED in an open-addressing table so a
+  * token occurrence costs a hash + probe + counter bump — no String, no
+  * boxing, no per-doc map. At 10^12 turns the analyzer touches ~10^14
+  * token occurrences; allocation bandwidth (young-gen writes + GC copy)
+  * is the contended resource at high core counts, and interning drops it
+  * from O(occurrences) to O(vocabulary).
+  *
+  * Each raw token's normalized form and stopword verdict are computed ONCE
+  * at intern time (norm is pure, so caching per raw token is sound).
+  * Distinct raw tokens may normalize to the SAME term (a lemmatizer seam
+  * property); the per-doc output merges them after the sort.
+  *
+  * NOT thread-safe — create one per partition/task. */
+final class PartitionAnalyzer(stop: Set[String], norm: Analyzer.Norm = Analyzer.Identity) {
+  private var cap = 1 << 12
+  private var mask = cap - 1
+  private var keys = new Array[String](cap) // interned RAW token
+  private var terms = new Array[String](cap) // normalized term; null = stopword
+  private var hashes = new Array[Int](cap)
+  private var vocab = 0
+
+  // per-doc state: counts valid only where stamps == epoch
+  private var counts = new Array[Int](cap)
+  private var stamps = new Array[Int](cap)
+  private var epoch = 0
+  private var touched = new Array[Int](64)
+  private var nTouched = 0
+
+  private val buf = new java.lang.StringBuilder(32)
+
+  /** String.hashCode over buf's UTF-16 units (== the hash of buf.toString). */
+  private def bufHash(): Int = {
+    var h = 0
+    var i = 0
+    val n = buf.length
+    while (i < n) { h = h * 31 + buf.charAt(i); i += 1 }
+    h
+  }
+
+  private def bufEquals(k: String): Boolean = {
+    val n = buf.length
+    if (k.length != n) return false
+    var i = 0
+    while (i < n) {
+      if (k.charAt(i) != buf.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def grow(): Unit = {
+    val oldKeys = keys; val oldTerms = terms; val oldHashes = hashes
+    val oldCounts = counts; val oldStamps = stamps
+    cap <<= 1; mask = cap - 1
+    keys = new Array[String](cap); terms = new Array[String](cap)
+    hashes = new Array[Int](cap); counts = new Array[Int](cap)
+    stamps = new Array[Int](cap)
+    var i = 0
+    while (i < oldKeys.length) {
+      val k = oldKeys(i)
+      if (k != null) {
+        var j = oldHashes(i) & mask
+        while (keys(j) != null) j = (j + 1) & mask
+        keys(j) = k; terms(j) = oldTerms(i); hashes(j) = oldHashes(i)
+        counts(j) = oldCounts(i); stamps(j) = oldStamps(i)
+      }
+      i += 1
+    }
+    // touched holds slot indices — remap by rescanning the new table for
+    // this doc's epoch (rehash is rare: O(cap) once per vocabulary double)
+    nTouched = 0
+    var j = 0
+    while (j < cap) {
+      if (keys(j) != null && stamps(j) == epoch && terms(j) != null) recordTouched(j)
+      j += 1
+    }
+  }
+
+  private def recordTouched(slot: Int): Unit = {
+    if (nTouched == touched.length) touched = java.util.Arrays.copyOf(touched, nTouched * 2)
+    touched(nTouched) = slot
+    nTouched += 1
+  }
+
+  /** Intern buf's content; returns its slot. */
+  private def slotOfBuf(): Int = {
+    val h = bufHash()
+    var i = h & mask
+    while (true) {
+      val k = keys(i)
+      if (k == null) {
+        val raw = buf.toString
+        val t = norm(raw)
+        keys(i) = raw
+        terms(i) = if (stop.contains(t)) null else t
+        hashes(i) = h
+        vocab += 1
+        if (vocab * 2 > cap) { grow(); return slotOfBuf() }
+        return i
+      }
+      if (hashes(i) == h && bufEquals(k)) return i
+      i = (i + 1) & mask
+    }
+    -1 // unreachable
+  }
+
+  /** ≡ Analyzer.analyze(text, stop, norm). */
+  def analyze(text: String): (Int, Array[String], Array[Int]) = {
+    if (text == null || text.isEmpty) return (0, Array.empty, Array.empty)
+    if (epoch == Int.MaxValue) { java.util.Arrays.fill(stamps, 0); epoch = 0 }
+    epoch += 1
+    nTouched = 0
+    var len = 0
+    buf.setLength(0)
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val cp = if (i < n) text.codePointAt(i) else ' '.toInt
+      if (i < n && Character.isLetterOrDigit(cp)) {
+        buf.appendCodePoint(Character.toLowerCase(cp))
+      } else if (buf.length > 0) {
+        val slot = slotOfBuf()
+        buf.setLength(0)
+        if (terms(slot) != null) { // not a stopword
+          len += 1
+          if (stamps(slot) != epoch) {
+            stamps(slot) = epoch
+            counts(slot) = 1
+            recordTouched(slot)
+          } else counts(slot) += 1
+        }
+      }
+      i += (if (i < n) Character.charCount(cp) else 1)
+    }
+    if (nTouched == 0) return (len, Array.empty, Array.empty)
+
+    // gather + sort by term; norm collisions (distinct raws, same term)
+    // sort adjacent and merge below
+    val ts = new Array[String](nTouched)
+    val cs = new Array[Int](nTouched)
+    var j = 0
+    while (j < nTouched) { ts(j) = terms(touched(j)); cs(j) = counts(touched(j)); j += 1 }
+    var a = 1 // insertion sort on the parallel arrays (distinct terms per doc is small)
+    while (a < nTouched) {
+      val t = ts(a); val c = cs(a)
+      var b = a - 1
+      while (b >= 0 && ts(b).compareTo(t) > 0) { ts(b + 1) = ts(b); cs(b + 1) = cs(b); b -= 1 }
+      ts(b + 1) = t; cs(b + 1) = c
+      a += 1
+    }
+    var dedup = 0
+    j = 1
+    while (j < nTouched) {
+      if (ts(j) == ts(dedup)) cs(dedup) += cs(j)
+      else { dedup += 1; ts(dedup) = ts(j); cs(dedup) = cs(j) }
+      j += 1
+    }
+    dedup += 1
+    if (dedup == nTouched) (len, ts, cs)
+    else (len, java.util.Arrays.copyOf(ts, dedup), java.util.Arrays.copyOf(cs, dedup))
+  }
+}

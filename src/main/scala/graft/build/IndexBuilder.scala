@@ -267,11 +267,18 @@ object IndexBuilder {
     // cost is trivial next to the explode+shuffle it feeds).
     val prev = Seq(
       "spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes",
       // AQE partition coalescing would undo the exact shard→partition
       // balance below (it merges by size, re-introducing stragglers).
       "spark.sql.adaptive.coalescePartitions.enabled"
     ).map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+    // openCost = split size: files under the split threshold each get their
+    // own scan partition instead of being packed several-to-a-task — an
+    // input table written with W-way parallelism feeds the analyze exchange
+    // with ≥ W map tasks (packing starves the map side at small corpus
+    // sizes; at 100 TB files exceed the split size and this is moot).
+    spark.conf.set("spark.sql.files.openCostInBytes", (16L * 1024 * 1024).toString)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try body
     finally prev.foreach {
@@ -312,7 +319,10 @@ object IndexBuilder {
       .repartition(parts, col("pkey"))
       .sortWithinPartitions("shard", "conv_id", "turn_idx")
       .mapPartitions { rows =>
-        val stopSet = StopWords.forLang(stop)
+        // one interning analyzer per partition: steady-state per-token cost
+        // is allocation-free (see PartitionAnalyzer — the 4N-core scaling
+        // lever: allocation bandwidth is what saturates first)
+        val pa = new graft.analysis.PartitionAnalyzer(StopWords.forLang(stop), norm)
         var curShard = -1
         var rank = 0L
         rows.map { r =>
@@ -320,7 +330,7 @@ object IndexBuilder {
           if (shard != curShard) { curShard = shard; rank = base(shard) }
           val docId = Ids.docId(shard, rank)
           rank += 1L
-          val (len, terms, tfs) = Analyzer.analyze(r.getString(4), stopSet, norm)
+          val (len, terms, tfs) = pa.analyze(r.getString(4))
           (shard, docId, r.getString(2), r.getInt(3), len, terms, tfs)
         }
       }

@@ -22,7 +22,7 @@ object ScalingBench {
 
   private val Jar = "target/scala-2.13/semantickernelrerankerspark_2.13-0.1.0.jar"
 
-  private def submitBuild(executors: Int, dir: String, n: Long): (Double, Double) = {
+  private def submitBuild(executors: Int, dir: String, corpus: String): (Double, Double) = {
     val cmd = Seq("/opt/spark/bin/spark-submit",
       "--master", s"local-cluster[$executors,8,16384]",
       "--driver-memory", "6g",
@@ -35,7 +35,7 @@ object ScalingBench {
       "--conf", "spark.executor.extraJavaOptions=-Xms12g -XX:+AlwaysPreTouch",
       "--conf", "spark.driver.extraJavaOptions=-Xms6g -XX:+AlwaysPreTouch",
       "--class", "graft.cli.BuildIndex", Jar,
-      dir, n.toString, "64", "--warmup")
+      dir, corpus, "64", "--warmup")
     val out = new StringBuilder
     val code = Process(cmd, None, "SPARK_GRAFT_CPUS" -> "32")
       .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
@@ -53,12 +53,29 @@ object ScalingBench {
     val queries = Seq("quick brown fox", "machine learning", "information retrieval systems",
       "posting lists variable bytes", "tok0 rare1000")
 
+    // Corpus materialized to Parquet ONCE, shared by both levels: the
+    // north metric is indexing throughput FROM A TABLE (Iceberg in
+    // production), so the timed build starts at the table scan — the
+    // synthetic generator's cost belongs to neither level.
+    val corpus = Files.createTempDirectory("graft_sb_corpus").toString
+    locally {
+      val gen = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      gen.sparkContext.setLogLevel("WARN")
+      graft.sources.Transcripts.synth(gen, n, parallelism = 128).toDF()
+        .write.mode("overwrite").parquet(corpus)
+      gen.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
     // best-of-2 per level: the sandbox host has noisy neighbors (observed
     // up to 3× wall variance on identical runs); interference only ever
     // slows a run down, so max-throughput is the faithful estimator.
     def bestOf(executors: Int, dir: String): (Double, Double) = {
-      val a = submitBuild(executors, dir + "_a", n)
-      val b = submitBuild(executors, dir, n)
+      val a = submitBuild(executors, dir + "_a", corpus)
+      val b = submitBuild(executors, dir, corpus)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + "_a"))
       if (a._2 > b._2) a else b
     }
@@ -99,14 +116,16 @@ object ScalingBench {
     val batchSecs = (System.nanoTime() - tb0) / 1e9
     val qps = batch.size / batchSecs
     spark.stop()
-    Seq(dir1, dir4).foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    Seq(dir1, dir4, corpus).foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
 
     val sb = new StringBuilder
     sb.append("# BENCH/BASELINE — measured engine numbers\n\n")
     sb.append(s"Protocol: BASELINE.md. spark-submit, master local-cluster[E,8,16384]:\n")
     sb.append(s"N = 1 executor × 8 cores vs 4N = 4 executor JVMs × 8 cores, one 32-core\n")
-    sb.append(s"host. Identical deterministic synthetic transcript corpus ($n turns,\n")
-    sb.append("~40-130 tokens/turn), identical configs, JIT-warmed (--warmup), shards=64.\n\n")
+    sb.append(s"host. Deterministic synthetic transcript corpus ($n turns, ~40-130\n")
+    sb.append("tokens/turn) materialized to ONE shared Parquet table read by both\n")
+    sb.append("levels (the north metric is indexing FROM a table; generation is\n")
+    sb.append("untimed), identical configs, JIT-warmed (--warmup), shards=64.\n\n")
     sb.append("## Indexing throughput (north metric)\n\n")
     sb.append("| executors | wall (s) | turns/sec |\n|---|---|---|\n")
     sb.append(f"| 1 × 8 cores (N) | $s1%.1f | $tp1%.0f |\n")

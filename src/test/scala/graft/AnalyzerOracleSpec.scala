@@ -49,6 +49,39 @@ class AnalyzerOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("PartitionAnalyzer ≡ analyze: fixed cases, random fuzz, norm collisions") {
+    import graft.analysis.PartitionAnalyzer
+    def check(pa: PartitionAnalyzer, t: String, stop: Set[String],
+              norm: Analyzer.Norm): Unit = {
+      val (l1, t1, f1) = pa.analyze(t)
+      val (l2, t2, f2) = Analyzer.analyze(t, stop, norm)
+      assert(l1 == l2, s"len mismatch for '$t'")
+      assert(t1.toSeq == t2.toSeq, s"terms mismatch for '$t'")
+      assert(f1.toSeq == f2.toSeq, s"tfs mismatch for '$t'")
+    }
+    // fixed inputs, reused instance (per-doc state must fully reset)
+    val pa = new PartitionAnalyzer(en)
+    val fixed = F1 ++ F2 ++ F3 ++ Seq("", "   ", null, "a", "The THE the",
+      "x'y-z 42!! Ünïcödé", F3.mkString(" "), "ab𝒜cd ab😀cd", "tok0 tok0 rare99")
+    fixed.foreach(t => check(pa, t, en, Analyzer.Identity))
+    // seeded fuzz: many docs through ONE instance, growing vocabulary past
+    // the initial table capacity to force a mid-doc rehash
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefgh 0123 .!?ü東 "
+    (0 until 300).foreach { i =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(400)).foreach(_ => sb += alphabet(rnd.nextInt(alphabet.length)))
+      sb ++= s" uniq${i}a uniq${i}b uniq${i}c uniq${i}d uniq${i}e uniq${i}f"
+      check(pa, sb.toString, en, Analyzer.Identity)
+    }
+    // a normalizer that collides distinct raw tokens onto one term must
+    // merge their per-doc counts identically in both implementations
+    val strip: Analyzer.Norm = s => s.stripSuffix("s").stripSuffix("ing")
+    val pn = new PartitionAnalyzer(en, strip)
+    Seq("running runs run runnings", "dogs dog DOGS doging",
+        "the States stating state").foreach(t => check(pn, t, en, strip))
+  }
+
   test("analyzer is deterministic and stopword/punctuation-dropping") {
     val t = Analyzer.tokenize("The quick brown fox jumps over the lazy dog.", en)
     assert(t.sameElements(Array("quick", "brown", "fox", "jumps", "lazy", "dog")))
