@@ -25,6 +25,8 @@ object SparkEntry {
   private val Q_TOPK = "spark stream window"
   private val Q_TOPK_REL = "sort merge join"
   private val Q_CASCADE = "data filter merge"
+  private val Q_AND = "sort merge join"
+  private val Q_PHRASE = "merge batch"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -46,6 +48,10 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, d) => DocQueries.topK(s, d, Q_TOPK, 10, relational = false)),
     // O7 top-k via the relational exhaustive path
     "q_bm25_topk_rel" -> ((s, d) => DocQueries.topK(s, d, Q_TOPK_REL, 10, relational = true)),
+    // conjunctive (AND-mode) top-k: leapfrog intersection kernel
+    "q_bm25_and" -> ((s, d) => DocQueries.topKAnd(s, d, Q_AND, 10)),
+    // phrase top-k: conjunctive candidates + raw-adjacency verify on text
+    "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
     // empty-query contract: every doc, score exactly 0
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
     // incremental maintenance: base build + append + refresh ≡ full index
@@ -92,6 +98,9 @@ object SparkEntry {
     "q_bm25_score_all" -> OracleSql.scoreAll(qt(Q_SCORE), P),
     "q_bm25_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
     "q_bm25_topk_rel" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
+    "q_bm25_and" -> OracleSql.topKAnd(qt(Q_AND), P, 10),
+    "q_phrase" -> OracleSql.phraseTopK(qt(Q_PHRASE),
+      Analyzer.tokenizeRaw(Q_PHRASE).toSeq, P, 10),
     "q_bm25_empty" -> OracleSql.emptyQuery,
     "q_refresh_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),

@@ -81,6 +81,40 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Conjunctive scored CTE: only docs matching EVERY query term. */
+  def scoredAndCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
+    scoredCte(terms, p).stripSuffix(")") +
+      s"\n  HAVING count(DISTINCT tf.term) = ${terms.size})"
+
+  /** AND-mode top-k: docs containing every query term, OR-mode score. */
+  def topKAnd(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredAndCte(terms, p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Full-token phrase regex over lower(text): each token bounded by
+    * non-token chars, consecutive tokens separated by ≥1 of them — the
+    * exact mirror of raw-token-stream adjacency (tokens are maximal
+    * [letter/digit] runs, so the boundaries coincide). */
+  private def phrasePattern(rawToks: Seq[String]): String = {
+    val sep = "[^\\p{L}\\p{Nd}]"
+    s"(^|$sep)" + rawToks.mkString(s"$sep+") + s"($$|$sep)"
+  }
+
+  /** Phrase top-k: conjunctive candidates + raw-adjacency verify on the
+    * text (the SQL mirror of DocQueries.phraseTopK). `terms` are the
+    * ANALYZED phrase terms (scoring); `rawToks` the full raw token
+    * sequence (adjacency). */
+  def phraseTopK(terms: Seq[(String, Int)], rawToks: Seq[String],
+                 p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredAndCte(terms, p)}
+       |SELECT sc.doc_id, round(sc.score, 4) AS score
+       |FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+       |WHERE regexp_matches(lower(d.text), ${lit(phrasePattern(rawToks))})
+       |ORDER BY round(sc.score, 4) DESC, sc.doc_id LIMIT $k""".stripMargin
+
   /** Batched multi-query top-k: per-query top-k unioned with a qid tag. */
   def topKBatch(queries: Seq[(String, Seq[(String, Int)])], p: Bm25.Params, k: Int): String =
     queries.map { case (qid, terms) =>

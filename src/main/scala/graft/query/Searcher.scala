@@ -145,7 +145,10 @@ final class Searcher(spark: SparkSession, indexDir: String,
                         qs: Seq[(String, Map[String, Int])],
                         dfm: Map[String, Long], k: Int,
                         exhaustive: Boolean,
-                        forceGrouped: Boolean = false): DataFrame = {
+                        forceGrouped: Boolean = false,
+                        /** >0 = conjunctive (AND) mode: a doc must contain
+                          * this many distinct query terms (= all of them). */
+                        conjunctiveRequired: Int = 0): DataFrame = {
     val p = params
     val (nn, ad) = (n, avgdl)
     def kernel(group: Seq[Posting]): Iterator[(String, Long, Double)] = {
@@ -162,7 +165,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
             Wand.TermInput(byTerm(t), f, dfm(t))
         }
         val scored =
-          if (exhaustive) Wand.topKExhaustive(inputs, nn, ad, k, p)
+          if (conjunctiveRequired > 0) Wand.topKAnd(inputs, conjunctiveRequired, nn, ad, k, p)
+          else if (exhaustive) Wand.topKExhaustive(inputs, nn, ad, k, p)
           else Wand.topK(inputs, nn, ad, k, p)
         scored.iterator.map(s => (qid, s.docId, s.score))
       }
@@ -213,6 +217,72 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .select($"conv_id", $"turn_idx", $"docId",
         element_at(scoreMap, $"docId").as("score"))
       .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** Conjunctive (AND-mode) top-k: only documents containing EVERY analyzed
+    * query term are ranked; scores equal the OR-mode BM25 score of the same
+    * doc. A query term absent from the corpus ⇒ empty result (strict AND).
+    * Same zero-exchange plan shape as [[topK]]; the kernel is leapfrog
+    * intersection (cost ∝ shortest posting list, not the union). */
+  def topKAnd(query: String, k: Int): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.size < qtf.size) return emptyHits() // some term nowhere in corpus
+    val terms = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
+        exhaustive = false, conjunctiveRequired = qtf.size)
+      .select($"docId", $"score")
+    val hits = perShard.orderBy(desc("score"), asc("docId")).limit(k)
+      .as[(Long, Double)].collect()
+    if (hits.isEmpty) return emptyHits()
+    val scoreMap = typedLit(hits.toMap)
+    docMetaDF
+      .filter(col("docId").isin(hits.map(_._1): _*))
+      .select($"conv_id", $"turn_idx", $"docId",
+        element_at(scoreMap, $"docId").as("score"))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** Every doc containing ALL analyzed query terms, as (docId, score) with
+    * the conjunctive (= OR-mode) BM25 score — the distributed candidate
+    * enumerator for phrase/positional verification. Output size ≤ the
+    * query's shortest posting list; the caller point-reads only these
+    * candidates (never the corpus). */
+  def matchAllDocs(query: String): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.size < qtf.size) return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val required = qtf.size
+    val terms = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    val qterms = qtf // local for closure
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val inputs = qterms.toSeq.collect {
+        case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
+          Wand.TermInput(byTerm(t), f, dfm(t))
+      }
+      Wand.matchAll(inputs, required, nn, ad, p).iterator.map(s => (s.docId, s.score))
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    out.toDF("docId", "score")
   }
 
   /** Batched multi-query top-k: ONE pass over the index answers every

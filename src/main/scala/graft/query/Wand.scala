@@ -160,6 +160,112 @@ object Wand {
     topk.drainDescending()
   }
 
+  /** Conjunctive (AND-mode) top-k over one shard: only documents containing
+    * EVERY query term score. `required` is the number of distinct analyzed
+    * query terms — when this shard's inputs cover fewer (a term has no
+    * posting here), no document in the shard can match and the kernel
+    * returns empty without touching a blob.
+    *
+    * Leapfrog intersection over the block-skipping cursors: repeatedly
+    * advance the lagging cursor to the current candidate docId; agreement
+    * of all m cursors is a match, scored with the same BM25 sum as OR-mode
+    * (the reference's scorer is OR-only; AND is this engine's extension, so
+    * its score on a matching doc equals the OR-mode score by design —
+    * rank-consistent across modes). Cost is O(shortest list · block
+    * skips), never O(union). */
+  def topKAnd(terms: Seq[TermInput], required: Int, n: Long, avgdl: Double,
+              k: Int, p: Bm25.Params): Array[Scored] = {
+    val topk = new TopK(k)
+    val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
+    if (live.size < required || live.isEmpty || n == 0 || avgdl == 0.0)
+      return topk.drainDescending()
+    val m = live.size
+    val cursors = new Array[Postings.Cursor](m)
+    val idfQtf = new Array[Double](m)
+    var i = 0
+    live.foreach { t =>
+      cursors(i) = new Postings.Cursor(t.posting)
+      cursors(i).next()
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      i += 1
+    }
+    var target = 0L
+    var j = 0
+    while (j < m) { if (cursors(j).docId > target) target = cursors(j).docId; j += 1 }
+    var done = false
+    while (!done) {
+      var matched = true
+      var jj = 0
+      while (jj < m && matched) {
+        val c = cursors(jj)
+        if (c.docId < target) c.advanceTo(target)
+        if (c.exhausted) { done = true; matched = false }
+        else if (c.docId != target) { target = c.docId; matched = false } // re-scan from 0
+        jj += 1
+      }
+      if (!done && matched) {
+        var s = 0.0
+        var jk = 0
+        while (jk < m) {
+          s += idfQtf(jk) * Bm25.tfSat(cursors(jk).tf, cursors(jk).dl, avgdl, p)
+          jk += 1
+        }
+        topk.offer(target, s)
+        if (cursors(0).next()) target = cursors(0).docId else done = true
+      }
+    }
+    topk.drainDescending()
+  }
+
+  /** Every doc (ascending docId) containing ALL query terms in this shard,
+    * with its BM25 score — the candidate enumerator for phrase/positional
+    * verification. Same leapfrog as [[topKAnd]], no heap; output size is
+    * bounded by the SHORTEST posting list, which is what makes
+    * verify-on-candidates a scale-safe plan for selective phrases. */
+  def matchAll(terms: Seq[TermInput], required: Int, n: Long,
+               avgdl: Double, p: Bm25.Params): Array[Scored] = {
+    val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
+    if (live.size < required || live.isEmpty || n == 0 || avgdl == 0.0)
+      return Array.empty[Scored]
+    val m = live.size
+    val cursors = new Array[Postings.Cursor](m)
+    val idfQtf = new Array[Double](m)
+    var i = 0
+    live.foreach { t =>
+      cursors(i) = new Postings.Cursor(t.posting)
+      cursors(i).next()
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Scored]()
+    var target = 0L
+    var j = 0
+    while (j < m) { if (cursors(j).docId > target) target = cursors(j).docId; j += 1 }
+    var done = false
+    while (!done) {
+      var matched = true
+      var jj = 0
+      while (jj < m && matched) {
+        val c = cursors(jj)
+        if (c.docId < target) c.advanceTo(target)
+        if (c.exhausted) { done = true; matched = false }
+        else if (c.docId != target) { target = c.docId; matched = false }
+        jj += 1
+      }
+      if (!done && matched) {
+        var s = 0.0
+        var jk = 0
+        while (jk < m) {
+          s += idfQtf(jk) * Bm25.tfSat(cursors(jk).tf, cursors(jk).dl, avgdl, p)
+          jk += 1
+        }
+        out += Scored(target, s)
+        if (cursors(0).next()) target = cursors(0).docId else done = true
+      }
+    }
+    out.toArray
+  }
+
   /** Exhaustive (no pruning) scorer over the same inputs — the correctness
     * twin of topK; WAND ≡ this on every corpus (tested). */
   def topKExhaustive(terms: Seq[TermInput], n: Long,
