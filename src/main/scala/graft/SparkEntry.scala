@@ -71,6 +71,7 @@ object SparkEntry {
       Map("q1" -> Q_TOPK, "q2" -> Q_SCORE), 10)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "q_token_pieces" -> ((s, d) => TextOps.tokenPieces(s, d)),
     "q_langid" -> ((s, d) => TextOps.langId(s, d)),
     "q_quality" -> ((s, d) => TextOps.quality(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_bm25_batch" -> OracleSql.topKBatch(
       Seq("q1" -> qt(Q_TOPK), "q2" -> qt(Q_SCORE)), P, 10),
     "q_token_count" -> OracleSqlOps.tokenCount,
+    "q_token_pieces" -> OracleSqlOps.tokenPieces,
     "q_langid" -> OracleSqlOps.langId,
     "q_quality" -> OracleSqlOps.quality,
     "q_fingerprint" -> OracleSqlOps.fingerprint,

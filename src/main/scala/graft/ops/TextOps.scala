@@ -27,6 +27,32 @@ object TextOps {
       .select(col("doc_id"), size(rawToksUdf(col("text"))).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  // Whitespace fields and BPE-ish subword pieces (letter runs / digit runs
+  // / single non-space symbols) — the two cheap token-budget estimators a
+  // training-data pipeline tracks alongside analyzer tokens. Explicit
+  // character classes (not \s / \S) because Java and RE2 disagree on \s's
+  // exact membership; these classes are identical in both engines.
+  private val WsPattern = java.util.regex.Pattern.compile("[^ \\t\\n\\r]+")
+  private val BpePattern =
+    java.util.regex.Pattern.compile("[\\p{L}]+|[\\p{Nd}]+|[^\\p{L}\\p{Nd} \\t\\n\\r]")
+  private def countMatches(p: java.util.regex.Pattern, s: String): Long = {
+    if (s == null) return 0L
+    val m = p.matcher(s)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
+  private val wsCountUdf = udf((t: String) => countMatches(WsPattern, t))
+  private val bpeCountUdf = udf((t: String) => countMatches(BpePattern, t))
+
+  /** (doc_id, n_ws, n_pieces): whitespace-field count + BPE-ish piece
+    * count over lower(text). */
+  def tokenPieces(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), wsCountUdf(col("text")).as("n_ws"),
+        bpeCountUdf(lower(col("text"))).as("n_pieces"))
+      .orderBy("doc_id")
+
   /** (doc_id, pred_lang) — function-word-vote language ID over en/fr/de
     * (the reference's embedded stopword sets) plus es/it (curated langId
     * lists); ties resolved en > fr > de > es > it; no votes → 'und'. */

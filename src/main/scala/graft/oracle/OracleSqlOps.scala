@@ -37,6 +37,14 @@ object OracleSqlOps {
     """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+')) AS BIGINT) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Whitespace fields + BPE-ish pieces (mirror of TextOps.tokenPieces;
+    * same explicit character classes — see the Java/RE2 \s caveat there). */
+  def tokenPieces: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(lower(text), '[\p{L}]+|[\p{Nd}]+|[^\p{L}\p{Nd} \t\n\r]')) AS BIGINT) AS n_pieces
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def langId: String =
     s"""WITH $rawToks,
        |v AS (

@@ -57,6 +57,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AND-mode and matchAll plans are shuffle-free too (colocated kernel)") {
+    val s = new Searcher(spark, dir)
+    assert(s.colocated)
+    for (df <- Seq(s.topKAnd("quick brown fox", 10),
+                   s.matchAllDocs("quick brown fox"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan).toList
+      assert(shuffles.isEmpty, s"unexpected Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
+    }
+  }
+
   test("doc-metadata reads prune to the selected columns") {
     val plan = Searcher.docMeta(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema") && !plan.contains("terms"),
