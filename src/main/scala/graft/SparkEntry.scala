@@ -52,6 +52,9 @@ object SparkEntry {
     "q_bm25_and" -> ((s, d) => DocQueries.topKAnd(s, d, Q_AND, 10)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
+    // faceted top-k: metadata filters as facet posting lists
+    "q_filtered_topk" -> ((s, d) => DocQueries.filteredTopK(s, d, Q_SCORE,
+      Map("lang" -> "en", "source" -> "src7"), 10)),
     // empty-query contract: every doc, score exactly 0
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
     // incremental maintenance: base build + append + refresh ≡ full index
@@ -78,6 +81,7 @@ object SparkEntry {
     // deduplication family
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
+    "q_simhash_pairs" -> ((s, d) => TextOps.simHashPairs(s, d, 3)),
     "q_minhash_pairs" -> ((s, d) => TextOps.minHashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d, 0.5)),
     // similarity search over embeddings
@@ -102,6 +106,8 @@ object SparkEntry {
     "q_bm25_and" -> OracleSql.topKAnd(qt(Q_AND), P, 10),
     "q_phrase" -> OracleSql.phraseTopK(qt(Q_PHRASE),
       Analyzer.tokenizeRaw(Q_PHRASE).toSeq, P, 10),
+    "q_filtered_topk" -> OracleSql.topKFiltered(qt(Q_SCORE), P, 10,
+      Seq("lang" -> "en", "source" -> "src7")),
     "q_bm25_empty" -> OracleSql.emptyQuery,
     "q_refresh_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),
@@ -118,6 +124,7 @@ object SparkEntry {
     "q_fingerprint" -> OracleSqlOps.fingerprint,
     "q_dedup_exact" -> OracleSqlOps.dedupExact,
     "q_simhash" -> OracleSqlOps.simHash,
+    "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),
     "q_minhash_pairs" -> OracleSqlOps.minHashPairs,
     "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),

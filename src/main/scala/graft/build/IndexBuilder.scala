@@ -73,7 +73,13 @@ object IndexBuilder {
       /** Token-normalization hook (lemmatizer seam); must be pure and
         * deterministic, and the SAME function must be passed to the
         * Searcher so queries normalize identically. */
-      normalizer: Analyzer.Norm = Analyzer.Identity)
+      normalizer: Analyzer.Norm = Analyzer.Identity,
+      /** Input columns indexed as facet posting lists (metadata filters —
+        * see [[graft.model.Facets]]): each doc gets one synthetic term
+        * `<col>=<value>` per column (null values skipped),
+        * tf=1, excluded from the BM25 doc length. Queries filter on them
+        * via Searcher.topKFiltered. */
+      facetCols: Seq[String] = Nil)
 
   def build(spark: SparkSession, input: DataFrame, indexDir: String,
             cfg: Config = Config()): Unit =
@@ -94,7 +100,7 @@ object IndexBuilder {
     val pkeys = ShardKeys.keys(shards, parts)
     val hwm = Hwm.read(spark, indexDir, shards)
     val rows = analyzedRows(input, shards, parts, pkeys, cfg.language,
-      cfg.normalizer, hwm)
+      cfg.normalizer, hwm, cfg.facetCols)
     graft.sources.TableIO.write(rows, s"$indexDir/analyzed", mode = "append")
     // Advance HWMs from the ranks that actually LANDED (pruned shard+docId
     // scan of the analyzed table above the old HWMs) — never by re-scanning
@@ -307,15 +313,19 @@ object IndexBuilder {
     * HWM on append). */
   private def analyzedRows(input: DataFrame, nShards: Int, parts: Int,
                            pkeys: Array[Int], language: String,
-                           norm: Analyzer.Norm, base: Array[Long]): DataFrame = {
+                           norm: Analyzer.Norm, base: Array[Long],
+                           facetCols: Seq[String] = Nil): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
     val stop = language
+    val fcols = facetCols.toArray
     input
-      .select(col("conv_id").cast("string"), col("turn_idx").cast("int"), col("text"))
+      .select(col("conv_id").cast("string") +: col("turn_idx").cast("int") +:
+        col("text") +: fcols.map(c => col(c).cast("string")): _*)
       .withColumn("shard", pmod(hash(col("conv_id")), lit(nShards)).cast("int"))
       .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
-      .select(col("pkey"), col("shard"), col("conv_id"), col("turn_idx"), col("text"))
+      .select(col("pkey") +: col("shard") +: col("conv_id") +: col("turn_idx") +:
+        col("text") +: fcols.map(col(_)): _*)
       .repartition(parts, col("pkey"))
       .sortWithinPartitions("shard", "conv_id", "turn_idx")
       .mapPartitions { rows =>
@@ -330,7 +340,25 @@ object IndexBuilder {
           if (shard != curShard) { curShard = shard; rank = base(shard) }
           val docId = Ids.docId(shard, rank)
           rank += 1L
-          val (len, terms, tfs) = pa.analyze(r.getString(4))
+          val (len, terms0, tfs0) = pa.analyze(r.getString(4))
+          // Facet terms PREPENDED (their Facets.Prefix sorts before every
+          // analyzer token, keeping the per-doc terms array sorted), tf=1,
+          // not counted in len. Null facet values index nothing.
+          var terms = terms0; var tfs = tfs0
+          if (fcols.length > 0) {
+            val ft = new ArrayBuffer[String](fcols.length)
+            var fi = 0
+            while (fi < fcols.length) {
+              if (!r.isNullAt(5 + fi)) ft += Facets.term(fcols(fi), r.getString(5 + fi))
+              fi += 1
+            }
+            if (ft.nonEmpty) {
+              val fa = ft.toArray
+              java.util.Arrays.sort(fa, java.util.Comparator.naturalOrder[String]())
+              terms = fa ++ terms0
+              tfs = Array.fill(fa.length)(1) ++ tfs0
+            }
+          }
           (shard, docId, r.getString(2), r.getInt(3), len, terms, tfs)
         }
       }
@@ -350,7 +378,7 @@ object IndexBuilder {
     // ---- stage: analyzed -------------------------------------------------
     stage(spark, indexDir, "analyzed") { () =>
       analyzedRows(input, cfg.shards, parts, pkeys, cfg.language, cfg.normalizer,
-          new Array[Long](cfg.shards))
+          new Array[Long](cfg.shards), cfg.facetCols)
         .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/analyzed"))
       // docId-allocation HWMs are NOT computed here: the build path stays
       // job-minimal, and Hwm.read derives them from analyzed/ on the first
@@ -544,7 +572,8 @@ object IndexBuilder {
         // travel in per-shard sidecar chunks, once per doc), so the
         // exchange carries ~2 bytes per posting entry instead
         // of 12+ — the shuffle-volume lever at 10^12 turns. Keys are
-        // "term shard" (tokens never contain spaces). The map FLUSHES
+        // "term shard", split on the LAST space (analyzer tokens never
+        // contain spaces, but facet-term values may). The map FLUSHES
         // whenever it holds FlushEntries postings, so task memory is
         // bounded no matter how hard Parquet compressed the input
         // slice; a key flushed twice just produces two chunks, and
@@ -632,7 +661,7 @@ object IndexBuilder {
           def next(): (Int, String, Long, Int, Array[Byte], Array[Byte]) = {
             if (!hasNext) throw new NoSuchElementException("postings chunk iterator")
             val (key, c) = pending.next()
-            (c.shard, key.substring(0, key.indexOf(' ')), c.firstDoc, c.n,
+            (c.shard, key.substring(0, key.lastIndexOf(' ')), c.firstDoc, c.n,
               c.docs.toArray, c.aux.toArray)
           }
         }

@@ -147,6 +147,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Near-dup pairs by SimHash hamming distance ≤ `maxHam`, candidates from
+    * banded buckets: the 31-bit simhash splits into 4 bands (8+8+8+7 bits);
+    * by pigeonhole, any pair within hamming distance 3 agrees on at least
+    * one full band, so for maxHam ≤ 3 the banded candidates are EXHAUSTIVE
+    * — no all-pairs join and no recall loss (pinned by a test). Pairs are
+    * generated inside each (band, key) bucket like minHashPairs; the
+    * hamming verify (bit_count(xor)) runs in the same codegen stage.
+    * Output (a, b, hamming). */
+  def simHashPairs(spark: SparkSession, sfDir: String, maxHam: Int): DataFrame = {
+    require(maxHam <= 3, s"banded candidates are exhaustive only for maxHam <= 3 (got $maxHam)")
+    val sh = udf((t: String) => TextHash.simHash31(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
+    docs(spark, sfDir)
+      .select(col("doc_id"), sh(col("text")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+          "shiftright(simhash, cast(b * 8 AS int)) % 256 AS key))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .withColumn("ds", when(size(col("ds")) <= BucketCap, col("ds"))
+        .otherwise(raise_error(concat(
+          lit(s"SimHash band bucket exceeds $BucketCap docs — dedupExact first (band "),
+          col("band"), lit(")")))))
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("cast(bit_count(x.simhash ^ y.simhash) AS bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .groupBy("a", "b").agg(min("hamming").as("hamming")) // dedup across bands
+      .orderBy("a", "b")
+  }
+
   /** (doc_id, band, key) MinHash-LSH band buckets: 8 permutations over
     * 3-word-shingle hashes, 4 bands × 2 rows. Shared by minHashPairs and
     * ngramJaccard — the band-bucket equi-join IS the scale path for both. */

@@ -81,6 +81,21 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Faceted top-k: BM25 over the full-corpus statistics, candidates
+    * restricted to docs matching every (column = value) filter — the SQL
+    * mirror of Searcher.topKFiltered (global df/avgdl, filter applied to
+    * candidates only). */
+  def topKFiltered(terms: Seq[(String, Int)], p: Bm25.Params, k: Int,
+                   facets: Seq[(String, String)]): String = {
+    val cond = facets.map { case (c, v) => s"d.$c = ${lit(v)}" }.mkString(" AND ")
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)}
+       |SELECT s.doc_id, round(s.score, 4) AS score
+       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |WHERE $cond
+       |ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT $k""".stripMargin
+  }
+
   /** Conjunctive scored CTE: only docs matching EVERY query term. */
   def scoredAndCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
     scoredCte(terms, p).stripSuffix(")") +

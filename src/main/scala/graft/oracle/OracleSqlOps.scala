@@ -97,6 +97,21 @@ object OracleSqlOps {
        |SELECT doc_id, CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** SimHash banded near-dup pairs — the SQL mirror of TextOps.simHashPairs
+    * (4 bands over the 31-bit simhash, hamming verify via bit_count(xor)). */
+  def simHashPairs(maxHam: Int): String =
+    s"""WITH sim AS (${simHash.replace("ORDER BY doc_id", "")}),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.b AS band, (simhash >> CAST(b.b * 8 AS INT)) % 256 AS key
+       |  FROM sim CROSS JOIN range(0, 4) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHam
+       |ORDER BY a, b""".stripMargin
+
   private def permsValues: String =
     TextHash.MinHashA.indices
       .map(i => s"(${i}, ${TextHash.MinHashA(i)}, ${TextHash.MinHashB(i)})")

@@ -219,6 +219,22 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .orderBy(desc("score"), asc("docId")).limit(k)
   }
 
+  /** Merge per-shard candidates to the global ≤ k winners, then resolve
+    * (conv_id, turn_idx) with a PRUNED point read of the doc map — shared
+    * tail of every single-query top-k path. */
+  private def resolveHits(perShard: DataFrame, k: Int): DataFrame = {
+    val hits = perShard.select($"docId", $"score")
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .as[(Long, Double)].collect()
+    if (hits.isEmpty) return emptyHits()
+    val scoreMap = typedLit(hits.toMap)
+    docMetaDF
+      .filter(col("docId").isin(hits.map(_._1): _*))
+      .select($"conv_id", $"turn_idx", $"docId",
+        element_at(scoreMap, $"docId").as("score"))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
   /** Conjunctive (AND-mode) top-k: only documents containing EVERY analyzed
     * query term are ranked; scores equal the OR-mode BM25 score of the same
     * doc. A query term absent from the corpus ⇒ empty result (strict AND).
@@ -233,16 +249,55 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
     val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
         exhaustive = false, conjunctiveRequired = qtf.size)
-      .select($"docId", $"score")
-    val hits = perShard.orderBy(desc("score"), asc("docId")).limit(k)
-      .as[(Long, Double)].collect()
-    if (hits.isEmpty) return emptyHits()
-    val scoreMap = typedLit(hits.toMap)
-    docMetaDF
-      .filter(col("docId").isin(hits.map(_._1): _*))
-      .select($"conv_id", $"turn_idx", $"docId",
-        element_at(scoreMap, $"docId").as("score"))
-      .orderBy(desc("score"), asc("docId")).limit(k)
+    resolveHits(perShard, k)
+  }
+
+  /** Filtered (faceted) top-k: rank only documents whose facet posting
+    * lists contain them for EVERY (column, value) in `facets` — the filter
+    * IS a posting list ([[graft.model.Facets]]; the index must have been
+    * built with these columns in Config.facetCols). Scores are the normal
+    * OR-mode BM25 over the query terms; zero-overlap docs are not emitted.
+    * Same zero-exchange plan shape as [[topK]]: the facet lists are scanned
+    * term-pruned alongside the query postings, and the kernel drives from
+    * the filter intersection (cost ∝ shortest filter list per shard). */
+  def topKFiltered(query: String, facets: Map[String, String], k: Int): DataFrame = {
+    if (facets.isEmpty) return topK(query, k)
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return emptyHits()
+    val fterms = facets.toSeq.map { case (c, v) => graft.model.Facets.term(c, v) }
+    val required = fterms.size
+    val all = (dfm.keys.toSeq ++ fterms).distinct.sorted
+    val postings = postingsDF.where(col("term").isin(all: _*)).as[Posting]
+    val qterms = qtf
+    val fset = fterms.toSet
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val filterPs = fterms.flatMap(byTerm.get)
+      val inputs = qterms.toSeq.collect {
+        case (t, f) if !fset.contains(t) && byTerm.contains(t) && dfm.contains(t) =>
+          Wand.TermInput(byTerm(t), f, dfm(t))
+      }
+      Wand.topKFiltered(inputs, filterPs, required, nn, ad, k, p)
+        .iterator.map(s => (s.docId, s.score))
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    resolveHits(out.toDF("docId", "score"), k)
   }
 
   /** Every doc containing ALL analyzed query terms, as (docId, score) with

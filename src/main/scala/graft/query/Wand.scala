@@ -217,6 +217,85 @@ object Wand {
     topk.drainDescending()
   }
 
+  /** Filtered (faceted) top-k over one shard: rank only documents that
+    * appear in EVERY filter posting list (facet lists — see
+    * [[graft.model.Facets]]), scoring them with the normal OR-mode BM25 sum
+    * over the query terms (a doc passing the filter but overlapping no
+    * query term scores 0 and is not emitted, mirroring [[topK]]).
+    *
+    * `required` is the number of distinct filters the caller requested —
+    * when this shard holds fewer filter lists (some facet value absent
+    * here), no document in the shard can match.
+    *
+    * The FILTER intersection drives iteration (leapfrog over the filter
+    * cursors, same as [[topKAnd]]); query-term cursors only `advanceTo`
+    * each surviving candidate. Cost ∝ shortest filter list · block skips —
+    * for selective facets this beats WAND over the query union by the
+    * selectivity factor, and for a facet covering ~the whole corpus it
+    * degrades to one extra always-matching cursor on an OR-mode scan, so
+    * driving from the filter is the right default at any selectivity. */
+  def topKFiltered(query: Seq[TermInput], filters: Seq[Posting], required: Int,
+                   n: Long, avgdl: Double, k: Int, p: Bm25.Params): Array[Scored] = {
+    val topk = new TopK(k)
+    val liveF = filters.filter(_.count > 0)
+    if (liveF.size < required || liveF.isEmpty || n == 0 || avgdl == 0.0)
+      return topk.drainDescending()
+    val live = query.filter(t => t.posting.count > 0 && t.globalDf > 0)
+    if (live.isEmpty) return topk.drainDescending()
+
+    val fm = liveF.size
+    val fc = new Array[Postings.Cursor](fm)
+    var i = 0
+    liveF.foreach { f => fc(i) = new Postings.Cursor(f); fc(i).next(); i += 1 }
+    val m = live.size
+    val qc = new Array[Postings.Cursor](m)
+    val idfQtf = new Array[Double](m)
+    i = 0
+    live.foreach { t =>
+      qc(i) = new Postings.Cursor(t.posting)
+      qc(i).next()
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      i += 1
+    }
+
+    var target = 0L
+    var j = 0
+    while (j < fm) { if (fc(j).docId > target) target = fc(j).docId; j += 1 }
+    var done = false
+    while (!done) {
+      // leapfrog the filter cursors to a common docId
+      var matched = true
+      var jj = 0
+      while (jj < fm && matched) {
+        val c = fc(jj)
+        if (c.docId < target) c.advanceTo(target)
+        if (c.exhausted) { done = true; matched = false }
+        else if (c.docId != target) { target = c.docId; matched = false }
+        jj += 1
+      }
+      if (!done && matched) {
+        // score the candidate: query cursors catch up, equal docIds add in
+        var s = 0.0
+        var liveQ = false
+        var jk = 0
+        while (jk < m) {
+          val c = qc(jk)
+          if (!c.exhausted && c.docId < target) c.advanceTo(target)
+          if (!c.exhausted) {
+            liveQ = true
+            if (c.docId == target) s += idfQtf(jk) * Bm25.tfSat(c.tf, c.dl, avgdl, p)
+          }
+          jk += 1
+        }
+        if (s > 0.0) topk.offer(target, s)
+        if (!liveQ) done = true // every query list exhausted: nothing can score
+        else if (fc(0).next()) target = fc(0).docId
+        else done = true
+      }
+    }
+    topk.drainDescending()
+  }
+
   /** Every doc (ascending docId) containing ALL query terms in this shard,
     * with its BM25 score — the candidate enumerator for phrase/positional
     * verification. Same leapfrog as [[topKAnd]], no heap; output size is

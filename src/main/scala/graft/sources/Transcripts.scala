@@ -114,12 +114,12 @@ object Transcripts {
   /** Adapter: the driver-provided documents table
     * (doc_id, text, lang, source, n_chars) viewed as single-turn
     * conversations, so the same index pipeline runs over it. */
-  def fromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+  def fromDocuments(docs: DataFrame, extraCols: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(
       col("doc_id").cast("string").as("conv_id"),
       lit(0).as("turn_idx"),
       lit("user").as("role"),
       col("text"),
       lit("").as("tool"),
-      to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+      to_timestamp(lit("2024-01-01 00:00:00")).as("ts")) ++ extraCols.map(col(_)): _*)
 }

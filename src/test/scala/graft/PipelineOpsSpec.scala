@@ -29,6 +29,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"near-dup (0,1) not found; got ${pairs.mkString(", ")}")
   }
 
+  test("simHashPairs banded candidates are exhaustive for hamming <= 3") {
+    // brute-force ALL pairs at hamming <= 3 over sf0.001 and require the
+    // banded op to find exactly that set (pigeonhole: 4 bands, <= 3
+    // differing bits => >= 1 band agrees, so banding loses nothing)
+    val sf = "/root/testdata/sf0.001"
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, graft.analysis.TextHash.simHash31(
+          graft.analysis.Analyzer.termFreqs(graft.analysis.Analyzer.tokenizeRaw(t))))
+      }
+    val brute = (for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      h = java.lang.Long.bitCount(sh(i)._2 ^ sh(j)._2)
+      if h <= 3
+      (a, b) = if (sh(i)._1 < sh(j)._1) (sh(i)._1, sh(j)._1) else (sh(j)._1, sh(i)._1)
+    } yield (a, b, h.toLong)).toSet
+    val banded = TextOps.simHashPairs(spark, sf, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banded ${banded.size} vs brute ${brute.size}; missing ${(brute -- banded).take(5)}")
+    assert(brute.nonEmpty, "fixture corpus should contain near-dup simhashes")
+  }
+
   test("annIvf recall@10 vs exact cosTopK on sf0.1 embeddings") {
     val sf = "/root/testdata/sf0.1"
     val exact = VectorOps.cosTopK(spark, sf, 0L, 10)

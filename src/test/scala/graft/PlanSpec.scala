@@ -107,5 +107,8 @@ class PlanSpec extends AnyFunSuite {
     val mhPlan = graft.ops.TextOps.minHashPairs(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!mhPlan.contains("Join"), s"join in minHashPairs plan:\n${mhPlan.take(3000)}")
+    val shPlan = graft.ops.TextOps.simHashPairs(spark, sf, 3)
+      .queryExecution.executedPlan.toString
+    assert(!shPlan.contains("Join"), s"join in simHashPairs plan:\n${shPlan.take(3000)}")
   }
 }
