@@ -83,7 +83,7 @@ object Bench {
     * are shorter than one 8+32 pair, so a contended-8/quiet-32 pair
     * reports efficiency > 1 — measured 1.28 once.) */
   private def buildThroughputs(nTurns: Long): (Double, Double) = {
-    val samples = (1 to 3).map(_ => (buildOnce(8, nTurns), buildOnce(32, nTurns)))
+    val samples = (1 to 4).map(_ => (buildOnce(8, nTurns), buildOnce(32, nTurns)))
     (samples.map(_._1).max, samples.map(_._2).max)
   }
 

@@ -96,6 +96,17 @@ object OracleSql {
        |ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT $k""".stripMargin
   }
 
+  /** Facet value counts among the docs matching ≥1 query term — the SQL
+    * mirror of Searcher.facetCounts. */
+  def facetCounts(terms: Seq[(String, Int)], facetCol: String, topN: Int): String =
+    s"""WITH $baseCtes,
+       |m AS (
+       |  SELECT DISTINCT tf.doc_id FROM tf
+       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term)
+       |SELECT d.$facetCol AS value, CAST(count(*) AS BIGINT) AS cnt
+       |FROM m JOIN documents d ON d.doc_id = m.doc_id
+       |GROUP BY 1 ORDER BY cnt DESC, value LIMIT $topN""".stripMargin
+
   /** Conjunctive scored CTE: only docs matching EVERY query term. */
   def scoredAndCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
     scoredCte(terms, p).stripSuffix(")") +

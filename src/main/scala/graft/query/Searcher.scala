@@ -300,6 +300,53 @@ final class Searcher(spark: SparkSession, indexDir: String,
     resolveHits(out.toDF("docId", "score"), k)
   }
 
+  /** Facet value counts over the documents matching ≥ 1 analyzed query term
+    * (the OR-match set — identical to the score>0 set, since this engine's
+    * idf variant is strictly positive): the aggregation panel of a faceted
+    * search. Returns (value, cnt), cnt desc / value asc, top `topN`.
+    *
+    * Scale shape: the per-shard kernel marks the query postings in a rank
+    * bitmap and counts each facet posting list against it
+    * ([[Wand.facetCounts]]) — zero-exchange under the colocated layout; the
+    * only shuffle is the final ≤ shards·|values| aggregate. The facet lists
+    * are read via a PREFIX-pushed scan (StringStartsWith reaches Parquet),
+    * never an explode/join of the corpus. */
+  def facetCounts(query: String, facetCol: String, topN: Int): DataFrame = {
+    val empty = Seq.empty[(String, Long)].toDF("value", "cnt")
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return empty
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return empty
+    val qterms = dfm.keys.toSeq.sorted
+    val prefix = graft.model.Facets.Prefix + facetCol + graft.model.Facets.Prefix
+    val prefixLen = prefix.length
+    val postings = postingsDF
+      .where(col("term").isin(qterms: _*) || col("term").startsWith(prefix))
+      .as[Posting]
+    def kernel(group: Seq[Posting]): Iterator[(String, Long)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val (fac, rest) = byTerm.partition(_._1.startsWith(prefix))
+      Wand.facetCounts(qterms.flatMap(rest.get), fac.values.toSeq)
+        .map { case (t, c) => (t.substring(prefixLen), c) }
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    out.toDF("value", "cnt")
+      .groupBy($"value").agg(sum($"cnt").as("cnt"))
+      .orderBy(desc("cnt"), asc("value")).limit(topN)
+  }
+
   /** Every doc containing ALL analyzed query terms, as (docId, score) with
     * the conjunctive (= OR-mode) BM25 score — the distributed candidate
     * enumerator for phrase/positional verification. Output size ≤ the

@@ -345,6 +345,52 @@ object Wand {
     out.toArray
   }
 
+  /** Growable two-level bitmap over per-shard document RANKS (dense by
+    * construction — Ids.rankOf). Pages of 2^26 bits (8 MB) allocate lazily,
+    * so memory tracks the highest rank actually touched, and the long page
+    * index supports the full 2^40 ranks-per-shard docId space (no toInt
+    * anywhere). Used by the facet-count kernel. */
+  final class RankBitmap {
+    private val PageBits = 26
+    private val PageWords = 1 << (PageBits - 6)
+    private var pages = new Array[Array[Long]](16)
+    def set(rank: Long): Unit = {
+      val p = (rank >>> PageBits).toInt // rank < 2^40 => page < 2^14: Int-safe
+      if (p >= pages.length) pages = java.util.Arrays.copyOf(pages, Integer.highestOneBit(p) * 2)
+      if (pages(p) == null) pages(p) = new Array[Long](PageWords)
+      val off = (rank & ((1L << PageBits) - 1)).toInt
+      pages(p)(off >>> 6) |= 1L << (off & 63)
+    }
+    def get(rank: Long): Boolean = {
+      val p = (rank >>> PageBits).toInt
+      if (p >= pages.length || pages(p) == null) return false
+      val off = (rank & ((1L << PageBits) - 1)).toInt
+      (pages(p)(off >>> 6) & (1L << (off & 63))) != 0L
+    }
+  }
+
+  /** Facet-count kernel for one shard: mark every doc on any query posting
+    * (OR-match set, == the score>0 set since this engine's idf is strictly
+    * positive) in a rank bitmap, then for each facet posting list count its
+    * docs that hit the bitmap. Returns (facetTerm, count) with count > 0.
+    * Cost: one pass over the query postings + one over the facet lists; no
+    * per-doc state beyond the bitmap (8 MB per 64M docs touched). */
+  def facetCounts(queryPostings: Seq[Posting],
+                  facetPostings: Seq[Posting]): Iterator[(String, Long)] = {
+    if (queryPostings.isEmpty || facetPostings.isEmpty) return Iterator.empty
+    val matched = new RankBitmap
+    queryPostings.foreach { qp =>
+      val c = new Postings.Cursor(qp)
+      while (c.next()) matched.set(graft.model.Ids.rankOf(c.docId))
+    }
+    facetPostings.iterator.flatMap { fp =>
+      val c = new Postings.Cursor(fp)
+      var cnt = 0L
+      while (c.next()) if (matched.get(graft.model.Ids.rankOf(c.docId))) cnt += 1
+      if (cnt > 0) Iterator.single((fp.term, cnt)) else Iterator.empty
+    }
+  }
+
   /** Exhaustive (no pruning) scorer over the same inputs — the correctness
     * twin of topK; WAND ≡ this on every corpus (tested). */
   def topKExhaustive(terms: Seq[TermInput], n: Long,

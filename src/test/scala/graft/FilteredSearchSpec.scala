@@ -104,6 +104,21 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "filtered doc-meta lookup must not be a join")
   }
 
+  test("facetCounts matches a brute-force count of matching docs per value") {
+    val matches = searcher.scoreAll(Query).select("conv_id", "turn_idx")
+    for (fcol <- Seq("role", "tool")) {
+      val e = matches
+        .join(turnsDF.select("conv_id", "turn_idx", fcol), Seq("conv_id", "turn_idx"))
+        .filter(col(fcol) =!= "") // empty tool facets exist but count as a real value
+        .groupBy(fcol).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().sortBy { case (v, c) => (-c, v) }.take(5)
+      val g = searcher.facetCounts(Query, fcol, 10)
+        .as[(String, Long)].collect().filter(_._1.nonEmpty).take(5)
+      assert(g.toSeq == e.toSeq, s"$fcol: ${g.toSeq} vs ${e.toSeq}")
+      assert(g.nonEmpty)
+    }
+  }
+
   test("facet values with spaces survive the postings shuffle key") {
     val d = TestSpark.tmpDir("facsp")
     val turns = Seq(
