@@ -55,6 +55,8 @@ object SparkEntry {
     // faceted top-k: metadata filters as facet posting lists
     "q_filtered_topk" -> ((s, d) => DocQueries.filteredTopK(s, d, Q_SCORE,
       Map("lang" -> "en", "source" -> "src7"), 10)),
+    // top-k + snippet extraction over point-read hit text
+    "q_snippets" -> ((s, d) => DocQueries.snippets(s, d, Q_TOPK, 10)),
     // faceted aggregation panel: facet value counts among matching docs
     "q_facet_counts" -> ((s, d) => DocQueries.facetCounts(s, d, Q_SCORE, "source", 8)),
     // empty-query contract: every doc, score exactly 0
@@ -110,6 +112,7 @@ object SparkEntry {
       Analyzer.tokenizeRaw(Q_PHRASE).toSeq, P, 10),
     "q_filtered_topk" -> OracleSql.topKFiltered(qt(Q_SCORE), P, 10,
       Seq("lang" -> "en", "source" -> "src7")),
+    "q_snippets" -> OracleSql.snippets(qt(Q_TOPK), P, 10, DocQueries.SnippetWindow),
     "q_facet_counts" -> OracleSql.facetCounts(qt(Q_SCORE), "source", 8),
     "q_bm25_empty" -> OracleSql.emptyQuery,
     "q_refresh_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),

@@ -107,6 +107,30 @@ object OracleSql {
        |FROM m JOIN documents d ON d.doc_id = m.doc_id
        |GROUP BY 1 ORDER BY cnt DESC, value LIMIT $topN""".stripMargin
 
+  /** Top-k with extracted snippets — the SQL mirror of DocQueries.snippets
+    * (first raw token matching an analyzed query term, ± `w` tokens). */
+  def snippets(terms: Seq[(String, Int)], p: Bm25.Params, k: Int, w: Int): String = {
+    // first position (1-based) of any analyzed query term in the raw token
+    // array: min over per-term list_position (NULL = absent; a scored hit
+    // always contains >= 1 term, so the sentinel never survives)
+    val firstPos = terms.map(t => s"coalesce(list_position(a, ${lit(t._1)}), 999999999)")
+      .mkString("least(", ", ", ")")
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |topk AS (
+       |  SELECT doc_id, round(score, 4) AS score FROM scored
+       |  ORDER BY round(score, 4) DESC, doc_id LIMIT $k),
+       |arr AS (
+       |  SELECT t.doc_id, t.score,
+       |         regexp_extract_all(lower(d.text), '[\\p{L}\\p{Nd}]+') AS a
+       |  FROM topk t JOIN documents d ON d.doc_id = t.doc_id),
+       |fi AS (SELECT doc_id, score, a, $firstPos AS i FROM arr)
+       |SELECT doc_id, score,
+       |  array_to_string(list_slice(a, greatest(1, i - $w), i + $w), ' ') AS snippet
+       |FROM fi
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   /** Conjunctive scored CTE: only docs matching EVERY query term. */
   def scoredAndCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
     scoredCte(terms, p).stripSuffix(")") +
