@@ -82,6 +82,13 @@ object SparkEntry {
     "q_langid" -> ((s, d) => TextOps.langId(s, d)),
     "q_quality" -> ((s, d) => TextOps.quality(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    // repetition diagnostics (Gopher-style repeated-bigram quality filter)
+    "q_repetition" -> ((s, d) => TextOps.repetition(s, d)),
+    // benchmark decontamination vs a held-out eval slice
+    "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    // deterministic per-source stratified sampling (mixture weights)
+    "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d,
+      Map("src0" -> 0.75, "src3" -> 0.25), 0.5)),
     // deduplication family
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
@@ -92,6 +99,8 @@ object SparkEntry {
     "q_cos_topk" -> ((s, d) => VectorOps.cosTopK(s, d, 0L, 10)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d, 0L, 10, 2)),
     "q_embed_pairs" -> ((s, d) => VectorOps.similarPairs(s, d, 20)),
+    // corpus organization: k-means cluster assignment per embedding
+    "q_embed_cluster" -> ((s, d) => VectorOps.embedCluster(s, d)),
     // multimodal: real PNG/WAV/AVI header parsing over synth containers
     "q_mm_features" -> ((s, d) => Multimodal.features(s, d))
   )
@@ -128,6 +137,10 @@ object SparkEntry {
     "q_langid" -> OracleSqlOps.langId,
     "q_quality" -> OracleSqlOps.quality,
     "q_fingerprint" -> OracleSqlOps.fingerprint,
+    "q_repetition" -> OracleSqlOps.repetition,
+    "q_decontaminate" -> OracleSqlOps.decontaminate(13L, 7L),
+    "q_sample_stratified" -> OracleSqlOps.stratifiedSample(
+      Map("src0" -> 0.75, "src3" -> 0.25), 0.5),
     "q_dedup_exact" -> OracleSqlOps.dedupExact,
     "q_simhash" -> OracleSqlOps.simHash,
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),
@@ -136,6 +149,7 @@ object SparkEntry {
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),
     "q_ann_ivf" -> OracleSqlOps.annIvf(0L, 10, 2),
     "q_embed_pairs" -> OracleSqlOps.similarPairs(20),
+    "q_embed_cluster" -> OracleSqlOps.embedCluster,
     "q_mm_features" -> OracleSqlOps.mmFeatures
   )
 }

@@ -99,6 +99,84 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, n_bigrams, dup_frac, top_frac) — repetition diagnostics over
+    * raw-token bigrams (the Gopher-style repeated-n-gram quality filters):
+    * dup_frac = 1 − distinct/total bigrams, top_frac = share of the single
+    * most frequent bigram. Pure per-row map — no shuffle at any scale. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOver(docs(spark, sfDir))
+
+  private[graft] def repetitionOver(source: DataFrame): DataFrame = {
+    val f = udf { (t: String) =>
+      val toks = Analyzer.tokenizeRaw(t)
+      if (toks.length < 2) (0L, 0.0, 0.0)
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        var mx = 0
+        val n = toks.length - 1
+        while (i < n) {
+          val g = toks(i) + " " + toks(i + 1)
+          val c = counts.merge(g, 1, (a, b) => a + b)
+          if (c > mx) mx = c
+          i += 1
+        }
+        (n.toLong, 1.0 - counts.size.toDouble / n, mx.toDouble / n)
+      }
+    }
+    source
+      .select(col("doc_id"), f(col("text")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_bigrams"),
+        round(col("r._2"), 4).as("dup_frac"), round(col("r._3"), 4).as("top_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥1 distinct
+    * 3-word shingle with the held-out eval slice (docs where
+    * doc_id % evalMod == evalRem stand in for an eval/benchmark set).
+    * Output (doc_id, n_hits) over NON-eval docs with n_hits ≥ 1.
+    *
+    * Scale shape: real eval sets are tiny vs a 100 TB corpus, so the
+    * distinct eval-shingle hashes are broadcast — the corpus side is a
+    * map-side explode + broadcast-hash semi-join (no corpus shuffle); only
+    * the matching (doc, shingle) hits shuffle into the per-doc count. */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    evalMod: Long = 13L, evalRem: Long = 7L): DataFrame =
+    decontaminateOver(docs(spark, sfDir), evalMod, evalRem)
+
+  private[graft] def decontaminateOver(source: DataFrame, evalMod: Long,
+                                       evalRem: Long): DataFrame = {
+    val shUdf = udf((t: String) =>
+      TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct.map(TextHash.polyHash31))
+    val sh = source.select(col("doc_id"), explode(shUdf(col("text"))).as("h"))
+    val evalSh = sh.filter(col("doc_id") % evalMod === evalRem).select("h").distinct()
+    sh.filter(col("doc_id") % evalMod =!= evalRem)
+      .join(broadcast(evalSh), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash-based stratified sampling: keep a doc iff
+    * polyHash31("smpl:" + doc_id) mod 10000 < per-source threshold
+    * (rate·10000, rounded once on the driver — no float casts in the
+    * plan). Reproducible across runs/cluster sizes, map-side only (the
+    * scan reads just doc_id+source via column pruning), and per-stratum
+    * rates compose into training-data mixture weights. */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val thrCol = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 10000).toInt)) { case (acc, (src, r)) =>
+      when(col("source") === lit(src), lit(math.round(r * 10000).toInt)).otherwise(acc)
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        polyHashUdf(concat(lit("smpl:"), col("doc_id").cast("string"))).as("h"))
+      .filter(col("h") % 10000 < thrCol)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, fp) — polynomial rolling-hash fingerprint of lower(text). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)

@@ -152,19 +152,35 @@ object VectorOps {
   /** IVF ANN: train K centroids by k-means, probe the `nprobe` clusters
     * nearest to the target (quantized L2, ties → smaller k), exact cosine
     * among members of the probed clusters only. */
-  def annIvf(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
-             nprobe: Int): DataFrame = {
-    val v = emb(spark, sfDir)
-    // invalidate entries bound to a stopped SparkSession (tests and
-    // services recreate sessions; a cached DataFrame would throw)
+  /** Cached (quantized table, trained centroids) for a dataset, with
+    * stale-session invalidation (tests and services recreate sessions; a
+    * cached DataFrame bound to a stopped one would throw). */
+  private def trained(spark: SparkSession, sfDir: String): (DataFrame, Array[Array[Long]]) = {
     Option(ivfCache.get(sfDir)).foreach { case (cached, _) =>
       if (cached.sparkSession.sparkContext.isStopped) ivfCache.remove(sfDir)
     }
-    val (vq, cents) = ivfCache.computeIfAbsent(sfDir, _ => {
-      val q = v.withColumn("qv", quantize(col("e")))
+    ivfCache.computeIfAbsent(sfDir, _ => {
+      val q = emb(spark, sfDir).withColumn("qv", quantize(col("e")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (q, trainCentroids(q))
     })
+  }
+
+  /** (vec_id, k) — k-means cluster assignment for every embedding: the
+    * corpus-organization op (topic bucketing, data mixing, per-cluster
+    * sampling) built from the same trained centroids that power annIvf.
+    * Assignment is a map-side codegen'd expression over the broadcast
+    * K×dim centroid matrix — no shuffle beyond the output sort. */
+  def embedCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val (vq, cents) = trained(spark, sfDir)
+    vq.select(col("vec_id"), assignCol(col("qv"), cents).as("k"))
+      .orderBy("vec_id")
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
+             nprobe: Int): DataFrame = {
+    val v = emb(spark, sfDir)
+    val (vq, cents) = trained(spark, sfDir)
 
     val tqRow = vq.filter(col("vec_id") === targetId).select("qv").collect()
     if (tqRow.isEmpty) {

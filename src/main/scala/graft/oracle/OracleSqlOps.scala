@@ -76,6 +76,44 @@ object OracleSqlOps {
        |  round(CASE WHEN agg.n > 0 THEN (CAST(agg.dn AS DOUBLE) / agg.n) * (1 - CAST(agg.stop AS DOUBLE) / agg.n) ELSE 0.0 END, 4) AS quality
        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Mirror of TextOps.repetition: bigram multiset diagnostics. */
+  def repetition: String =
+    """WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS a FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+      |  FROM arrs),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS dn, max(c) AS mx FROM cnt GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+      |  round(CASE WHEN agg.n > 0 THEN 1.0 - CAST(agg.dn AS DOUBLE) / agg.n ELSE 0.0 END, 4) AS dup_frac,
+      |  round(CASE WHEN agg.n > 0 THEN CAST(agg.mx AS DOUBLE) / agg.n ELSE 0.0 END, 4) AS top_frac
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Mirror of TextOps.decontaminate: distinct-shingle overlap with the
+    * doc_id % evalMod == evalRem eval slice. */
+  def decontaminate(evalMod: Long, evalRem: Long): String =
+    s"""WITH $shingleCtes,
+       |hh AS (SELECT doc_id, ${polyHash("s")} AS h FROM dsh),
+       |ev AS (SELECT DISTINCT h FROM hh WHERE doc_id % $evalMod = $evalRem)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM hh t JOIN ev ON ev.h = t.h
+       |WHERE t.doc_id % $evalMod <> $evalRem
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mirror of TextOps.stratifiedSample: integer thresholds precomputed the
+    * same way (round(rate·10000)), hash over 'smpl:' || doc_id. */
+  def stratifiedSample(rates: Map[String, Double], defaultRate: Double): String = {
+    val whens = rates.toSeq.sorted
+      .map { case (src, r) => s"WHEN source = ${lit(src)} THEN ${math.round(r * 10000)}" }
+      .mkString(" ")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    ${polyHash("'smpl:' || CAST(doc_id AS VARCHAR)")} AS h,
+       |    CASE $whens ELSE ${math.round(defaultRate * 10000)} END AS thr
+       |  FROM documents) t
+       |WHERE h % 10000 < thr ORDER BY doc_id""".stripMargin
+  }
+
   def fingerprint: String =
     s"""SELECT doc_id, CAST(${polyHash("lower(text)")} AS BIGINT) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
@@ -229,6 +267,12 @@ object OracleSqlOps {
     sb.append(s",\ncfin AS (SELECT * FROM c$iters),\nafin AS (SELECT * FROM a${iters + 1})")
     sb.toString
   }
+
+  /** Mirror of VectorOps.embedCluster: final k-means assignment. */
+  def embedCluster: String =
+    s"""WITH $quantCte,
+       |${kmeansCtes(8, 3)}
+       |SELECT vec_id, CAST(k AS INT) AS k FROM afin ORDER BY vec_id""".stripMargin
 
   def annIvf(targetId: Long, k: Int, nprobe: Int): String =
     s"""WITH $quantCte,

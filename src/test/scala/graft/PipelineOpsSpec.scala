@@ -76,6 +76,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p1.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
   }
 
+  test("repetition: bigram dup/top fractions on known fixtures") {
+    val docs = Seq(
+      (0L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab → n=5, distinct=2, top=3
+      (1L, "one two three four"), // all distinct → dup 0, top 1/3
+      (2L, "single"), // <2 tokens → zeros
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.repetitionOver(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(rows(0L) == ((5L, 0.6, 0.6)))
+    assert(rows(1L) == ((3L, 0.0, 0.3333)))
+    assert(rows(2L) == ((0L, 0.0, 0.0)))
+    assert(rows(3L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("decontaminate flags only non-eval docs sharing a shingle with the eval slice") {
+    // evalMod=13, evalRem=7 → doc 7 is the eval slice
+    val docs = Seq(
+      (7L, "the secret benchmark answer sequence here"),
+      (1L, "prefix words then secret benchmark answer trailing"), // shares shingles with 7
+      (2L, "completely different content with no overlap at all"),
+      (21L, "benchmark answer sequence appears here too") // shares 'benchmark answer sequence'
+    ).toDF("doc_id", "text")
+    val hits = TextOps.decontaminateOver(docs, 13L, 7L)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(1L) && hits(1L) >= 1L)
+    assert(hits.contains(21L) && hits(21L) >= 1L)
+    assert(!hits.contains(2L), s"doc 2 shares no shingle; got $hits")
+    assert(!hits.contains(7L), "the eval doc itself must not be flagged")
+  }
+
+  test("stratifiedSample is deterministic and matches the hash predicate exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val rates = Map("src0" -> 0.75, "src3" -> 0.25)
+    val kept = TextOps.stratifiedSample(spark, sf, rates, 0.5)
+      .as[(Long, String)].collect()
+    val kept2 = TextOps.stratifiedSample(spark, sf, rates, 0.5)
+      .as[(Long, String)].collect()
+    assert(kept.toSeq == kept2.toSeq, "sampling must be reproducible")
+    // recompute the predicate driver-side over the full table
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expect = all.filter { case (id, src) =>
+      val thr = math.round(rates.getOrElse(src, 0.5) * 10000).toInt
+      graft.analysis.TextHash.polyHash31(s"smpl:$id") % 10000 < thr
+    }.sortBy(_._1)
+    assert(kept.toSeq == expect.toSeq)
+    assert(kept.nonEmpty && kept.length < all.length)
+  }
+
+  test("embedCluster assigns every vector to one of K stable clusters") {
+    val sf = "/root/testdata/sf0.001"
+    val a1 = VectorOps.embedCluster(spark, sf).as[(Long, Int)].collect()
+    val a2 = VectorOps.embedCluster(spark, sf).as[(Long, Int)].collect()
+    assert(a1.toSeq == a2.toSeq, "assignment must be deterministic")
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(a1.length.toLong == n, "every vector exactly once")
+    assert(a1.forall { case (_, k) => k >= 0 && k < VectorOps.KmeansK })
+    assert(a1.map(_._2).distinct.length > 1, "more than one cluster in use")
+  }
+
   test("language ID votes across en/fr/de/es/it; no function words → und") {
     import graft.ops.TextOps.predictLang
     assert(predictLang("the quick brown fox jumps over the lazy dog") == "en")
