@@ -89,6 +89,9 @@ object SparkEntry {
     // deterministic per-source stratified sampling (mixture weights)
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d,
       Map("src0" -> 0.75, "src3" -> 0.25), 0.5)),
+    // composed one-scan cleaning predicate (lang + tokens + quality + dup)
+    "q_filter_pipeline" -> ((s, d) => TextOps.filterPipeline(s, d,
+      Set("en"), 30L, 0.35, 0.05)),
     // deduplication family
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
@@ -141,6 +144,7 @@ object SparkEntry {
     "q_decontaminate" -> OracleSqlOps.decontaminate(13L, 7L),
     "q_sample_stratified" -> OracleSqlOps.stratifiedSample(
       Map("src0" -> 0.75, "src3" -> 0.25), 0.5),
+    "q_filter_pipeline" -> OracleSqlOps.filterPipeline(Set("en"), 30L, 0.35, 0.05),
     "q_dedup_exact" -> OracleSqlOps.dedupExact,
     "q_simhash" -> OracleSqlOps.simHash,
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),

@@ -177,6 +177,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** One-pass quality-filter pipeline — the composed cleaning predicate a
+    * training-data job runs before dedup, evaluated in a SINGLE map-side
+    * scan (running langId + quality + repetition as separate ops costs
+    * three corpus scans; at 100 TB the scan IS the cost):
+    * (doc_id, pred_lang, n_tokens, quality, dup_frac, keep) with
+    * keep = lang ∈ keepLangs ∧ n_tokens ≥ minTokens ∧ quality ≥ minQuality
+    * ∧ dup_frac ≤ maxDupFrac. Thresholds compare the round-4 values so the
+    * predicate is identical in both engines. */
+  def filterPipeline(spark: SparkSession, sfDir: String, keepLangs: Set[String],
+                     minTokens: Long, minQuality: Double, maxDupFrac: Double): DataFrame = {
+    val f = udf { (t: String) =>
+      val toks = Analyzer.tokenizeRaw(t)
+      val n = toks.length
+      val lang = predictLang(t)
+      val (q, dup) =
+        if (n == 0) (0.0, 0.0)
+        else {
+          val stop = toks.count(StopWords.english.contains)
+          val sr = stop.toDouble / n
+          val dr = toks.distinct.length.toDouble / n
+          val quality = dr * (1 - sr)
+          val dupFrac =
+            if (n < 2) 0.0
+            else {
+              val counts = new java.util.HashMap[String, Int]()
+              var i = 0
+              while (i < n - 1) {
+                counts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+                i += 1
+              }
+              1.0 - counts.size.toDouble / (n - 1)
+            }
+          (quality, dupFrac)
+        }
+      (lang, n.toLong, q, dup)
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), f(col("text")).as("r"))
+      .select(col("doc_id"), col("r._1").as("pred_lang"),
+        col("r._2").as("n_tokens"),
+        round(col("r._3"), 4).as("quality"), round(col("r._4"), 4).as("dup_frac"))
+      .withColumn("keep",
+        col("pred_lang").isin(keepLangs.toSeq: _*) &&
+          col("n_tokens") >= minTokens &&
+          col("quality") >= minQuality &&
+          col("dup_frac") <= maxDupFrac)
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, fp) — polynomial rolling-hash fingerprint of lower(text). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)

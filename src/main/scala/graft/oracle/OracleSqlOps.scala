@@ -114,6 +114,51 @@ object OracleSqlOps {
        |WHERE h % 10000 < thr ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of TextOps.filterPipeline: the composed keep predicate over
+    * round-4 quality/dup_frac, function-word lang vote, token count. */
+  def filterPipeline(keepLangs: Set[String], minTokens: Long,
+                     minQuality: Double, maxDupFrac: Double): String = {
+    val langs = keepLangs.toSeq.sorted.map(lit).mkString(",")
+    s"""WITH $rawToks,
+       |v AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN term IN ($en) THEN 1 ELSE 0 END) AS en,
+       |    sum(CASE WHEN term IN ($fr) THEN 1 ELSE 0 END) AS fr,
+       |    sum(CASE WHEN term IN ($de) THEN 1 ELSE 0 END) AS de,
+       |    sum(CASE WHEN term IN ($es) THEN 1 ELSE 0 END) AS es,
+       |    sum(CASE WHEN term IN ($it) THEN 1 ELSE 0 END) AS it
+       |  FROM rt GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CASE WHEN term IN ($en) THEN 1 ELSE 0 END) AS stop,
+       |    count(DISTINCT term) AS dn
+       |  FROM rt GROUP BY 1),
+       |arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+       |  FROM arrs),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, count(*) AS dnb FROM cnt GROUP BY 1),
+       |base AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN v.doc_id IS NULL OR (v.en = 0 AND v.fr = 0 AND v.de = 0 AND v.es = 0 AND v.it = 0) THEN 'und'
+       |         WHEN v.en >= v.fr AND v.en >= v.de AND v.en >= v.es AND v.en >= v.it THEN 'en'
+       |         WHEN v.fr >= v.de AND v.fr >= v.es AND v.fr >= v.it THEN 'fr'
+       |         WHEN v.de >= v.es AND v.de >= v.it THEN 'de'
+       |         WHEN v.es >= v.it THEN 'es' ELSE 'it' END AS pred_lang,
+       |    CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+       |    round(CASE WHEN agg.n > 0 THEN (CAST(agg.dn AS DOUBLE) / agg.n) * (1 - CAST(agg.stop AS DOUBLE) / agg.n) ELSE 0.0 END, 4) AS quality,
+       |    round(CASE WHEN bagg.nb > 0 THEN 1.0 - CAST(bagg.dnb AS DOUBLE) / bagg.nb ELSE 0.0 END, 4) AS dup_frac
+       |  FROM documents d
+       |  LEFT JOIN v ON v.doc_id = d.doc_id
+       |  LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |  LEFT JOIN bagg ON bagg.doc_id = d.doc_id)
+       |SELECT doc_id, pred_lang, n_tokens, quality, dup_frac,
+       |  (pred_lang IN ($langs) AND n_tokens >= $minTokens
+       |   AND quality >= $minQuality AND dup_frac <= $maxDupFrac) AS keep
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   def fingerprint: String =
     s"""SELECT doc_id, CAST(${polyHash("lower(text)")} AS BIGINT) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin

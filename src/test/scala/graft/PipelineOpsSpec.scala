@@ -126,6 +126,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.length < all.length)
   }
 
+  test("filterPipeline keep ≡ conjunction of the standalone ops' thresholds") {
+    val sf = "/root/testdata/sf0.001"
+    val fp = TextOps.filterPipeline(spark, sf, Set("en"), 30L, 0.35, 0.05)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    // cross-check against the standalone ops (three scans vs one)
+    val lang = TextOps.langId(spark, sf).as[(Long, String)].collect().toMap
+    val qual = TextOps.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val rep = TextOps.repetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val total = fp.size
+    assert(total == lang.size)
+    fp.foreach { case (id, (pl, n, q, dup, keep)) =>
+      assert(pl == lang(id), s"doc $id lang")
+      assert(n == qual(id)._1 && q == qual(id)._2, s"doc $id quality")
+      assert(dup == rep(id), s"doc $id dup_frac")
+      val expect = pl == "en" && n >= 30L && q >= 0.35 && dup <= 0.05
+      assert(keep == expect, s"doc $id keep")
+    }
+    val kept = fp.count(_._2._5)
+    info(s"kept $kept / $total")
+    assert(kept > 0 && kept < total, "thresholds must split the corpus")
+  }
+
   test("embedCluster assigns every vector to one of K stable clusters") {
     val sf = "/root/testdata/sf0.001"
     val a1 = VectorOps.embedCluster(spark, sf).as[(Long, Int)].collect()
