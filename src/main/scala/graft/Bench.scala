@@ -69,22 +69,43 @@ object Bench {
     nTurns / secs
   }
 
-  /** INTERLEAVED best-of-3 per level (8,32,8,32,…): this vCPU host has
+  /** One interleaved (8-thread, 32-thread) build pair plus the DRAM probe
+    * reading of its window (min of the bracketing probes — a window is
+    * only as quiet as its worse bracket). */
+  final case class ScaleSample(tp8: Double, tp32: Double, probeMemX: Double)
+
+  /** INTERLEAVED sampling with a QUIET-WINDOW protocol: this vCPU host has
     * noisy neighbors (observed >3× wall variance between back-to-back
-    * identical runs); interference only ever slows a run, so the max over
-    * alternating samples is the faithful estimator for BOTH levels — a
-    * contended window cannot selectively penalize one level the way two
-    * sequential best-of blocks can.
-    *
-    * The efficiency is the ratio of the two per-level maxima: each max is
-    * the least-contended (closest-to-true) estimate of that level's
-    * throughput, so their ratio is the best estimate of the true scaling.
+    * identical runs), so every (8,32) pair is bracketed by HostProbe DRAM
+    * measurements and sampling RETRIES until two samples land in a quiet
+    * window (bracketing memory-streaming 8→32 speedup ≥ 2.7×, the level
+    * this host shows when uncontended) or the sample budget runs out.
+    * Interference only ever slows a run, so the estimator is the max over
+    * the quiet samples (over all samples only if none were quiet) for
+    * BOTH levels — a contended window cannot selectively penalize one
+    * level the way two sequential best-of blocks can.
     * (A per-adjacent-pair ratio was tried and rejected: contention windows
     * are shorter than one 8+32 pair, so a contended-8/quiet-32 pair
     * reports efficiency > 1 — measured 1.28 once.) */
-  private def buildThroughputs(nTurns: Long): (Double, Double) = {
-    val samples = (1 to 4).map(_ => (buildOnce(8, nTurns), buildOnce(32, nTurns)))
-    (samples.map(_._1).max, samples.map(_._2).max)
+  private val QuietMemX = 2.7
+  private def buildThroughputs(nTurns: Long): (Double, Double, Seq[ScaleSample], Double, Double) = {
+    val MaxSamples = 6
+    val samples = scala.collection.mutable.ArrayBuffer.empty[ScaleSample]
+    var regMax = 0.0
+    var memMax = 0.0
+    var before = graft.cli.HostProbe.measure()
+    regMax = before._1; memMax = before._2
+    while (samples.size < MaxSamples && samples.count(_.probeMemX >= QuietMemX) < 2) {
+      val tp8 = buildOnce(8, nTurns)
+      val tp32 = buildOnce(32, nTurns)
+      val after = graft.cli.HostProbe.measure()
+      regMax = math.max(regMax, after._1); memMax = math.max(memMax, after._2)
+      samples += ScaleSample(tp8, tp32, math.min(before._2, after._2))
+      before = after
+    }
+    val quiet = samples.filter(_.probeMemX >= QuietMemX)
+    val use = if (quiet.nonEmpty) quiet else samples
+    (use.map(_.tp8).max, use.map(_.tp32).max, samples.toSeq, regMax, memMax)
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,24 +114,36 @@ object Bench {
     val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
 
     val spark = session(cpus)
-    // warm up: index build + one pass of every query (JIT, codegen, IO cache)
+    // warm up: index build + one pass of every query (JIT, codegen, IO
+    // cache); failures surface on stderr here and as status below — never
+    // silently (a swallowed failure once let a broken query's
+    // time-to-failure pass as a measurement)
     graft.ops.DocQueries.indexDir(spark, sfDir)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable => System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
+      }
     }
     // timed warm pass, best of 2 per query: the host's noisy neighbors
     // (documented >3× wall variance) only ever SLOW a sample, so the min
     // over two passes is the faithful per-query estimator — same logic as
-    // the interleaved best-of build samples below
-    def timedPass(): Seq[(String, Double)] =
+    // the interleaved best-of build samples below. A query that throws is
+    // recorded failed (sec = -1 in the JSON, excluded from the total).
+    def timedPass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val results = timedPass().zip(timedPass()).map { case ((n, a), (_, b)) =>
-      n -> math.min(a, b)
+    val results = timedPass().zip(timedPass()).map { case ((n, a, okA), (_, b, okB)) =>
+      (n, math.min(a, b), okA && okB)
     }
+    val failed = results.collect { case (n, _, false) => n }
     // p95 latency of the flagship top-10 WAND query, warm index
     val searcher = graft.ops.DocQueries.searcher(spark, sfDir)
     val lat = (1 to 40).map { _ =>
@@ -132,18 +165,14 @@ object Bench {
     }.max
     spark.stop()
 
-    // scaling: same job, same input, N=8 vs 4N=32 threads. The host probe
-    // (pure-register and DRAM-streaming 8→32 speedups) brackets the build
-    // samples so the same noisy-neighbor windows ground both numbers; the
-    // best-window ceiling is the conservative normalizer (a higher ceiling
-    // can only lower the normalized efficiency).
-    val probeA = graft.cli.HostProbe.measure()
-    val (tp8, tp32) = buildThroughputs(scaleTurns)
-    val probeB = graft.cli.HostProbe.measure()
+    // scaling: same job, same input, N=8 vs 4N=32 threads, each (8,32)
+    // pair bracketed by DRAM probes and retried until a quiet window is
+    // observed (see buildThroughputs). The best-window probe ceiling is
+    // the conservative normalizer (a higher ceiling can only lower the
+    // normalized efficiency).
+    val (tp8, tp32, scaleSamples, reg, mem) = buildThroughputs(scaleTurns)
     corpusCache.values.forEach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-    val reg = math.max(probeA._1, probeB._1)
-    val mem = math.max(probeA._2, probeB._2)
     val eff = (tp32 / tp8) / 4.0
     // The build pipeline is memory-traffic-bound (BENCH/BASELINE.md: task
     // CPU ≈ wall at N; the loss at 4N tracks the DRAM probe, not the
@@ -151,9 +180,15 @@ object Bench {
     // single-host ceiling; both probes are reported raw alongside it.
     val effVsDram = (tp32 / tp8) / mem
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.4f" else "-1")
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val samplesJson = scaleSamples.map(s =>
+      f"""{"tp8":${s.tp8}%.0f,"tp32":${s.tp32}%.0f,"probe_mem_x":${s.probeMemX}%.2f,"quiet":${s.probeMemX >= QuietMemX}}""")
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","query_p95_ms":$p95%.1f,"query_p50_ms":$p50%.1f,"batch_qps":$qps%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f,"host_probe_register_x":$reg%.2f,"host_probe_memory_x":$mem%.2f,"efficiency_vs_dram_ceiling":$effVsDram%.3f}}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","query_p95_ms":$p95%.1f,"query_p50_ms":$p50%.1f,"batch_qps":$qps%.1f,"indexing":{"turns":$scaleTurns,"turns_per_sec_local8":$tp8%.0f,"turns_per_sec_local32":$tp32%.0f,"scaling_efficiency":$eff%.3f,"scaling_samples":$samplesJson,"host_probe_register_x":$reg%.2f,"host_probe_memory_x":$mem%.2f,"efficiency_vs_dram_ceiling":$effVsDram%.3f}}""")
   }
 }

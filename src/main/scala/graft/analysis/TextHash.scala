@@ -53,22 +53,44 @@ object TextHash extends Serializable {
     Array.tabulate(tokens.length - w + 1)(i => tokens.slice(i, i + w).mkString(" "))
   }
 
-  /** 31-bit SimHash over a term-frequency map: bit j of hash(term) votes
-    * ±tf; bit set when the weighted sum is positive. Pure integer
-    * arithmetic — bit-identical to the SQL mirror. */
-  def simHash31(tf: Map[String, Int]): Long = {
-    val acc = new Array[Long](31)
+  /** SimHash width: 63 bits (sign bit stays clear, so the value is always
+    * a non-negative BIGINT in both engines). Four bands of 16/16/16/15
+    * bits — the pigeonhole exhaustiveness argument for hamming ≤ 3 needs
+    * only the band COUNT (4 bands, ≤ 3 differing bits ⇒ ≥ 1 band agrees),
+    * so widening each band's key space from ≤ 2^8 to ~2^16 keys loses no
+    * recall while letting band buckets stay small on corpora whose
+    * near-dup clusters overwhelmed the old 31-bit / 7-8-bit-band layout
+    * (sf0.1 already did). */
+  val SimHashBits: Int = 63
+  val SimHashBands: Int = 4
+  val SimHashBandBits: Int = 16 // shift stride; band 3 carries the top 15 bits
+
+  /** 63-bit SimHash over a term-frequency map: bit j of a per-bit term
+    * hash votes ±tf; bit set when the weighted sum is positive. Bits
+    * 0-30 come from polyHash31(term), 31-61 from polyHash31('#'+term),
+    * bit 62 from polyHash31('##'+term) — three independent members of the
+    * same 31-bit integer hash family (a single polyHash31 yields only 31
+    * bits), each reproducible in the SQL mirror. Pure integer arithmetic
+    * — bit-identical to the SQL mirror. */
+  def simHash63(tf: Map[String, Int]): Long = {
+    val acc = new Array[Long](SimHashBits)
     tf.foreach { case (term, f) =>
-      val h = polyHash31(term)
+      val h1 = polyHash31(term)
+      val h2 = polyHash31("#" + term)
+      val h3 = polyHash31("##" + term)
       var j = 0
-      while (j < 31) {
-        acc(j) += (if (((h >> j) & 1L) == 1L) f.toLong else -f.toLong)
+      while (j < SimHashBits) {
+        val bit =
+          if (j < 31) (h1 >> j) & 1L
+          else if (j < 62) (h2 >> (j - 31)) & 1L
+          else h3 & 1L
+        acc(j) += (if (bit == 1L) f.toLong else -f.toLong)
         j += 1
       }
     }
     var out = 0L
     var j = 0
-    while (j < 31) {
+    while (j < SimHashBits) {
       if (acc(j) > 0) out |= (1L << j)
       j += 1
     }

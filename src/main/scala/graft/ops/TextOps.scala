@@ -18,6 +18,19 @@ object TextOps {
   private val rawToksUdf = udf((t: String) => Analyzer.tokenizeRaw(t))
   private val polyHashUdf = udf((s: String) => TextHash.polyHash31(s))
 
+  /** Half-up rounding of the integer ratio num/den to 4 decimals, computed
+    * ENTIRELY in integer arithmetic: floor((2·num·10^4 + den) / (2·den)) is
+    * exactly round-half-up(num·10^4/den) for non-negative operands. The
+    * ops' quality/dup/top fractions are all ratios of small integers, and
+    * round(x, 4) on the double quotient breaks Spark↔DuckDB parity on
+    * exact .00005 half-way ties (Spark BigDecimal HALF_UP vs DuckDB —
+    * observed at sf0.1: 0.575·0.85 = 0.48875 exactly). Both engines run
+    * this same integer formula (see OracleSqlOps.r4Sql), so ties are
+    * impossible by construction. Overflow-safe while num·2·10^4 < 2^63,
+    * i.e. num < 4.6·10^14 — docs would need >20M tokens to exceed it. */
+  private[graft] def r4(num: Long, den: Long): Double =
+    if (den == 0L) 0.0 else ((num * 20000L + den) / (2L * den)).toDouble / 10000.0
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -83,19 +96,20 @@ object TextOps {
   def quality(spark: SparkSession, sfDir: String): DataFrame = {
     val f = udf { (t: String) =>
       val toks = Analyzer.tokenizeRaw(t)
-      val n = toks.length
+      val n = toks.length.toLong
       if (n == 0) (0L, 0.0, 0.0)
       else {
-        val stop = toks.count(StopWords.english.contains)
-        val sr = stop.toDouble / n
-        val dr = toks.distinct.length.toDouble / n
-        (n.toLong, sr, dr * (1 - sr))
+        val stop = toks.count(StopWords.english.contains).toLong
+        val dn = toks.distinct.length.toLong
+        // stop_ratio = stop/n; quality = (dn/n)·((n−stop)/n) = dn·(n−stop)/n²
+        // — both rounded via the tie-free integer formula (see r4)
+        (n, r4(stop, n), r4(dn * (n - stop), n * n))
       }
     }
     docs(spark, sfDir)
       .select(col("doc_id"), f(col("text")).as("q"))
       .select(col("doc_id"), col("q._1").as("n_tokens"),
-        round(col("q._2"), 4).as("stop_ratio"), round(col("q._3"), 4).as("quality"))
+        col("q._2").as("stop_ratio"), col("q._3").as("quality"))
       .orderBy("doc_id")
   }
 
@@ -121,13 +135,15 @@ object TextOps {
           if (c > mx) mx = c
           i += 1
         }
-        (n.toLong, 1.0 - counts.size.toDouble / n, mx.toDouble / n)
+        // dup_frac = (n − distinct)/n, top_frac = max/n — integer ratios
+        // rounded via the tie-free formula (same half-way trap as quality)
+        (n.toLong, r4(n.toLong - counts.size, n.toLong), r4(mx.toLong, n.toLong))
       }
     }
     source
       .select(col("doc_id"), f(col("text")).as("r"))
       .select(col("doc_id"), col("r._1").as("n_bigrams"),
-        round(col("r._2"), 4).as("dup_frac"), round(col("r._3"), 4).as("top_frac"))
+        col("r._2").as("dup_frac"), col("r._3").as("top_frac"))
       .orderBy("doc_id")
   }
 
@@ -194,10 +210,11 @@ object TextOps {
       val (q, dup) =
         if (n == 0) (0.0, 0.0)
         else {
-          val stop = toks.count(StopWords.english.contains)
-          val sr = stop.toDouble / n
-          val dr = toks.distinct.length.toDouble / n
-          val quality = dr * (1 - sr)
+          val nl = n.toLong
+          val stop = toks.count(StopWords.english.contains).toLong
+          val dn = toks.distinct.length.toLong
+          // same tie-free integer rounding as quality/repetition (r4)
+          val quality = r4(dn * (nl - stop), nl * nl)
           val dupFrac =
             if (n < 2) 0.0
             else {
@@ -207,19 +224,24 @@ object TextOps {
                 counts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
                 i += 1
               }
-              1.0 - counts.size.toDouble / (n - 1)
+              r4(nl - 1L - counts.size, nl - 1L)
             }
           (quality, dupFrac)
         }
       (lang, n.toLong, q, dup)
     }
+    // empty keepLangs = keep nothing — generated explicitly (isin() over an
+    // empty list and SQL "IN ()" disagree between engines)
+    val langKeep =
+      if (keepLangs.isEmpty) lit(false)
+      else col("pred_lang").isin(keepLangs.toSeq: _*)
     docs(spark, sfDir)
       .select(col("doc_id"), f(col("text")).as("r"))
       .select(col("doc_id"), col("r._1").as("pred_lang"),
         col("r._2").as("n_tokens"),
-        round(col("r._3"), 4).as("quality"), round(col("r._4"), 4).as("dup_frac"))
+        col("r._3").as("quality"), col("r._4").as("dup_frac"))
       .withColumn("keep",
-        col("pred_lang").isin(keepLangs.toSeq: _*) &&
+        langKeep &&
           col("n_tokens") >= minTokens &&
           col("quality") >= minQuality &&
           col("dup_frac") <= maxDupFrac)
@@ -267,29 +289,33 @@ object TextOps {
       .orderBy("sig")
   }
 
-  /** (doc_id, simhash) — 31-bit SimHash over raw-token TFs. */
+  /** (doc_id, simhash) — 63-bit SimHash over raw-token TFs. */
   def simHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = udf((t: String) => TextHash.simHash31(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
+    val sh = udf((t: String) => TextHash.simHash63(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
     docs(spark, sfDir).select(col("doc_id"), sh(col("text")).as("simhash"))
       .orderBy("doc_id")
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ `maxHam`, candidates from
-    * banded buckets: the 31-bit simhash splits into 4 bands (8+8+8+7 bits);
-    * by pigeonhole, any pair within hamming distance 3 agrees on at least
-    * one full band, so for maxHam ≤ 3 the banded candidates are EXHAUSTIVE
-    * — no all-pairs join and no recall loss (pinned by a test). Pairs are
+    * banded buckets: the 63-bit simhash splits into 4 bands (16+16+16+15
+    * bits); by pigeonhole, any pair within hamming distance 3 agrees on at
+    * least one full band, so for maxHam ≤ 3 the banded candidates are
+    * EXHAUSTIVE — no all-pairs join and no recall loss (pinned by a test).
+    * The exhaustiveness argument depends only on the band COUNT, so the
+    * wide (~2^16-key) bands keep it while giving real near-dup clusters
+    * 256× more bucket space than the old 31-bit layout, whose 7-8-bit
+    * bands overflowed the BucketCap guard one scale factor up. Pairs are
     * generated inside each (band, key) bucket like minHashPairs; the
     * hamming verify (bit_count(xor)) runs in the same codegen stage.
     * Output (a, b, hamming). */
   def simHashPairs(spark: SparkSession, sfDir: String, maxHam: Int): DataFrame = {
     require(maxHam <= 3, s"banded candidates are exhaustive only for maxHam <= 3 (got $maxHam)")
-    val sh = udf((t: String) => TextHash.simHash31(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
+    val sh = udf((t: String) => TextHash.simHash63(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
     docs(spark, sfDir)
       .select(col("doc_id"), sh(col("text")).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-          "shiftright(simhash, cast(b * 8 AS int)) % 256 AS key))")).as("bk"))
+          "shiftright(simhash, cast(b * 16 AS int)) % 65536 AS key))")).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
       .groupBy("band", "key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
@@ -370,17 +396,34 @@ object TextOps {
     val shUdf = udf((t: String) => TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct)
     val dsh = source
       .select(col("doc_id"), explode(shUdf(col("text"))).as("s"))
-    val m = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = minHashCandidates(source)
-      .join(m.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(m.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+    // Candidate doc ids are ≪ corpus, so the corpus-sized exploded-shingle
+    // table is SEMI-JOINED down to candidate docs BEFORE anything joins on
+    // it — a broadcast semi-join is a map-side filter, so the full dsh
+    // never shuffles, and the per-doc shingle counts aggregate only the
+    // restricted rows. The candidate subtree appears in several branches;
+    // its identical exchanges are computed once (Spark ReuseExchange).
+    val cand0 = minHashCandidates(source)
+    val dshA = dsh.select(col("doc_id").as("a"), col("s"))
+      .join(broadcast(cand0.select("a").distinct()), Seq("a"), "left_semi")
+    val dshB = dsh.select(col("doc_id").as("b"), col("s"))
+      .join(broadcast(cand0.select("b").distinct()), Seq("b"), "left_semi")
+    val na = dshA.groupBy("a").agg(count(lit(1)).as("na"))
+    val nb = dshB.groupBy("b").agg(count(lit(1)).as("nb"))
+    val cand = cand0
+      .join(broadcast(na), "a")
+      .join(broadcast(nb), "b")
       .select("a", "b", "na", "nb")
-    val inter = cand
-      .join(dsh.select(col("doc_id").as("a"), col("s")), "a")
-      .join(dsh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+    val inter = broadcast(cand)
+      .join(dshA, "a")
+      .join(dshB, Seq("b", "s"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
+    // output rounding via the tie-free integer formula (`div` truncates
+    // toward zero = floor for these non-negative operands — same as
+    // DuckDB's `//`); the ≥ minJ cut compares the exact double quotient
+    // (one IEEE division of two integers — deterministic in both engines)
     inter
-      .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .withColumn("jaccard",
+        expr("CAST((i * 20000 + (na + nb - i)) div (2 * (na + nb - i)) AS DOUBLE) / 10000"))
       .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= minJ)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")

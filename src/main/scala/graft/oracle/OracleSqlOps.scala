@@ -24,6 +24,13 @@ object OracleSqlOps {
   private def polyHash(expr: String): String =
     s"list_reduce(list_transform(string_split($expr, ''), x -> CAST(ascii(x) AS BIGINT)), (a, b) -> (a*31 + b) % 2147483647)"
 
+  /** Mirror of TextOps.r4: half-up 4-dp rounding of the integer ratio
+    * num/den in pure integer arithmetic (DuckDB `//` truncates = floor for
+    * non-negative operands, same as Spark's `div`) — immune to the
+    * round(x,4) half-way-tie divergence between the engines. */
+  private def r4Sql(num: String, den: String): String =
+    s"CAST((($num) * 20000 + ($den)) // (2 * ($den)) AS DOUBLE) / 10000"
+
   /** Distinct 3-word shingles per doc. */
   private val shingleCtes =
     """arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS a FROM documents),
@@ -72,21 +79,21 @@ object OracleSqlOps {
        |  FROM rt GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
-       |  round(CASE WHEN agg.n > 0 THEN CAST(agg.stop AS DOUBLE) / agg.n ELSE 0.0 END, 4) AS stop_ratio,
-       |  round(CASE WHEN agg.n > 0 THEN (CAST(agg.dn AS DOUBLE) / agg.n) * (1 - CAST(agg.stop AS DOUBLE) / agg.n) ELSE 0.0 END, 4) AS quality
+       |  CASE WHEN agg.n > 0 THEN ${r4Sql("agg.stop", "agg.n")} ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN agg.n > 0 THEN ${r4Sql("agg.dn * (agg.n - agg.stop)", "agg.n * agg.n")} ELSE 0.0 END AS quality
        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** Mirror of TextOps.repetition: bigram multiset diagnostics. */
   def repetition: String =
-    """WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS a FROM documents),
+    s"""WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
       |bg AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
       |  FROM arrs),
       |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
       |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS dn, max(c) AS mx FROM cnt GROUP BY 1)
       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
-      |  round(CASE WHEN agg.n > 0 THEN 1.0 - CAST(agg.dn AS DOUBLE) / agg.n ELSE 0.0 END, 4) AS dup_frac,
-      |  round(CASE WHEN agg.n > 0 THEN CAST(agg.mx AS DOUBLE) / agg.n ELSE 0.0 END, 4) AS top_frac
+      |  CASE WHEN agg.n > 0 THEN ${r4Sql("agg.n - agg.dn", "agg.n")} ELSE 0.0 END AS dup_frac,
+      |  CASE WHEN agg.n > 0 THEN ${r4Sql("agg.mx", "agg.n")} ELSE 0.0 END AS top_frac
       |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** Mirror of TextOps.decontaminate: distinct-shingle overlap with the
@@ -103,13 +110,20 @@ object OracleSqlOps {
   /** Mirror of TextOps.stratifiedSample: integer thresholds precomputed the
     * same way (round(rate·10000)), hash over 'smpl:' || doc_id. */
   def stratifiedSample(rates: Map[String, Double], defaultRate: Double): String = {
-    val whens = rates.toSeq.sorted
-      .map { case (src, r) => s"WHEN source = ${lit(src)} THEN ${math.round(r * 10000)}" }
-      .mkString(" ")
+    // empty rates → the bare default threshold ("CASE ELSE n END" is a
+    // DuckDB syntax error; the Spark side's foldLeft degenerates the same way)
+    val thr =
+      if (rates.isEmpty) s"${math.round(defaultRate * 10000)}"
+      else {
+        val whens = rates.toSeq.sorted
+          .map { case (src, r) => s"WHEN source = ${lit(src)} THEN ${math.round(r * 10000)}" }
+          .mkString(" ")
+        s"CASE $whens ELSE ${math.round(defaultRate * 10000)} END"
+      }
     s"""SELECT doc_id, source FROM (
        |  SELECT doc_id, source,
        |    ${polyHash("'smpl:' || CAST(doc_id AS VARCHAR)")} AS h,
-       |    CASE $whens ELSE ${math.round(defaultRate * 10000)} END AS thr
+       |    $thr AS thr
        |  FROM documents) t
        |WHERE h % 10000 < thr ORDER BY doc_id""".stripMargin
   }
@@ -118,7 +132,11 @@ object OracleSqlOps {
     * round-4 quality/dup_frac, function-word lang vote, token count. */
   def filterPipeline(keepLangs: Set[String], minTokens: Long,
                      minQuality: Double, maxDupFrac: Double): String = {
-    val langs = keepLangs.toSeq.sorted.map(lit).mkString(",")
+    // empty keepLangs → FALSE: "IN ()" is a DuckDB syntax error, and the
+    // Spark side generates lit(false) for the same case
+    val langPred =
+      if (keepLangs.isEmpty) "FALSE"
+      else s"pred_lang IN (${keepLangs.toSeq.sorted.map(lit).mkString(",")})"
     s"""WITH $rawToks,
        |v AS (
        |  SELECT doc_id,
@@ -147,14 +165,14 @@ object OracleSqlOps {
        |         WHEN v.de >= v.es AND v.de >= v.it THEN 'de'
        |         WHEN v.es >= v.it THEN 'es' ELSE 'it' END AS pred_lang,
        |    CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
-       |    round(CASE WHEN agg.n > 0 THEN (CAST(agg.dn AS DOUBLE) / agg.n) * (1 - CAST(agg.stop AS DOUBLE) / agg.n) ELSE 0.0 END, 4) AS quality,
-       |    round(CASE WHEN bagg.nb > 0 THEN 1.0 - CAST(bagg.dnb AS DOUBLE) / bagg.nb ELSE 0.0 END, 4) AS dup_frac
+       |    CASE WHEN agg.n > 0 THEN ${r4Sql("agg.dn * (agg.n - agg.stop)", "agg.n * agg.n")} ELSE 0.0 END AS quality,
+       |    CASE WHEN bagg.nb > 0 THEN ${r4Sql("bagg.nb - bagg.dnb", "bagg.nb")} ELSE 0.0 END AS dup_frac
        |  FROM documents d
        |  LEFT JOIN v ON v.doc_id = d.doc_id
        |  LEFT JOIN agg ON agg.doc_id = d.doc_id
        |  LEFT JOIN bagg ON bagg.doc_id = d.doc_id)
        |SELECT doc_id, pred_lang, n_tokens, quality, dup_frac,
-       |  (pred_lang IN ($langs) AND n_tokens >= $minTokens
+       |  ($langPred AND n_tokens >= $minTokens
        |   AND quality >= $minQuality AND dup_frac <= $maxDupFrac) AS keep
        |FROM base ORDER BY doc_id""".stripMargin
   }
@@ -172,20 +190,25 @@ object OracleSqlOps {
   def simHash: String =
     s"""WITH $rawToks,
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM rt GROUP BY 1, 2),
-       |h AS (SELECT doc_id, tf, ${polyHash("term")} AS th FROM tf),
+       |h AS (SELECT doc_id, tf, ${polyHash("term")} AS th1,
+       |      ${polyHash("'#' || term")} AS th2, ${polyHash("'##' || term")} AS th3 FROM tf),
        |bits AS (
        |  SELECT doc_id, j.j,
-       |    CASE WHEN sum(CASE WHEN (th >> CAST(j.j AS INT)) & 1 = 1 THEN tf ELSE -tf END) > 0 THEN 1 ELSE 0 END AS b
-       |  FROM h CROSS JOIN range(0, 31) j(j) GROUP BY 1, 2)
+       |    CASE WHEN sum(CASE WHEN (CASE WHEN j.j < 31 THEN (th1 >> CAST(j.j AS INT))
+       |                                  WHEN j.j < 62 THEN (th2 >> CAST(j.j - 31 AS INT))
+       |                                  ELSE th3 END) & 1 = 1 THEN tf ELSE -tf END) > 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM h CROSS JOIN range(0, 63) j(j) GROUP BY 1, 2)
        |SELECT doc_id, CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** SimHash banded near-dup pairs — the SQL mirror of TextOps.simHashPairs
-    * (4 bands over the 31-bit simhash, hamming verify via bit_count(xor)). */
+    * (4 bands of 16/16/16/15 bits over the 63-bit simhash, hamming verify
+    * via bit_count(xor)). */
   def simHashPairs(maxHam: Int): String =
     s"""WITH sim AS (${simHash.replace("ORDER BY doc_id", "")}),
        |bands AS (
-       |  SELECT doc_id, simhash, b.b AS band, (simhash >> CAST(b.b * 8 AS INT)) % 256 AS key
+       |  SELECT doc_id, simhash, b.b AS band, (simhash >> CAST(b.b * 16 AS INT)) % 65536 AS key
        |  FROM sim CROSS JOIN range(0, 4) b(b)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
@@ -233,7 +256,7 @@ object OracleSqlOps {
        |  JOIN dsh da ON da.doc_id = c.a
        |  JOIN dsh db ON db.doc_id = c.b AND db.s = da.s
        |  GROUP BY 1, 2, 3, 4)
-       |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+       |SELECT a, b, ${r4Sql("i", "na + nb - i")} AS jaccard
        |FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= $minJ
        |ORDER BY a, b""".stripMargin
 
@@ -313,15 +336,17 @@ object OracleSqlOps {
     sb.toString
   }
 
-  /** Mirror of VectorOps.embedCluster: final k-means assignment. */
+  /** Mirror of VectorOps.embedCluster: final k-means assignment (K/iters
+    * referenced from VectorOps so a constant change cannot silently break
+    * Spark↔oracle parity). */
   def embedCluster: String =
     s"""WITH $quantCte,
-       |${kmeansCtes(8, 3)}
+       |${kmeansCtes(graft.ops.VectorOps.KmeansK, graft.ops.VectorOps.KmeansIters)}
        |SELECT vec_id, CAST(k AS INT) AS k FROM afin ORDER BY vec_id""".stripMargin
 
   def annIvf(targetId: Long, k: Int, nprobe: Int): String =
     s"""WITH $quantCte,
-       |${kmeansCtes(8, 3)},
+       |${kmeansCtes(graft.ops.VectorOps.KmeansK, graft.ops.VectorOps.KmeansIters)},
        |tq AS (SELECT q FROM qv WHERE vec_id = $targetId),
        |pd AS (SELECT c.k, sum((t.q[i.i] - c.c[i.i]) * (t.q[i.i] - c.c[i.i])) AS d
        |       FROM cfin c CROSS JOIN tq t CROSS JOIN range(1, 65) i(i) GROUP BY 1),

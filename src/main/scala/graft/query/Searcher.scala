@@ -412,11 +412,37 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val top = perShard
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
-    docMetaDF
-      .join(broadcast(top), "docId")
-      .select($"qid", $"conv_id", $"turn_idx", $"docId", $"score")
-      .orderBy(asc("qid"), desc("score"), asc("docId"))
+    // Hit resolution follows the single-query path whenever the batch's
+    // total hit budget is small: the ≤ |batch|·k winners come to the
+    // driver and the doc map is read with a pushed-down `docId IN (...)`
+    // POINT READ (Parquet rowgroup pruning — docIds are sorted within
+    // shard files), never a full doc-meta scan. The scan-join fallback
+    // exists only for huge batches, where |batch|·k ids outgrow a
+    // practical IN-list and one corpus pass genuinely amortizes across
+    // the whole batch.
+    if (queries.size.toLong * k <= MaxPointReadHits) {
+      val hits = top.select($"qid", $"docId", $"score")
+        .as[(String, Long, Double)].collect()
+      if (hits.isEmpty) return emptyBatchHits()
+      val hitsDF = hits.toSeq.toDF("qid", "docId", "score")
+      docMetaDF
+        .filter(col("docId").isin(hits.map(_._2).distinct.toSeq: _*))
+        .select($"conv_id", $"turn_idx", $"docId")
+        .join(broadcast(hitsDF), "docId")
+        .select($"qid", $"conv_id", $"turn_idx", $"docId", $"score")
+        .orderBy(asc("qid"), desc("score"), asc("docId"))
+    } else
+      docMetaDF
+        .join(broadcast(top), "docId")
+        .select($"qid", $"conv_id", $"turn_idx", $"docId", $"score")
+        .orderBy(asc("qid"), desc("score"), asc("docId"))
   }
+
+  /** Threshold between point-read and scan-join hit resolution in
+    * [[topKBatch]] — ~10^5 ids keeps the driver round-trip and the
+    * pushed-down IN list cheap while covering every realistic online
+    * batch (10^4 queries × k=10). */
+  private val MaxPointReadHits = 100000L
 
   private def emptyBatchHits(): DataFrame =
     Seq.empty[(String, String, Int, Long, Double)]

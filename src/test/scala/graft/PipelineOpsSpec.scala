@@ -37,7 +37,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val sh = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
       .map { case (id, t) =>
-        (id, graft.analysis.TextHash.simHash31(
+        (id, graft.analysis.TextHash.simHash63(
           graft.analysis.Analyzer.termFreqs(graft.analysis.Analyzer.tokenizeRaw(t))))
       }
     val brute = (for {
