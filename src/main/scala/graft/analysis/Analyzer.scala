@@ -37,6 +37,13 @@ object Analyzer extends Serializable {
   type Norm = String => String
   val Identity: Norm = identity[String]
 
+  /** Shipped default English normalizer for the lemmatizer seam: the
+    * deterministic Porter-style stemmer ([[EnglishStemmer]]). Opt-in via
+    * `IndexBuilder.Config.normalizer = Analyzer.EnglishStem` (and the same
+    * value on the Searcher) — see EnglishStemmer's scaladoc for why it is
+    * not on by default. */
+  val EnglishStem: Norm = EnglishStemmer.stem
+
   /** Tokenize without stopword removal (codepoint iteration: surrogate
     * pairs are one character, like the oracle's regex engine sees them). */
   def tokenizeRaw(text: String): Array[String] = {

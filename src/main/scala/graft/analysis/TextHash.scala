@@ -28,17 +28,24 @@ object TextHash extends Serializable {
     h
   }
 
-  /** MinHash permutation family h_i(x) = (a_i·x + b_i) mod P31. */
-  val MinHashA: Array[Long] = Array(3, 5, 7, 11, 13, 17, 19, 23)
-  val MinHashB: Array[Long] = Array(101, 211, 307, 401, 503, 601, 701, 809)
-  val MinHashK: Int = 8
+  /** MinHash permutation family h_i(x) = (a_i·x + b_i) mod P31. The family
+    * holds 16 members; a configuration uses the FIRST k of them
+    * ([[graft.ops.SimilarityConfig.minHashK]]), so raising k strictly adds
+    * bands without changing the existing ones. */
+  val MinHashA: Array[Long] = Array(3, 5, 7, 11, 13, 17, 19, 23,
+    29, 31, 37, 41, 43, 47, 53, 59)
+  val MinHashB: Array[Long] = Array(101, 211, 307, 401, 503, 601, 701, 809,
+    907, 1009, 1103, 1201, 1301, 1409, 1511, 1601)
+  val MinHashK: Int = 8 // default member count (4 bands × 2 rows)
 
-  /** 8-value MinHash signature of a set of shingle hashes. */
-  def minHashSig(shingleHashes: Iterator[Long]): Array[Long] = {
-    val sig = Array.fill(MinHashK)(Long.MaxValue)
+  /** k-value MinHash signature of a set of shingle hashes. */
+  def minHashSig(shingleHashes: Iterator[Long], k: Int = MinHashK): Array[Long] = {
+    require(k >= 2 && k <= MinHashA.length && k % 2 == 0,
+      s"minHashK must be even and in [2, ${MinHashA.length}] (got $k)")
+    val sig = Array.fill(k)(Long.MaxValue)
     shingleHashes.foreach { th =>
       var i = 0
-      while (i < MinHashK) {
+      while (i < k) {
         val v = (MinHashA(i) * th + MinHashB(i)) % P31
         if (v < sig(i)) sig(i) = v
         i += 1

@@ -442,7 +442,7 @@ object IndexBuilder {
         graft.sources.TableIO.read(spark, s"$indexDir/postings")
           .groupBy($"term").agg(sum($"count").cast("long").as("df"))
           .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/df"))
-        spark.read.parquet(s"$indexDir/df").count()
+        graft.sources.TableIO.read(spark, s"$indexDir/df").count()
       }
     })
 

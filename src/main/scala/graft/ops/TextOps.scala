@@ -308,7 +308,8 @@ object TextOps {
     * generated inside each (band, key) bucket like minHashPairs; the
     * hamming verify (bit_count(xor)) runs in the same codegen stage.
     * Output (a, b, hamming). */
-  def simHashPairs(spark: SparkSession, sfDir: String, maxHam: Int): DataFrame = {
+  def simHashPairs(spark: SparkSession, sfDir: String, maxHam: Int,
+                   cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     require(maxHam <= 3, s"banded candidates are exhaustive only for maxHam <= 3 (got $maxHam)")
     val sh = udf((t: String) => TextHash.simHash63(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
     docs(spark, sfDir)
@@ -320,9 +321,9 @@ object TextOps {
       .groupBy("band", "key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .withColumn("ds", when(size(col("ds")) <= BucketCap, col("ds"))
+      .withColumn("ds", when(size(col("ds")) <= cfg.bucketCap, col("ds"))
         .otherwise(raise_error(concat(
-          lit(s"SimHash band bucket exceeds $BucketCap docs — dedupExact first (band "),
+          lit(s"SimHash band bucket exceeds ${cfg.bucketCap} docs — dedupExact first (band "),
           col("band"), lit(")")))))
       .select(explode(col("ds")).as("x"), col("ds"))
       .select(col("x"), explode(col("ds")).as("y"))
@@ -337,17 +338,18 @@ object TextOps {
   /** (doc_id, band, key) MinHash-LSH band buckets: 8 permutations over
     * 3-word-shingle hashes, 4 bands × 2 rows. Shared by minHashPairs and
     * ngramJaccard — the band-bucket equi-join IS the scale path for both. */
-  private def minHashBands(source: DataFrame): DataFrame = {
+  private def minHashBands(source: DataFrame, cfg: SimilarityConfig): DataFrame = {
+    val k = cfg.minHashK
     val sigUdf = udf { (t: String) =>
       val sh = TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct
       if (sh.isEmpty) Array.empty[Long] // <3 tokens: no signature (SQL drops them too)
-      else TextHash.minHashSig(sh.iterator.map(TextHash.polyHash31))
+      else TextHash.minHashSig(sh.iterator.map(TextHash.polyHash31), k)
     }
     source
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
-      .filter(size(col("sig")) === TextHash.MinHashK)
+      .filter(size(col("sig")) === k)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${TextHash.MinHashK / 2 - 1}), " +
+        explode(expr(s"transform(sequence(0, ${k / 2 - 1}), " +
           "b -> struct(b AS band, sig[2*b] * 2147483647L + sig[2*b+1] AS key))")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
@@ -360,19 +362,19 @@ object TextOps {
     * same shape for embeddings). Bucket sizes stay bounded because the
     * band key space scales with corpus size (raise MinHash rows per band
     * at larger corpora). */
-  /** A band bucket larger than this means the corpus has a huge
-    * exact/near-dup cluster that candidate pairing would go quadratic on —
-    * fail fast with instructions (run dedupExact first, or raise the
-    * MinHash rows per band) instead of OOMing one reducer. */
-  val BucketCap = 4096
+  /** A band bucket larger than SimilarityConfig.bucketCap means the corpus
+    * has a huge exact/near-dup cluster that candidate pairing would go
+    * quadratic on — fail fast with instructions (run dedupExact first, or
+    * raise the config's band knobs) instead of OOMing one reducer. */
+  val BucketCap: Int = SimilarityConfig.Default.bucketCap
 
-  private def minHashCandidates(source: DataFrame): DataFrame =
-    minHashBands(source)
+  private def minHashCandidates(source: DataFrame, cfg: SimilarityConfig): DataFrame =
+    minHashBands(source, cfg)
       .groupBy("band", "key").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-      .withColumn("ds", when(size(col("ds")) <= BucketCap, col("ds"))
+      .withColumn("ds", when(size(col("ds")) <= cfg.bucketCap, col("ds"))
         .otherwise(raise_error(concat(
-          lit(s"MinHash band bucket exceeds $BucketCap docs — dedupExact first or raise rows/band (band "),
+          lit(s"MinHash band bucket exceeds ${cfg.bucketCap} docs — dedupExact first or raise rows/band (band "),
           col("band"), lit(")")))))
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
@@ -380,8 +382,9 @@ object TextOps {
       .select("a", "b").distinct()
 
   /** MinHash-LSH candidate pairs (a, b). */
-  def minHashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    minHashCandidates(docs(spark, sfDir)).orderBy("a", "b")
+  def minHashPairs(spark: SparkSession, sfDir: String,
+                   cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
+    minHashCandidates(docs(spark, sfDir), cfg).orderBy("a", "b")
 
   /** Near-dup pairs by 3-word-shingle Jaccard ≥ minJ. Candidates come from
     * the MinHash band buckets (the same family as minHashPairs), then the
@@ -389,10 +392,12 @@ object TextOps {
     * quadratic block and no lexicographic-min blind spot (a near-dup pair
     * whose min shingles differ is still found; pinned by a test). Output
     * (a, b, jaccard). */
-  def ngramJaccard(spark: SparkSession, sfDir: String, minJ: Double): DataFrame =
-    ngramJaccardOver(docs(spark, sfDir), minJ)
+  def ngramJaccard(spark: SparkSession, sfDir: String, minJ: Double,
+                   cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
+    ngramJaccardOver(docs(spark, sfDir), minJ, cfg)
 
-  private[graft] def ngramJaccardOver(source: DataFrame, minJ: Double): DataFrame = {
+  private[graft] def ngramJaccardOver(source: DataFrame, minJ: Double,
+      cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val shUdf = udf((t: String) => TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct)
     val dsh = source
       .select(col("doc_id"), explode(shUdf(col("text"))).as("s"))
@@ -402,7 +407,7 @@ object TextOps {
     // never shuffles, and the per-doc shingle counts aggregate only the
     // restricted rows. The candidate subtree appears in several branches;
     // its identical exchanges are computed once (Spark ReuseExchange).
-    val cand0 = minHashCandidates(source)
+    val cand0 = minHashCandidates(source, cfg)
     val dshA = dsh.select(col("doc_id").as("a"), col("s"))
       .join(broadcast(cand0.select("a").distinct()), Seq("a"), "left_semi")
     val dshB = dsh.select(col("doc_id").as("b"), col("s"))

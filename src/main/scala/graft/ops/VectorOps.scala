@@ -53,14 +53,15 @@ object VectorOps {
     * to ±the same vector — measured: buckets degenerate to the 01010101 /
     * 10101010 patterns. The xor-shift folding breaks that: lag-1 parity
     * autocorrelation ≈ -0.01.) */
-  val LshBits = 32
-  val LshBands = 4
-  val LshRows: Int = LshBits / LshBands // 8 bits per band
-  // Banding is tuned for NEAR-DUP detection: pair recall ≈ 0.75 at cos 0.9,
-  // ≈ 0.9 at cos 0.95, while diffuse pairs (cos ≤ 0.6) are mostly pruned —
-  // that pruning is the point of LSH. At larger corpora raise LshRows so
-  // the per-band key space keeps buckets small (key space must scale with
-  // corpus size), and raise LshBits to keep recall.
+  // Default banding (SimilarityConfig): tuned for NEAR-DUP detection —
+  // pair recall ≈ 0.75 at cos 0.9, ≈ 0.9 at cos 0.95, while diffuse pairs
+  // (cos ≤ 0.6) are mostly pruned; that pruning is the point of LSH. At
+  // larger corpora raise SimilarityConfig.lshBits (rows per band grows, so
+  // the per-band key space keeps buckets small — key space must scale with
+  // corpus size); SimilarityConfig.forCorpus encodes the rule.
+  val LshBits: Int = SimilarityConfig.Default.lshBits
+  val LshBands: Int = SimilarityConfig.Default.lshBands
+  val LshRows: Int = SimilarityConfig.Default.lshRows
   def hpSign(idx: Int): Long = {
     val P = 2147483647L
     val h1 = (idx + 1).toLong * 48271L % P
@@ -71,25 +72,30 @@ object VectorOps {
   }
 
   /** Band keys of one quantized vector — a tight integer kernel (the
-    * 32×64 multiply-add matrix as one pass; a 32-aggregate Catalyst
-    * expression tree for the same math was measured ~4× slower end-to-end
-    * from plan size alone). Integer sums ⇒ bit-identical to the SQL. */
-  private val HpMatrix: Array[Array[Long]] =
-    Array.tabulate(LshBits, Dim)((i, j) => hpSign(i * Dim + j))
-  private val bandKeysUdf = udf { (qv: Seq[Long]) =>
-    val keys = new Array[Long](LshBands)
-    var i = 0
-    while (i < LshBits) {
-      val hp = HpMatrix(i)
-      var d = 0L
-      var j = 0
-      while (j < Dim) { d += qv(j) * hp(j); j += 1 }
-      val bit = if (d >= 0) 1L else 0L
-      val b = i / LshRows
-      keys(b) = keys(b) * 2 + bit
-      i += 1
+    * bits×64 multiply-add matrix as one pass; an aggregate-per-bit
+    * Catalyst expression tree for the same math was measured ~4× slower
+    * end-to-end from plan size alone). Integer sums ⇒ bit-identical to
+    * the SQL. Hyperplane row i is always hpSign(i·Dim + j), so raising
+    * lshBits EXTENDS the family without changing existing planes. */
+  private def bandKeysUdf(cfg: SimilarityConfig) = {
+    val (bits, bands, rows) = (cfg.lshBits, cfg.lshBands, cfg.lshRows)
+    val hpMatrix: Array[Array[Long]] =
+      Array.tabulate(bits, Dim)((i, j) => hpSign(i * Dim + j))
+    udf { (qv: Seq[Long]) =>
+      val keys = new Array[Long](bands)
+      var i = 0
+      while (i < bits) {
+        val hp = hpMatrix(i)
+        var d = 0L
+        var j = 0
+        while (j < Dim) { d += qv(j) * hp(j); j += 1 }
+        val bit = if (d >= 0) 1L else 0L
+        val b = i / rows
+        keys(b) = keys(b) * 2 + bit
+        i += 1
+      }
+      keys
     }
-    keys
   }
 
   /** Brute-force cosine top-k against the vector with vec_id = targetId. */
@@ -105,8 +111,8 @@ object VectorOps {
 
   // ---- IVF ANN with k-means-trained centroids -------------------------------
 
-  val KmeansK = 8
-  val KmeansIters = 3
+  val KmeansK: Int = SimilarityConfig.Default.kmeansK
+  val KmeansIters: Int = SimilarityConfig.Default.kmeansIters
 
   /** Nearest-centroid id by quantized L2 (ties → smaller k); array_min on
     * (dist, k) structs uses Spark's lexicographic struct ordering. */
@@ -123,11 +129,12 @@ object VectorOps {
     * Per iteration: integer-L2 assignment, centroid = round(avg) per dim
     * (empty cluster keeps its previous centroid). Only K·dim values ever
     * reach the driver. */
-  private[ops] def trainCentroids(vq: DataFrame): Array[Array[Long]] = {
-    var cents: Array[Array[Long]] = vq.orderBy("vec_id").limit(KmeansK)
+  private[ops] def trainCentroids(vq: DataFrame,
+      cfg: SimilarityConfig = SimilarityConfig.Default): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = vq.orderBy("vec_id").limit(cfg.kmeansK)
       .select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
-    for (_ <- 1 to KmeansIters) {
+    for (_ <- 1 to cfg.kmeansIters) {
       val updated = vq.withColumn("k", assignCol(col("qv"), cents))
         .select(col("k"), posexplode(col("qv")).as(Seq("j", "x")))
         .groupBy("k", "j").agg(round(avg("x"), 0).cast("long").as("c"))
@@ -155,14 +162,16 @@ object VectorOps {
   /** Cached (quantized table, trained centroids) for a dataset, with
     * stale-session invalidation (tests and services recreate sessions; a
     * cached DataFrame bound to a stopped one would throw). */
-  private def trained(spark: SparkSession, sfDir: String): (DataFrame, Array[Array[Long]]) = {
-    Option(ivfCache.get(sfDir)).foreach { case (cached, _) =>
-      if (cached.sparkSession.sparkContext.isStopped) ivfCache.remove(sfDir)
+  private def trained(spark: SparkSession, sfDir: String,
+      cfg: SimilarityConfig): (DataFrame, Array[Array[Long]]) = {
+    val key = s"$sfDir#${cfg.kmeansK}x${cfg.kmeansIters}"
+    Option(ivfCache.get(key)).foreach { case (cached, _) =>
+      if (cached.sparkSession.sparkContext.isStopped) ivfCache.remove(key)
     }
-    ivfCache.computeIfAbsent(sfDir, _ => {
+    ivfCache.computeIfAbsent(key, _ => {
       val q = emb(spark, sfDir).withColumn("qv", quantize(col("e")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (q, trainCentroids(q))
+      (q, trainCentroids(q, cfg))
     })
   }
 
@@ -171,16 +180,17 @@ object VectorOps {
     * sampling) built from the same trained centroids that power annIvf.
     * Assignment is a map-side codegen'd expression over the broadcast
     * K×dim centroid matrix — no shuffle beyond the output sort. */
-  def embedCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val (vq, cents) = trained(spark, sfDir)
+  def embedCluster(spark: SparkSession, sfDir: String,
+                   cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+    val (vq, cents) = trained(spark, sfDir, cfg)
     vq.select(col("vec_id"), assignCol(col("qv"), cents).as("k"))
       .orderBy("vec_id")
   }
 
   def annIvf(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
-             nprobe: Int): DataFrame = {
+             nprobe: Int, cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val v = emb(spark, sfDir)
-    val (vq, cents) = trained(spark, sfDir)
+    val (vq, cents) = trained(spark, sfDir, cfg)
 
     val tqRow = vq.filter(col("vec_id") === targetId).select("qv").collect()
     if (tqRow.isEmpty) {
@@ -205,11 +215,11 @@ object VectorOps {
       .limit(k)
   }
 
-  /** A band bucket larger than this means the band key space is
-    * misconfigured for the corpus size (LshRows must grow with the corpus,
-    * see the banding note above) — fail fast instead of going quietly
-    * quadratic inside one reducer. */
-  val BucketCap = 4096
+  /** A band bucket larger than SimilarityConfig.bucketCap means the band
+    * key space is misconfigured for the corpus size (lshRows must grow
+    * with the corpus, see the banding note above) — fail fast instead of
+    * going quietly quadratic inside one reducer. */
+  val BucketCap: Int = SimilarityConfig.Default.bucketCap
 
   /** Top-n most similar candidate pairs (a < b) by cosine; candidates come
     * from the random-hyperplane band buckets — the 100-TB shape: no label
@@ -223,17 +233,18 @@ object VectorOps {
     * over candidate pairs, ≪ corpus). The earlier band self-join +
     * two-sided join-back computed the same candidate set through 4
     * shuffles and 3 joins; this plan does it in 2 shuffles. */
-  def similarPairs(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+  def similarPairs(spark: SparkSession, sfDir: String, n: Int,
+                   cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val v = emb(spark, sfDir)
     val buckets = v
       .select(col("vec_id"), col("e"),
-        posexplode(bandKeysUdf(quantize(col("e")))).as(Seq("band", "key")))
+        posexplode(bandKeysUdf(cfg)(quantize(col("e")))).as(Seq("band", "key")))
       .groupBy("band", "key")
       .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
       .filter(size(col("vs")) > 1)
     val guarded = buckets.withColumn("vs",
-      when(size(col("vs")) <= BucketCap, col("vs"))
-        .otherwise(raise_error(concat(lit(s"LSH bucket exceeds $BucketCap for corpus — raise LshRows (band "),
+      when(size(col("vs")) <= cfg.bucketCap, col("vs"))
+        .otherwise(raise_error(concat(lit(s"LSH bucket exceeds ${cfg.bucketCap} for corpus — raise lshBits (band "),
           col("band"), lit(", key "), col("key"), lit(")")))))
     guarded
       .select(explode(col("vs")).as("x"), col("vs"))

@@ -107,6 +107,27 @@ object OracleSql {
        |FROM m JOIN documents d ON d.doc_id = m.doc_id
        |GROUP BY 1 ORDER BY cnt DESC, value LIMIT $topN""".stripMargin
 
+  /** Multi-column facet panel — the SQL mirror of Searcher.facetCountsMulti
+    * (top N values per facet column over the OR-match doc set). */
+  def facetCountsMulti(terms: Seq[(String, Int)], facetCols: Seq[String],
+                       topN: Int): String = {
+    val perCol = facetCols.distinct.sorted.map { c =>
+      s"""SELECT ${lit(c)} AS facet, d.$c AS value, count(*) AS cnt
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id GROUP BY 2""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $baseCtes,
+       |m AS (
+       |  SELECT DISTINCT tf.doc_id FROM tf
+       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term),
+       |c AS (
+       |$perCol),
+       |r AS (SELECT facet, value, cnt,
+       |        row_number() OVER (PARTITION BY facet ORDER BY cnt DESC, value) AS rn
+       |      FROM c)
+       |SELECT facet, value, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rn <= $topN
+       |ORDER BY facet, cnt DESC, value""".stripMargin
+  }
+
   /** Top-k with extracted snippets — the SQL mirror of DocQueries.snippets
     * (first raw token matching an analyzed query term, ± `w` tokens). */
   def snippets(terms: Seq[(String, Int)], p: Bm25.Params, k: Int, w: Int): String = {

@@ -218,16 +218,17 @@ object OracleSqlOps {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHam
        |ORDER BY a, b""".stripMargin
 
-  private def permsValues: String =
-    TextHash.MinHashA.indices
+  private def permsValues(k: Int): String =
+    (0 until k)
       .map(i => s"(${i}, ${TextHash.MinHashA(i)}, ${TextHash.MinHashB(i)})")
       .mkString(", ")
 
   /** MinHash band-bucket CTEs (expects `dsh` in scope); yields `mhcand`
-    * (a, b) candidate pairs — shared by minHashPairs and ngramJaccard. */
-  private def minHashCandCtes: String =
+    * (a, b) candidate pairs — shared by minHashPairs and ngramJaccard.
+    * Takes the SAME SimilarityConfig as the Spark ops. */
+  private def minHashCandCtes(cfg: graft.ops.SimilarityConfig): String =
     s"""h AS (SELECT doc_id, ${polyHash("s")} AS th FROM dsh),
-       |perms AS (SELECT * FROM (VALUES $permsValues) p(i, a, b)),
+       |perms AS (SELECT * FROM (VALUES ${permsValues(cfg.minHashK)}) p(i, a, b)),
        |sig AS (SELECT doc_id, p.i, min((p.a * th + p.b) % 2147483647) AS mh
        |        FROM h CROSS JOIN perms p GROUP BY 1, 2),
        |bands AS (
@@ -238,14 +239,16 @@ object OracleSqlOps {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
 
-  def minHashPairs: String =
+  def minHashPairs(
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
     s"""WITH $shingleCtes,
-       |$minHashCandCtes
+       |${minHashCandCtes(cfg)}
        |SELECT a, b FROM mhcand ORDER BY a, b""".stripMargin
 
-  def ngramJaccard(minJ: Double): String =
+  def ngramJaccard(minJ: Double,
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
     s"""WITH $shingleCtes,
-       |$minHashCandCtes,
+       |${minHashCandCtes(cfg)},
        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
        |cand AS (
        |  SELECT c.a, c.b, x.n AS na, y.n AS nb
@@ -339,14 +342,16 @@ object OracleSqlOps {
   /** Mirror of VectorOps.embedCluster: final k-means assignment (K/iters
     * referenced from VectorOps so a constant change cannot silently break
     * Spark↔oracle parity). */
-  def embedCluster: String =
+  def embedCluster(
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
     s"""WITH $quantCte,
-       |${kmeansCtes(graft.ops.VectorOps.KmeansK, graft.ops.VectorOps.KmeansIters)}
+       |${kmeansCtes(cfg.kmeansK, cfg.kmeansIters)}
        |SELECT vec_id, CAST(k AS INT) AS k FROM afin ORDER BY vec_id""".stripMargin
 
-  def annIvf(targetId: Long, k: Int, nprobe: Int): String =
+  def annIvf(targetId: Long, k: Int, nprobe: Int,
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
     s"""WITH $quantCte,
-       |${kmeansCtes(graft.ops.VectorOps.KmeansK, graft.ops.VectorOps.KmeansIters)},
+       |${kmeansCtes(cfg.kmeansK, cfg.kmeansIters)},
        |tq AS (SELECT q FROM qv WHERE vec_id = $targetId),
        |pd AS (SELECT c.k, sum((t.q[i.i] - c.c[i.i]) * (t.q[i.i] - c.c[i.i])) AS d
        |       FROM cfin c CROSS JOIN tq t CROSS JOIN range(1, 65) i(i) GROUP BY 1),
@@ -365,18 +370,19 @@ object OracleSqlOps {
 
   /** Random-hyperplane LSH candidates + exact-cosine verify; the ±1
     * hyperplane family is the same closed-form LCG as VectorOps.hpSign. */
-  def similarPairs(n: Int): String =
+  def similarPairs(n: Int,
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
     s"""WITH $quantCte,
        |hp AS (
        |  SELECT i, j, CASE WHEN xor(h3, h3 >> 13) % 2 = 1 THEN 1 ELSE -1 END AS s FROM (
        |    SELECT i, j, xor(h1, h1 >> 15) * 69621 % 2147483647 AS h3 FROM (
        |      SELECT i.i AS i, j.j AS j, (i.i * 64 + j.j + 1) * 48271 % 2147483647 AS h1
-       |      FROM range(0, 32) i(i) CROSS JOIN range(0, 64) j(j)) t1) t2),
+       |      FROM range(0, ${cfg.lshBits}) i(i) CROSS JOIN range(0, 64) j(j)) t1) t2),
        |dots AS (SELECT v.vec_id, hp.i, sum(v.q[hp.j + 1] * hp.s) AS d
        |         FROM qv v CROSS JOIN hp GROUP BY 1, 2),
        |bits AS (SELECT vec_id, i, CASE WHEN d >= 0 THEN 1 ELSE 0 END AS b FROM dots),
-       |bands AS (SELECT vec_id, i // 8 AS band,
-       |    sum(b * (CAST(1 AS BIGINT) << CAST(7 - (i % 8) AS INT))) AS key
+       |bands AS (SELECT vec_id, i // ${cfg.lshRows} AS band,
+       |    sum(b * (CAST(1 AS BIGINT) << CAST(${cfg.lshRows - 1} - (i % ${cfg.lshRows}) AS INT))) AS key
        |  FROM bits GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),

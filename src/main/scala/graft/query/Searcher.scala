@@ -347,6 +347,60 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .orderBy(desc("cnt"), asc("value")).limit(topN)
   }
 
+  /** Multi-column facet panel: value counts for SEVERAL facet columns in
+    * ONE kernel pass. The rank bitmap over the query's OR-match set is
+    * built once per shard and every column's facet lists are counted
+    * against it ([[Wand.facetCounts]] already takes the whole facet list
+    * set) — calling facetCounts per column would rescan the query postings
+    * and rebuild the bitmap |columns| times. Same zero-exchange plan shape:
+    * one term+prefix-pruned postings scan, then a ≤ shards·|values|
+    * aggregate. Returns (facet, value, cnt), the top `topN` values per
+    * facet, ordered (facet asc, cnt desc, value asc). */
+  def facetCountsMulti(query: String, facetCols: Seq[String], topN: Int): DataFrame = {
+    val empty = Seq.empty[(String, String, Long)].toDF("facet", "value", "cnt")
+    if (facetCols.isEmpty) return empty
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return empty
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return empty
+    val qterms = dfm.keys.toSeq.sorted
+    val P = graft.model.Facets.Prefix
+    val prefixes = facetCols.distinct.sorted.map(c => P + c + P)
+    val postings = postingsDF
+      .where(col("term").isin(qterms: _*) ||
+        prefixes.map(p => col("term").startsWith(p)).reduce(_ || _))
+      .as[Posting]
+    def kernel(group: Seq[Posting]): Iterator[(String, String, Long)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val (fac, rest) = byTerm.partition(_._1.startsWith(P))
+      Wand.facetCounts(qterms.flatMap(rest.get), fac.values.toSeq)
+        .map { case (t, c) =>
+          val sep = t.indexOf(P, 1)
+          (t.substring(1, sep), t.substring(sep + 1), c)
+        }
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("facet").orderBy(desc("cnt"), asc("value"))
+    out.toDF("facet", "value", "cnt")
+      .groupBy($"facet", $"value").agg(sum($"cnt").as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= topN).drop("rn")
+      .orderBy(asc("facet"), desc("cnt"), asc("value"))
+  }
+
   /** Every doc containing ALL analyzed query terms, as (docId, score) with
     * the conjunctive (= OR-mode) BM25 score — the distributed candidate
     * enumerator for phrase/positional verification. Output size ≤ the

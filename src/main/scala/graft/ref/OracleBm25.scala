@@ -28,8 +28,13 @@ object OracleBm25 {
 
   final case class Stats(n: Long, avgdl: Double, df: Map[String, Long])
 
-  def analyze(text: String, stop: Set[String]): Array[String] =
-    Analyzer.tokenize(text, stop)
+  /** Analyzer with the same pluggable normalizer seam as the engine
+    * (stopword checked on the normalized form, like the reference's
+    * stopword-on-lemma) — rank-identity tests must run the SAME Norm on
+    * both sides. */
+  def analyze(text: String, stop: Set[String],
+              norm: Analyzer.Norm = Analyzer.Identity): Array[String] =
+    Analyzer.tokenize(text, stop, norm)
 
   def computeStats(docs: Seq[Array[String]]): Stats = {
     val df = mutable.HashMap.empty[String, Long]
@@ -62,10 +67,11 @@ object OracleBm25 {
   /** Score every doc in input order (≅ ScoreAsync two-pass mode,
     * BM25Reranker.cs:170-210). Returns (docIndex, score). */
   def scoreAll(query: String, docs: Seq[String], stop: Set[String],
-               p: Params = RefDefaults): Seq[(Int, Double)] = {
-    val analyzed = docs.map(analyze(_, stop))
+               p: Params = RefDefaults,
+               norm: Analyzer.Norm = Analyzer.Identity): Seq[(Int, Double)] = {
+    val analyzed = docs.map(analyze(_, stop, norm))
     val stats = computeStats(analyzed)
-    val qTf = Analyzer.termFreqs(analyze(query, stop))
+    val qTf = Analyzer.termFreqs(analyze(query, stop, norm))
     analyzed.zipWithIndex.map { case (terms, i) =>
       (i, score(qTf, Analyzer.termFreqs(terms), terms.length, stats, p))
     }
@@ -75,8 +81,9 @@ object OracleBm25 {
     * float downcast (D3), strict `>` so first-seen wins ties (D2),
     * descending output. */
   def rank(query: String, docs: Seq[String], topN: Int, stop: Set[String],
-           p: Params = RefDefaults): Seq[(Int, Float)] = {
-    val scored = scoreAll(query, docs, stop, p)
+           p: Params = RefDefaults,
+           norm: Analyzer.Norm = Analyzer.Identity): Seq[(Int, Float)] = {
+    val scored = scoreAll(query, docs, stop, p, norm)
     // Bounded min-heap keyed by float score; on equal-to-min we keep the
     // incumbent (the reference only replaces when strictly greater, :236).
     val heap = mutable.PriorityQueue.empty[(Float, Int)](

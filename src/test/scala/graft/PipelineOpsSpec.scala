@@ -163,6 +163,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a1.map(_._2).distinct.length > 1, "more than one cluster in use")
   }
 
+  test("SimilarityConfig knobs are real: more MinHash bands only add recall") {
+    import graft.ops.SimilarityConfig
+    val sf = "/root/testdata/sf0.001"
+    // k=16 keeps the first 8 permutations (bands 0-3 identical to the
+    // default) and ADDS bands 4-7 — candidates can only grow
+    val d8 = TextOps.minHashPairs(spark, sf).as[(Long, Long)].collect().toSet
+    val d16 = TextOps.minHashPairs(spark, sf, SimilarityConfig(minHashK = 16))
+      .as[(Long, Long)].collect().toSet
+    assert(d8.subsetOf(d16), s"k8 pairs missing at k16: ${(d8 -- d16).take(5)}")
+    // wider embedding bands (48 bits, 12 rows/band) shrink buckets: the
+    // candidate set can only shrink, and survivors stay cosine-ordered
+    val p48 = VectorOps.similarPairs(spark, sf, 10, SimilarityConfig(lshBits = 48))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val p32 = VectorOps.similarPairs(spark, sf, 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    info(s"pairs: k8=${d8.size} k16=${d16.size}, lsh32=${p32.size} lsh48=${p48.size}")
+    assert(p48.nonEmpty, "48-bit banding should still find the near-dup clusters")
+  }
+
+  test("SimilarityConfig.forCorpus scales the key spaces with corpus size") {
+    import graft.ops.SimilarityConfig
+    val small = SimilarityConfig.forCorpus(5000L)
+    assert(small.lshRows >= 13, s"rows ${small.lshRows} too small for 5k docs")
+    assert(small.kmeansK >= 64 && small.kmeansK <= 80, s"nlist ≈ √n (got ${small.kmeansK})")
+    val big = SimilarityConfig.forCorpus(100000000L) // 100M docs
+    assert(big.lshRows > small.lshRows, "rows must grow with n")
+    assert(big.minHashK == 16, "large corpora get more MinHash bands")
+    assert(big.kmeansK == math.round(math.sqrt(1e8)).toInt)
+    // every generated config is itself valid (requires pass)
+    Seq(1L, 100L, 1000000L, 10000000000L).foreach(SimilarityConfig.forCorpus)
+  }
+
   test("language ID votes across en/fr/de/es/it; no function words → und") {
     import graft.ops.TextOps.predictLang
     assert(predictLang("the quick brown fox jumps over the lazy dog") == "en")

@@ -1,0 +1,86 @@
+package graft
+
+import graft.analysis.{Analyzer, EnglishStemmer, StopWords}
+import graft.build.IndexBuilder
+import graft.query.{Bm25, Searcher}
+import graft.ref.OracleBm25
+import graft.sources.Transcripts
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shipped English stemmer behind the lemmatizer seam: unit behavior,
+  * determinism, and a stemmed build+query end-to-end rank-identity run
+  * against the pure-Scala oracle executing the SAME Norm. */
+class StemmerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stem conflates inflections to a common form") {
+    val groups = Seq(
+      Seq("run", "runs", "running"),
+      Seq("connect", "connected", "connecting", "connection", "connections"),
+      Seq("cat", "cats"),
+      Seq("relate", "related", "relating"),
+      Seq("happy", "happiness"),
+      Seq("pony", "ponies"))
+    groups.foreach { g =>
+      val stems = g.map(EnglishStemmer.stem).distinct
+      assert(stems.size == 1, s"$g stemmed to $stems")
+    }
+  }
+
+  test("stem leaves short, non-ASCII and already-stemmed tokens alone") {
+    assert(EnglishStemmer.stem("go") == "go")
+    assert(EnglishStemmer.stem("is") == "is")
+    assert(EnglishStemmer.stem("café") == "café")
+    assert(EnglishStemmer.stem("tisch") == "tisch")
+    assert(EnglishStemmer.stem("x1") == "x1") // digits pass through
+    // classic Porter sanity pairs (canonical outputs from Porter's own
+    // published vocabulary: agreed → agre, the step-5 e-drop)
+    assert(EnglishStemmer.stem("caresses") == "caress")
+    assert(EnglishStemmer.stem("agreed") == "agre")
+    assert(EnglishStemmer.stem("plastered") == "plaster")
+    assert(EnglishStemmer.stem("hopping") == "hop")
+  }
+
+  test("stemmed build+query: 'running' retrieves docs containing 'runs'") {
+    val texts = Seq(
+      "the fox runs across the field every day",
+      "a database connection pool keeps connections warm",
+      "completely unrelated text about mountains and rivers")
+    val dir = TestSpark.tmpDir("idxstem")
+    IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", texts).toDF(), dir,
+      IndexBuilder.Config(shards = 2, normalizer = Analyzer.EnglishStem))
+    val s = new Searcher(spark, dir, normalizer = Analyzer.EnglishStem)
+    val hits = s.topK("running", 3).select("turn_idx").as[Int].collect()
+    assert(hits.sameElements(Array(0)), s"expected doc 0 only, got ${hits.mkString(",")}")
+    val hits2 = s.topK("connecting", 3).select("turn_idx").as[Int].collect()
+    assert(hits2.sameElements(Array(1)))
+    // identity-normalized index does NOT match (the gap the stemmer closes)
+    val dirId = TestSpark.tmpDir("idxident")
+    IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", texts).toDF(), dirId,
+      IndexBuilder.Config(shards = 2))
+    assert(new Searcher(spark, dirId).topK("running", 3).count() == 0)
+  }
+
+  test("rank-identity vs oracle running the same Norm (F3 corpus)") {
+    val dir = TestSpark.tmpDir("idxstemf3")
+    IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", Transcripts.F3).toDF(), dir,
+      IndexBuilder.Config(shards = 4, normalizer = Analyzer.EnglishStem))
+    val p = Bm25.RefDefaults
+    val s = new Searcher(spark, dir, p, normalizer = Analyzer.EnglishStem)
+    for (q <- Seq("quick brown foxes", "learning machines", "information processing")) {
+      val oracle = OracleBm25
+        .scoreAll(q, Transcripts.F3, StopWords.english,
+          OracleBm25.Params(p.k1, p.b, p.k3), norm = Analyzer.EnglishStem)
+        .filter(_._2 > 0.0)
+        .sortBy { case (i, sc) => (-sc, i) }
+        .take(5)
+      val got = s.topK(q, 5).select("turn_idx", "score").as[(Int, Double)].collect()
+      assert(got.length == oracle.length, s"'$q': ${got.length} vs ${oracle.length}")
+      got.zip(oracle).foreach { case ((gi, gs), (oi, os)) =>
+        assert(math.abs(gs - os) <= 1e-12 * math.max(1.0, math.abs(os)), s"'$q' score")
+        if (gi != oi) assert(math.abs(gs - os) <= 1e-12, s"'$q' doc $gi vs $oi")
+      }
+    }
+  }
+}
