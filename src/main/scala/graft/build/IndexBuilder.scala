@@ -461,31 +461,48 @@ object IndexBuilder {
     * have disjoint ranges: the reduce side just sorts chunks by head docId
     * and concatenates — no element-wise merge. Head terms are already split
     * across all shards by the document partitioning; within a shard they
-    * stream through the encoder. */
+    * stream through the encoder.
+    *
+    * Terms ride the exchange DICTIONARY-ENCODED: a per-build sorted vocab
+    * (tid = rank in the sorted term order) is broadcast once, chunk rows
+    * carry the 4-byte tid instead of the string (each term string would
+    * otherwise repeat once per (slice, shard) — lz4 cannot collapse
+    * repeats across map tasks), and the shuffle sort compares ints, not
+    * strings — less spill volume AND cheaper comparisons, the two costs
+    * that dominate the 4N-core build. tid order = term order, so the
+    * posting files stay term-sorted and Parquet row-group min/max pruning
+    * on `term` is preserved. The reduce side decodes tid→term from the
+    * same broadcast at encode time. The broadcast is VOCABULARY-sized
+    * (never corpus-sized): ~10 MB at 1M terms, ~1-2 GB at a 10^8-term web
+    * vocabulary — within executor budgets; past that, range-partition the
+    * dictionary and assemble per range. */
   private def assemblePostings(spark: SparkSession, analyzed: DataFrame,
                                parts: Int, pkeys: Array[Int]): Dataset[Posting] = {
     import spark.implicits._
-    val chunks = chunkRows(spark, analyzed)
+    val dict = termDict(spark, analyzed)
+    val bcv = spark.sparkContext.broadcast(dict)
+    val chunks = chunkRows(spark, analyzed, bcv)
     chunks
       .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
       .repartition(parts, $"pkey")
-      .select(col("shard"), col("term"), col("firstDoc"), col("n"),
+      .select(col("shard"), col("tid"), col("firstDoc"), col("n"),
         col("docs"), col("aux"))
-      .sortWithinPartitions("shard", "term", "firstDoc")
+      .sortWithinPartitions("shard", "tid", "firstDoc")
       .mapPartitions { rows =>
+        val vocab = bcv.value
         new Iterator[Posting] {
           private val it = rows.buffered
 
-          // Decode + concatenate all chunks of the current (shard, term):
+          // Decode + concatenate all chunks of the current (shard, tid):
           // chunks arrive sorted by firstDoc with disjoint ranges, so the
           // concat is usually already ascending — no element-wise merge.
           // After appends, a read partition that packed several small
           // analyzed files can yield chunks whose RANGES interleave (each
           // still internally ascending): detect and fall back to one sort.
-          private def gather(shard: Int, term: String): (Array[Long], Array[Int]) = {
+          private def gather(shard: Int, tid: Int): (Array[Long], Array[Int]) = {
             var parts = List.empty[(Array[Long], Array[Int])]
             var total = 0
-            while (it.hasNext && it.head.getInt(0) == shard && it.head.getString(1) == term) {
+            while (it.hasNext && it.head.getInt(0) == shard && it.head.getInt(1) == tid) {
               val r = it.next()
               val n = r.getInt(3)
               val d = VByte.decodeDeltas(r.getAs[Array[Byte]](4), n)
@@ -516,8 +533,8 @@ object IndexBuilder {
             (docs, vals)
           }
 
-          // Length sidecar of the CURRENT shard (LensTerm sorts before
-          // every real token, so it is always absorbed before the shard's
+          // Length sidecar of the CURRENT shard (LensTid sorts before
+          // every real tid, so it is always absorbed before the shard's
           // first term). Memory is O(docs of this shard in this partition)
           // — the same class as a head term's materialized posting list,
           // bounded by the documented docs-per-shard cap.
@@ -525,9 +542,9 @@ object IndexBuilder {
           private var lensDocs: Array[Long] = Array.emptyLongArray
           private var lensVals: Array[Int] = Array.emptyIntArray
           private def absorbLens(): Unit =
-            while (it.hasNext && it.head.getString(1) == LensTerm) {
+            while (it.hasNext && it.head.getInt(1) == LensTid) {
               lensShard = it.head.getInt(0)
-              val (d, v) = gather(lensShard, LensTerm)
+              val (d, v) = gather(lensShard, LensTid)
               lensDocs = d; lensVals = v
             }
 
@@ -536,8 +553,9 @@ object IndexBuilder {
           def next(): Posting = {
             if (!hasNext) throw new NoSuchElementException("posting merge iterator")
             val shard = it.head.getInt(0)
-            val term = it.head.getString(1)
-            val (docs, tfs) = gather(shard, term)
+            val tid = it.head.getInt(1)
+            val term = vocab(tid)
+            val (docs, tfs) = gather(shard, tid)
             // Re-attach each doc's length from the sidecar (shipped once
             // per doc instead of once per (doc, term) — measured 33% of
             // the exchange). Every posting's doc MUST have a sidecar entry
@@ -559,10 +577,25 @@ object IndexBuilder {
       }
   }
 
+  /** Per-build term dictionary: the DISTINCT terms of `analyzed`, sorted
+    * with Java String order (the same comparator the map side's binary
+    * search uses — NOT Spark's UTF-8 binary order, which disagrees on
+    * supplementary characters). One column-pruned pass + a vocabulary-sized
+    * partial-agg shuffle; the collect is vocabulary-sized, never
+    * corpus-sized. tid = index in this array. */
+  private[graft] def termDict(spark: SparkSession, analyzed: DataFrame): Array[String] = {
+    import spark.implicits._
+    val arr = analyzed.select(explode(col("terms")).as("term"))
+      .distinct().as[String].collect()
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+    arr
+  }
+
   /** Map-side chunk production of [[assemblePostings]] — the rows that ride
     * the postings shuffle. Exposed package-private so profiling tools can
     * measure the exchange's exact byte composition. */
-  private[graft] def chunkRows(spark: SparkSession, analyzed: DataFrame): DataFrame = {
+  private[graft] def chunkRows(spark: SparkSession, analyzed: DataFrame,
+      bcv: org.apache.spark.broadcast.Broadcast[Array[String]]): DataFrame = {
     import spark.implicits._
     analyzed
       .select(col("shard"), col("docId"), col("len"), col("terms"), col("tfs"))
@@ -571,9 +604,9 @@ object IndexBuilder {
         // deltas + tfs are VByte-encoded BEFORE the shuffle (doc lengths
         // travel in per-shard sidecar chunks, once per doc), so the
         // exchange carries ~2 bytes per posting entry instead
-        // of 12+ — the shuffle-volume lever at 10^12 turns. Keys are
-        // "term shard", split on the LAST space (analyzer tokens never
-        // contain spaces, but facet-term values may). The map FLUSHES
+        // of 12+ — the shuffle-volume lever at 10^12 turns. Keys pack
+        // (tid, shard) into one Long — no per-entry string concat, no
+        // string hashing. The map FLUSHES
         // whenever it holds FlushEntries postings, so task memory is
         // bounded no matter how hard Parquet compressed the input
         // slice; a key flushed twice just produces two chunks, and
@@ -582,8 +615,8 @@ object IndexBuilder {
         // Term chunks carry (docId deltas, tfs); doc lengths do NOT ride
         // them — a doc's length would be duplicated once per distinct term
         // (~40-50×, measured 33% of the exchange). Instead each (slice,
-        // shard) emits ONE lens sidecar chunk (term = LensTerm, which sorts
-        // before every real token) carrying each doc's length exactly once;
+        // shard) emits ONE lens sidecar chunk (tid = LensTid = -1, which
+        // sorts before every real tid) carrying each doc's length exactly once;
         // the reduce side re-attaches lengths before encoding.
         final class Chunk(val shard: Int) {
           val docs = new ArrayBuffer[Byte](16)
@@ -599,14 +632,33 @@ object IndexBuilder {
           }
         }
         val FlushEntries = 4000000
-        new Iterator[(Int, String, Long, Int, Array[Byte], Array[Byte])] {
-          private val m = new java.util.HashMap[String, Chunk]()
+        val vocab = bcv.value
+        val vocabRef = vocab.asInstanceOf[Array[AnyRef]]
+        // term → tid memo: the analyzer interns tokens per partition, so
+        // the same String object recurs across docs — each DISTINCT term
+        // binary-searches the sorted vocab once per task, every repeat is
+        // one O(1) hash probe. Memory ∝ the slice's vocabulary (same class
+        // as the chunk map itself).
+        val memo = new java.util.HashMap[String, Integer]()
+        def tidOf(t: String): Int = {
+          var v = memo.get(t)
+          if (v == null) {
+            val p = java.util.Arrays.binarySearch(vocabRef, t)
+            if (p < 0) throw new IllegalStateException(
+              s"term '$t' missing from the build dictionary")
+            v = Integer.valueOf(p)
+            memo.put(t, v)
+          }
+          v.intValue()
+        }
+        new Iterator[(Int, Int, Long, Int, Array[Byte], Array[Byte])] {
+          private val m = new java.util.HashMap[java.lang.Long, Chunk]()
           // Chunks sealed early because arrival order regressed (see below);
           // emitted with the next flush. Keyed storage not needed — they're
           // complete.
-          private val sealedChunks = new ArrayBuffer[(String, Chunk)]()
+          private val sealedChunks = new ArrayBuffer[(java.lang.Long, Chunk)]()
           private var entries = 0
-          private var pending: Iterator[(String, Chunk)] = Iterator.empty
+          private var pending: Iterator[(java.lang.Long, Chunk)] = Iterator.empty
           private def refill(): Unit = {
             while (rows.hasNext && entries < FlushEntries) {
               val r = rows.next()
@@ -621,7 +673,8 @@ object IndexBuilder {
               // rank-ascending with a range disjoint from the others, so
               // sealing the current chunk at the file boundary keeps every
               // chunk internally ascending and ranges mutually disjoint.
-              def chunkFor(key: String): Chunk = {
+              def chunkFor(tid: Int): Chunk = {
+                val key = java.lang.Long.valueOf((tid.toLong << 32) | (shard & 0xffffffffL))
                 var c = m.get(key)
                 if (c == null) { c = new Chunk(shard); m.put(key, c) }
                 else if (docId <= c.prev) {
@@ -631,12 +684,12 @@ object IndexBuilder {
                 c
               }
               if (terms.nonEmpty) { // zero-term docs never appear in postings
-                chunkFor(LensTerm + " " + shard).add(docId, dl)
+                chunkFor(LensTid).add(docId, dl)
                 entries += 1
               }
               var i = 0
               while (i < terms.length) {
-                chunkFor(terms(i) + " " + shard).add(docId, tfs(i))
+                chunkFor(tidOf(terms(i))).add(docId, tfs(i))
                 entries += 1
                 i += 1
               }
@@ -658,20 +711,21 @@ object IndexBuilder {
             while (!pending.hasNext && rows.hasNext) refill()
             pending.hasNext
           }
-          def next(): (Int, String, Long, Int, Array[Byte], Array[Byte]) = {
+          def next(): (Int, Int, Long, Int, Array[Byte], Array[Byte]) = {
             if (!hasNext) throw new NoSuchElementException("postings chunk iterator")
             val (key, c) = pending.next()
-            (c.shard, key.substring(0, key.lastIndexOf(' ')), c.firstDoc, c.n,
+            (c.shard, (key.longValue() >> 32).toInt, c.firstDoc, c.n,
               c.docs.toArray, c.aux.toArray)
           }
         }
       }
-      .toDF("shard", "term", "firstDoc", "n", "docs", "aux")
+      .toDF("shard", "tid", "firstDoc", "n", "docs", "aux")
   }
 
-  /** Sidecar-chunk key: sorts before every real token (analyzer tokens are
-    * letters/digits only, so NUL can never collide with a term). */
-  private[graft] val LensTerm = "\u0000"
+  /** Sidecar-chunk term id: real tids are vocab ranks >= 0, so -1 sorts
+    * before every real tid within a shard -- the reduce iterator always
+    * absorbs a shard's length sidecar before its first term chunk. */
+  private[graft] val LensTid = -1
 
   // ---- segment coverage ------------------------------------------------------
 

@@ -64,12 +64,19 @@ object ShuffleProfile {
     println(f"total shuffle write: ${totW / 1e6}%.1f MB (${totW.toDouble / n}%.1f bytes/turn)")
 
     // Exact pre-compression composition of the postings-chunk exchange rows.
+    // Terms ride dictionary-encoded (4-byte tid; the sorted vocab is a
+    // once-per-build broadcast) — report both the tid column and what the
+    // strings WOULD have cost had they ridden every chunk row.
     val analyzed = spark.read.parquet(s"$dir/analyzed")
-    val isLens = col("term") === lit(IndexBuilder.LensTerm)
+    val dict = IndexBuilder.termDict(spark, analyzed)
+    val bcv = spark.sparkContext.broadcast(dict)
+    val dictB = dict.iterator.map(_.length.toLong).sum
+    val isLens = col("tid") === lit(IndexBuilder.LensTid)
     val z = lit(0L)
-    val row = IndexBuilder.chunkRows(spark, analyzed)
+    val row = IndexBuilder.chunkRows(spark, analyzed, bcv)
       .agg(count(lit(1)).as("chunks"),
-        sum(when(!isLens, length(col("term")).cast("long")).otherwise(z)).as("termB"),
+        sum(when(!isLens, element_at(lit(dict.map(_.length)), col("tid") + 1)
+          .cast("long")).otherwise(z)).as("termB"),
         sum(when(!isLens, octet_length(col("docs")).cast("long")).otherwise(z)).as("docsB"),
         sum(when(!isLens, octet_length(col("aux")).cast("long")).otherwise(z)).as("tfsB"),
         sum(when(isLens, (octet_length(col("docs")) + octet_length(col("aux"))).cast("long"))
@@ -82,14 +89,16 @@ object ShuffleProfile {
     val tfsB = row.getAs[Long]("tfsB")
     val lensB = row.getAs[Long]("lensB")
     val postings = row.getAs[Long]("postings")
+    val tidB = chunks * 4L
     val fixed = chunks * (4L + 4L + 8L) // shard + n + firstDoc per row
-    val tot = termB + docsB + tfsB + lensB + fixed
+    val tot = tidB + docsB + tfsB + lensB + fixed
     println(f"\npostings-chunk exchange (pre-compression): $chunks chunks, $postings postings")
-    println(f"  term strings   ${termB / 1e6}%8.1f MB (${100.0 * termB / tot}%4.1f%%)")
+    println(f"  term ids       ${tidB / 1e6}%8.1f MB (${100.0 * tidB / tot}%4.1f%%) — replaces ${termB / 1e6}%.1f MB of per-chunk term strings")
     println(f"  doc deltas     ${docsB / 1e6}%8.1f MB (${100.0 * docsB / tot}%4.1f%%)")
     println(f"  tfs            ${tfsB / 1e6}%8.1f MB (${100.0 * tfsB / tot}%4.1f%%)")
     println(f"  lens sidecars  ${lensB / 1e6}%8.1f MB (${100.0 * lensB / tot}%4.1f%%)")
     println(f"  fixed cols     ${fixed / 1e6}%8.1f MB (${100.0 * fixed / tot}%4.1f%%)")
+    println(f"  dict broadcast ${dictB / 1e6}%8.1f MB once per build (${dict.length} terms, not shuffled)")
     println(f"  bytes/posting: ${tot.toDouble / postings}%.2f")
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
