@@ -33,6 +33,10 @@ object SparkEntry {
   private val CfgK16 = graft.ops.SimilarityConfig(minHashK = 16)
   private val CfgW48 = graft.ops.SimilarityConfig(lshBits = 48)
 
+  // n_chars bucket edges for the numeric-range facet panel (testdata
+  // documents span ~44..577 chars)
+  private val NCharBounds = Seq(0L, 100L, 200L, 300L, 400L, 1000L)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     DocQueries.topK(spark, "/root/testdata/sf0.001", Q_TOPK, 10, relational = false)
@@ -67,6 +71,9 @@ object SparkEntry {
     // multi-column facet panel: several columns' counts in ONE kernel pass
     "q_facet_multi" -> ((s, d) => DocQueries.facetCountsMulti(s, d, Q_SCORE,
       Seq("lang", "source"), 5)),
+    // numeric-range facet panel: per-[lo,hi) bucket counts of a numeric col
+    "q_facet_range" -> ((s, d) => DocQueries.facetCountsRange(s, d, Q_SCORE,
+      "n_chars", NCharBounds)),
     // empty-query contract: every doc, score exactly 0
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
     // incremental maintenance: base build + append + refresh ≡ full index
@@ -142,6 +149,7 @@ object SparkEntry {
     "q_snippets" -> OracleSql.snippets(qt(Q_TOPK), P, 10, DocQueries.SnippetWindow),
     "q_facet_counts" -> OracleSql.facetCounts(qt(Q_SCORE), "source", 8),
     "q_facet_multi" -> OracleSql.facetCountsMulti(qt(Q_SCORE), Seq("lang", "source"), 5),
+    "q_facet_range" -> OracleSql.facetCountsRange(qt(Q_SCORE), "n_chars", NCharBounds),
     "q_bm25_empty" -> OracleSql.emptyQuery,
     "q_refresh_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),

@@ -107,6 +107,26 @@ object OracleSql {
        |FROM m JOIN documents d ON d.doc_id = m.doc_id
        |GROUP BY 1 ORDER BY cnt DESC, value LIMIT $topN""".stripMargin
 
+  /** Numeric-range facet panel — the SQL mirror of
+    * Searcher.facetCountsRange: matching-doc counts per [lo, hi) bucket,
+    * all buckets emitted (empty → 0), integer bounds so the bucket
+    * decision is integer arithmetic on both engines. */
+  def facetCountsRange(terms: Seq[(String, Int)], facetCol: String,
+                       bounds: Seq[Long]): String = {
+    val bucketRows = bounds.sliding(2).zipWithIndex
+      .map { case (Seq(lo, hi), i) => s"($i, $lo, $hi)" }.mkString(", ")
+    s"""WITH $baseCtes,
+       |m AS (
+       |  SELECT DISTINCT tf.doc_id FROM tf
+       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term),
+       |v AS (SELECT d.$facetCol AS v FROM m JOIN documents d ON d.doc_id = m.doc_id),
+       |b(bucket, lo, hi) AS (VALUES $bucketRows)
+       |SELECT CAST(b.bucket AS INTEGER) AS bucket, CAST(b.lo AS BIGINT) AS lo,
+       |       CAST(b.hi AS BIGINT) AS hi, CAST(count(v.v) AS BIGINT) AS cnt
+       |FROM b LEFT JOIN v ON v.v >= b.lo AND v.v < b.hi
+       |GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin
+  }
+
   /** Multi-column facet panel — the SQL mirror of Searcher.facetCountsMulti
     * (top N values per facet column over the OR-match doc set). */
   def facetCountsMulti(terms: Seq[(String, Int)], facetCols: Seq[String],

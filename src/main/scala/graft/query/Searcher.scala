@@ -401,6 +401,35 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .orderBy(asc("facet"), desc("cnt"), asc("value"))
   }
 
+  /** Numeric-range facet panel: matching-doc counts per [lo, hi) bucket of
+    * a NUMERIC facet column. `bounds` are the B+1 ascending bucket edges;
+    * every bucket is emitted (empty ones at cnt 0), values outside all
+    * buckets are dropped. Returns (bucket, lo, hi, cnt) ordered by bucket.
+    *
+    * Scale shape: identical to [[facetCounts]] — the rank-bitmap kernel
+    * yields per-VALUE counts (vocab-sized, zero-exchange), and the range
+    * rollup is a tiny bucket-table join over those counts, never a corpus
+    * scan. Bounds are integral on purpose: the bucket DECISION stays in
+    * integer arithmetic end-to-end (the repo's oracle-parity rule — string
+    * facet values cast back with an exact long parse, no float rounding).
+    * A very-high-cardinality numeric column (raw timestamps) should be
+    * bucketed at INDEX time instead; this query-time rollup is for the
+    * moderate-cardinality case where per-value lists already exist. */
+  def facetCountsRange(query: String, facetCol: String, bounds: Seq[Long]): DataFrame = {
+    require(bounds.size >= 2, "need at least two bucket edges")
+    require(bounds == bounds.sorted, "bucket edges must be ascending")
+    val buckets = bounds.sliding(2).zipWithIndex
+      .map { case (Seq(lo, hi), i) => (i, lo, hi) }.toSeq
+    val bucketsDF = buckets.toDF("bucket", "lo", "hi")
+    val perValue = facetCounts(query, facetCol, Int.MaxValue)
+      .withColumn("v", col("value").cast("long"))
+    bucketsDF.join(perValue,
+        perValue("v") >= bucketsDF("lo") && perValue("v") < bucketsDF("hi"), "left")
+      .groupBy($"bucket", $"lo", $"hi")
+      .agg(coalesce(sum($"cnt"), lit(0L)).as("cnt"))
+      .orderBy($"bucket")
+  }
+
   /** Every doc containing ALL analyzed query terms, as (docId, score) with
     * the conjunctive (= OR-mode) BM25 score — the distributed candidate
     * enumerator for phrase/positional verification. Output size ≤ the

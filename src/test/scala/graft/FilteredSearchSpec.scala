@@ -142,4 +142,25 @@ class FilteredSearchSpec extends AnyFunSuite {
       Set(Facets.term("origin", "source with spaces"), Facets.term("origin", "plain")))
     assert(facetPostings.map(_.count).sum == 3)
   }
+
+  test("facetCountsRange buckets numeric facet values; empty buckets emit 0") {
+    val d = TestSpark.tmpDir("facrange")
+    val turns = Seq(
+      ("c0", 0, "alpha beta gamma", 10L),
+      ("c1", 0, "alpha delta", 25L),
+      ("c2", 0, "alpha beta", 25L),
+      ("c3", 0, "beta epsilon", 99L),
+      ("c4", 0, "zeta eta", 10L) // no query term: must not be counted
+    ).toDF("conv_id", "turn_idx", "text", "nlen")
+      .withColumn("role", lit("user")).withColumn("tool", lit(""))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    IndexBuilder.build(spark, turns, d,
+      IndexBuilder.Config(shards = 2, facetCols = Seq("nlen")))
+    val s = new Searcher(spark, d, graft.query.Bm25.RefDefaults)
+    // match set for "alpha beta" = c0..c3; buckets [0,20) [20,50) [50,60) [60,100)
+    val got = s.facetCountsRange("alpha beta", "nlen", Seq(0L, 20L, 50L, 60L, 100L))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 0L, 20L, 1L), (1, 20L, 50L, 2L), (2, 50L, 60L, 0L),
+      (3, 60L, 100L, 1L)))
+  }
 }
