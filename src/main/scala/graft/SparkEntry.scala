@@ -27,6 +27,10 @@ object SparkEntry {
   private val Q_CASCADE = "data filter merge"
   private val Q_AND = "sort merge join"
   private val Q_PHRASE = "merge batch"
+  // phrases for the positional sidecar: one with a stopword inside the
+  // phrase ("the" is never a scoring term), one of ONLY stopwords
+  private val Q_PHRASE_POS = "the batch"
+  private val Q_PHRASE_STOP = "a the"
 
   // Non-default SimilarityConfigs exercised end-to-end against the oracle
   // (the knobs a larger corpus would turn — VERDICT r2 Missing #3).
@@ -61,6 +65,10 @@ object SparkEntry {
     "q_bm25_and" -> ((s, d) => DocQueries.topKAnd(s, d, Q_AND, 10)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
+    // phrase top-k over the POSITIONAL sidecar (stopword inside the phrase)
+    "q_phrase_pos" -> ((s, d) => DocQueries.phraseTopKPos(s, d, Q_PHRASE_POS, 10)),
+    // stopword-only phrase: only answerable with positions (score 0, by id)
+    "q_phrase_stop" -> ((s, d) => DocQueries.phraseTopKPos(s, d, Q_PHRASE_STOP, 10)),
     // faceted top-k: metadata filters as facet posting lists
     "q_filtered_topk" -> ((s, d) => DocQueries.filteredTopK(s, d, Q_SCORE,
       Map("lang" -> "en", "source" -> "src7"), 10)),
@@ -144,6 +152,10 @@ object SparkEntry {
     "q_bm25_and" -> OracleSql.topKAnd(qt(Q_AND), P, 10),
     "q_phrase" -> OracleSql.phraseTopK(qt(Q_PHRASE),
       Analyzer.tokenizeRaw(Q_PHRASE).toSeq, P, 10),
+    "q_phrase_pos" -> OracleSql.phraseTopK(qt(Q_PHRASE_POS),
+      Analyzer.tokenizeRaw(Q_PHRASE_POS).toSeq, P, 10),
+    "q_phrase_stop" -> OracleSql.phraseStopTopK(
+      Analyzer.tokenizeRaw(Q_PHRASE_STOP).toSeq, 10),
     "q_filtered_topk" -> OracleSql.topKFiltered(qt(Q_SCORE), P, 10,
       Seq("lang" -> "en", "source" -> "src7")),
     "q_snippets" -> OracleSql.snippets(qt(Q_TOPK), P, 10, DocQueries.SnippetWindow),

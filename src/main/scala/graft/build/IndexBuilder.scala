@@ -260,7 +260,7 @@ object IndexBuilder {
 
   // ---- shared build configuration -----------------------------------------
 
-  private def withBuildConf[T](spark: SparkSession)(body: => T): T = {
+  private[build] def withBuildConf[T](spark: SparkSession)(body: => T): T = {
     // Task-side file commit (v2): the v1 default renames every task's
     // output sequentially on the driver, a constant cost that destroys
     // scaling efficiency on many-file stages. (On object stores, swap for

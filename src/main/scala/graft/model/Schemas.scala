@@ -56,6 +56,27 @@ final case class Posting(
     blockLenOff: Array[Int]
 )
 
+/** One positional posting list: all docs of one shard containing raw token
+  * `term`, with every occurrence position (positions index the RAW token
+  * stream — stopwords included — so phrase adjacency over the sidecar is
+  * byte-for-byte the same relation as raw-token containsSlice).
+  *
+  * docsBlob = delta-encoded + variable-byte docIDs (ascending);
+  * cntsBlob = variable-byte per-doc occurrence counts, aligned with docsBlob;
+  * posBlob  = per-doc delta-encoded + variable-byte positions, concatenated
+  *            in docsBlob order (deltas restart at each doc, so per-doc
+  *            position runs are self-contained and chunk blobs concatenate
+  *            without re-encoding at merge time).
+  */
+final case class PosPosting(
+    shard: Int,
+    term: String,
+    count: Int,
+    docsBlob: Array[Byte],
+    cntsBlob: Array[Byte],
+    posBlob: Array[Byte]
+)
+
 /** Per-shard document map row: docId → identity + length. */
 final case class DocMeta(
     shard: Int,

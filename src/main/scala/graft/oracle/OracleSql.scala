@@ -216,6 +216,15 @@ object OracleSql {
          |ORDER BY round(score, 4) DESC, doc_id LIMIT $k)""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY qid, score DESC, doc_id"
 
+  /** Stopword-only phrase top-k: no analyzed term survives → score 0 for
+    * every raw-adjacency match, first k by doc_id (the positional path's
+    * contract — the non-positional path has no indexed prefilter for a
+    * stopword-only phrase and returns empty). */
+  def phraseStopTopK(rawToks: Seq[String], k: Int): String =
+    s"""SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM documents
+       |WHERE regexp_matches(lower(text), ${lit(phrasePattern(rawToks))})
+       |ORDER BY doc_id LIMIT $k""".stripMargin
+
   def emptyQuery: String =
     """SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id"""
 

@@ -1,0 +1,169 @@
+package graft.query
+
+import graft.build.PositionIndex
+import graft.codec.PosPostings
+import graft.model.PosPosting
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Phrase matching over the positional sidecar ([[PositionIndex]]): finds
+  * every document whose RAW token stream contains the phrase's raw tokens
+  * as a contiguous run — adjacency verified from the index alone, no
+  * point-read of source text, stopwords matched as first-class tokens.
+  *
+  * Plan shape mirrors [[Searcher]]'s serving path: the positions scan is
+  * pruned to the phrase's distinct raw tokens (predicate pushed to
+  * Parquet), then the per-shard kernel runs either COLOCATED (zero
+  * exchange — sound iff no positions file can split across read
+  * partitions, same rule as Searcher.colocated) or behind a narrow
+  * groupByKey(shard) of ≤ |distinct tokens|·shards rows. Kernel cost is
+  * linear in the pruned lists' total occurrences (decode) — for a phrase
+  * containing a stopword that is the stopword's per-shard list, which is
+  * exactly the data any positional engine must touch for that phrase;
+  * shard sizing bounds it per task. */
+final class PosSearcher(spark: SparkSession, indexDir: String) {
+  import spark.implicits._
+
+  private val posPath = PositionIndex.path(indexDir)
+  private val posDF = graft.sources.TableIO.read(spark, posPath)
+
+  /** Largest positions file (listed once at construction); -1 = unknown. */
+  private val maxFileLen: Long = {
+    try {
+      val path = new org.apache.hadoop.fs.Path(posPath)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(path).collect {
+        case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".") => f.getLen
+      }.foldLeft(0L)(math.max)
+    } catch { case _: Throwable => -1L }
+  }
+
+  /** Zero-exchange kernel soundness — evaluated against the CURRENT
+    * session conf per call, same reasoning as Searcher.colocated. */
+  def colocated: Boolean = maxFileLen >= 0 && {
+    val conf = spark.sessionState.conf
+    maxFileLen <= math.min(conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
+  }
+
+  /** docIds of documents containing `rawToks` as a contiguous raw-token
+    * run (the containsSlice relation of DocQueries.phraseTopK's verify). */
+  def matchDocs(rawToks: Seq[String]): DataFrame = {
+    require(rawToks.nonEmpty, "empty phrase")
+    val toks = rawToks.toArray
+    val distinctTerms = rawToks.distinct
+    val pruned = posDF.where(col("term").isin(distinctTerms: _*)).as[PosPosting]
+    val out =
+      if (colocated)
+        pruned.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[PosPosting]]()
+          ps.foreach(p =>
+            byShard.computeIfAbsent(p.shard, _ => new ArrayBuffer[PosPosting]) += p)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => PosSearcher.shardMatches(g.toSeq, toks))
+        }
+      else
+        pruned.groupByKey(_.shard)
+          .flatMapGroups((_, ps) => PosSearcher.shardMatches(ps.toSeq, toks))
+    out.toDF("docId")
+  }
+}
+
+object PosSearcher {
+
+  /** One shard's phrase matches: k-pointer intersection of the distinct
+    * tokens' doc lists (driven by the shortest), then position adjacency —
+    * anchored on the phrase offset with the fewest in-doc occurrences,
+    * binary-searching the others. Emits ascending docIds. */
+  private[graft] def shardMatches(lists: Seq[PosPosting],
+                                  toks: Array[String]): Iterator[Long] = {
+    val distinct = toks.distinct
+    // The sidecar is built against a BASE build only (one list per
+    // (shard, term)) — enforced at build time, asserted here.
+    val byTerm = new java.util.HashMap[String, (Array[Long], Array[Array[Int]])]()
+    lists.foreach { p =>
+      require(byTerm.put(p.term, PosPostings.decode(p)) == null,
+        s"duplicate positional list for '${p.term}' in shard ${p.shard}")
+    }
+    var t = 0
+    while (t < distinct.length) {
+      if (!byTerm.containsKey(distinct(t))) return Iterator.empty
+      t += 1
+    }
+    val nT = distinct.length
+    val docsArr = new Array[Array[Long]](nT)
+    val posArr = new Array[Array[Array[Int]]](nT)
+    t = 0
+    while (t < nT) {
+      val d = byTerm.get(distinct(t))
+      docsArr(t) = d._1
+      posArr(t) = d._2
+      t += 1
+    }
+    val termOfTok = toks.map(distinct.indexOf(_)) // phrase offset j → term index
+    // drive the intersection on the shortest doc list
+    var drv = 0
+    t = 1
+    while (t < nT) { if (docsArr(t).length < docsArr(drv).length) drv = t; t += 1 }
+    val ptrs = new Array[Int](nT)
+    val out = new ArrayBuffer[Long]()
+    var di = 0
+    var exhausted = false
+    while (di < docsArr(drv).length && !exhausted) {
+      val d = docsArr(drv)(di)
+      ptrs(drv) = di
+      var ok = true
+      t = 0
+      while (t < nT && !exhausted) {
+        if (t != drv) {
+          val a = docsArr(t)
+          var p = ptrs(t)
+          while (p < a.length && a(p) < d) p += 1
+          ptrs(t) = p
+          if (p >= a.length) exhausted = true
+          else if (a(p) != d) ok = false
+        }
+        t += 1
+      }
+      if (ok && !exhausted && adjacent(toks.length, termOfTok, posArr, ptrs)) out += d
+      di += 1
+    }
+    out.iterator
+  }
+
+  /** True iff some base position p has token j's term at p+j for every
+    * phrase offset j, given each term's in-doc position array. */
+  private def adjacent(m: Int, termOfTok: Array[Int],
+                       posArr: Array[Array[Array[Int]]],
+                       ptrs: Array[Int]): Boolean = {
+    // anchor on the offset whose term has the fewest in-doc occurrences
+    var anchor = 0
+    var best = Int.MaxValue
+    var j = 0
+    while (j < m) {
+      val len = posArr(termOfTok(j))(ptrs(termOfTok(j))).length
+      if (len < best) { best = len; anchor = j }
+      j += 1
+    }
+    val ap = posArr(termOfTok(anchor))(ptrs(termOfTok(anchor)))
+    var i = 0
+    while (i < ap.length) {
+      val base = ap(i) - anchor
+      if (base >= 0) {
+        var allOk = true
+        j = 0
+        while (j < m && allOk) {
+          if (j != anchor) {
+            val pj = posArr(termOfTok(j))(ptrs(termOfTok(j)))
+            if (java.util.Arrays.binarySearch(pj, base + j) < 0) allOk = false
+          }
+          j += 1
+        }
+        if (allOk) return true
+      }
+      i += 1
+    }
+    false
+  }
+}

@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("positional phrase match: pushed term filter, shuffle-free when colocated") {
+    graft.build.PositionIndex.build(spark, Transcripts.synth(spark, 3000, 7).toDF(), dir)
+    val ps = new graft.query.PosSearcher(spark, dir)
+    assert(ps.colocated, "positions layout must satisfy the colocated precondition at test scale")
+    val plan = ps.matchDocs(Seq("the", "quick", "brown"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(term") || plan.contains("EqualTo(term")),
+      s"no pushed term filter in:\n${plan.take(3000)}")
+    val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan).toList
+    assert(shuffles.isEmpty, s"unexpected Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
+  }
+
   test("doc-metadata reads prune to the selected columns") {
     val plan = Searcher.docMeta(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema") && !plan.contains("terms"),
