@@ -37,6 +37,21 @@ final case class SimilarityConfig(
     kmeansK: Int = 8,
     /** Lloyd iterations. */
     kmeansIters: Int = 3,
+    /** Seed Lloyd with k-means‖ (Bahmani et al., VLDB 2012) instead of the
+      * naive head-of-table seed. Deterministic (hash-coin sampling), label
+      * -free, and the right choice once kmeansK grows with √n: the naive
+      * seed draws all K centers from wherever the smallest vec_ids happen
+      * to sit, while k-means‖ spreads them d²-proportionally in
+      * O(kmeansParRounds) corpus passes. Opt-in because the DuckDB oracle
+      * mirrors only the naive seed (the ‖ sampling is a multi-round
+      * driver/cluster loop, not one SQL expression). */
+    kmeansParSeeding: Boolean = false,
+    /** k-means‖ sampling rounds (each ≈ one corpus pass; paper: O(log n)
+      * in theory, ~4-8 in practice). */
+    kmeansParRounds: Int = 4,
+    /** k-means‖ per-round oversampling factor ℓ; 0 → 2·kmeansK (paper's
+      * recommended range is 0.5k–2k). */
+    kmeansParOversample: Int = 0,
     /** Fail-fast ceiling on any LSH band bucket: a larger bucket means the
       * key space is misconfigured for the corpus (or a huge exact-dup
       * cluster needs dedupExact first) — raise the rows/bits knobs rather

@@ -125,17 +125,135 @@ object VectorOps {
     array_min(array(ds: _*)).getField("k")
   }
 
-  /** Lloyd-trained centroids in milli-units. Seed: the K smallest vec_ids.
-    * Per iteration: integer-L2 assignment, centroid = round(avg) per dim
-    * (empty cluster keeps its previous centroid). Only K·dim values ever
-    * reach the driver. */
-  private[ops] def trainCentroids(vq: DataFrame,
+  /** Nearest-centroid assignment, kernel choice by K: the codegen'd
+    * expression tree wins at small K (everything stays in one whole-stage
+    * span), but its PLAN grows linearly with K — at nlist ≈ √n scale the
+    * one-node matrix kernel wins (the same 4× plan-size lesson as
+    * [[bandKeysUdf]]). Both kernels implement identical integer math with
+    * identical tie-breaks, so the cut-over never changes results. */
+  private def assignK(qv: Column, cents: Array[Array[Long]]): Column =
+    if (cents.length <= 32) assignCol(qv, cents) else nearestIdxUdf(cents)(qv)
+
+  /** min over `cands` of integer L2 — a tight matrix kernel over the
+    * broadcast candidate set (an expression tree of K struct comparisons
+    * is fine at K=8 but its PLAN grows with K; the kernel's plan is one
+    * node regardless — same trade as [[bandKeysUdf]]). */
+  private def minD2Udf(cands: Array[Array[Long]]) = udf { (qv: Seq[Long]) =>
+    var best = Long.MaxValue
+    var c = 0
+    while (c < cands.length) {
+      val cv = cands(c)
+      var d = 0L
+      var j = 0
+      while (j < Dim) { val g = qv(j) - cv(j); d += g * g; j += 1 }
+      if (d < best) best = d
+      c += 1
+    }
+    best
+  }
+
+  /** Index of the nearest candidate (ties → smaller index), same kernel. */
+  private def nearestIdxUdf(cands: Array[Array[Long]]) = udf { (qv: Seq[Long]) =>
+    var best = Long.MaxValue
+    var bi = 0
+    var c = 0
+    while (c < cands.length) {
+      val cv = cands(c)
+      var d = 0L
+      var j = 0
+      while (j < Dim) { val g = qv(j) - cv(j); d += g * g; j += 1 }
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    bi
+  }
+
+  /** k-means‖ seeds (Bahmani et al., "Scalable K-Means++", VLDB 2012),
+    * made deterministic: the per-point coin flip is
+    * `uniform01(xxhash64(vec_id, round)) < ℓ·d²(x,C)/φ` — a pure function
+    * of (vec_id, round), so the seed set is reproducible and independent
+    * of partitioning/cluster size. Each round is ONE map-side corpus pass
+    * against the broadcast candidate set (min-d² kernel) + a sum + a
+    * filtered collect of ~ℓ sampled rows; candidates total ≈ ℓ·rounds ≪ n
+    * and are reduced to K on the driver by weighted farthest-point
+    * selection + weighted Lloyd (the paper's recluster step). Nothing
+    * corpus-sized ever reaches the driver. */
+  private[graft] def kmeansParSeeds(vq: DataFrame, cfg: SimilarityConfig): Array[Array[Long]] = {
+    val k = cfg.kmeansK
+    val l = if (cfg.kmeansParOversample > 0) cfg.kmeansParOversample else 2 * k
+    var cands: Array[Array[Long]] = vq.orderBy("vec_id").limit(1)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    if (cands.isEmpty) return cands // empty corpus: nothing to seed
+    for (r <- 1 to cfg.kmeansParRounds) {
+      val d2 = vq.withColumn("d2", minD2Udf(cands)(col("qv")))
+      val phi = Option(d2.agg(sum("d2")).head.get(0)).map(_.toString.toDouble).getOrElse(0.0)
+      if (phi > 0) {
+        // uniform [0,1) from the top 53 bits of a 64-bit hash
+        val u = shiftrightunsigned(xxhash64(col("vec_id"), lit(r)), 11)
+          .cast("double") / lit((1L << 53).toDouble)
+        val fresh = d2
+          .filter(u < lit(l.toDouble) * col("d2").cast("double") / lit(phi))
+          .select("qv").collect().map(_.getSeq[Long](0).toArray)
+        cands = cands ++ fresh
+      }
+    }
+    // weight candidates by the size of their nearest-neighbor cells
+    val w = new Array[Long](cands.length)
+    vq.withColumn("c", nearestIdxUdf(cands)(col("qv")))
+      .groupBy("c").count().collect()
+      .foreach(row => w(row.getAs[Int]("c")) = row.getAs[Long]("count"))
+
+    def dist2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var j = 0
+      while (j < Dim) { val g = a(j) - b(j); d += g * g; j += 1 }
+      d
+    }
+    // weighted farthest-point start: highest-weight candidate first, then
+    // repeatedly the candidate maximizing weight·d²(·, chosen)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      cands(w.indices.maxBy(i => (w(i), -i.toLong))))
+    while (chosen.size < k && chosen.size < cands.length) {
+      val next = cands.indices.maxBy { i =>
+        (w(i) * chosen.map(c => dist2(cands(i), c)).min, -i.toLong)
+      }
+      chosen += cands(next)
+    }
+    // pad from the naive seed if sampling produced < k distinct candidates
+    if (chosen.size < k)
+      chosen ++= vq.orderBy("vec_id").limit(k).select("qv").collect()
+        .map(_.getSeq[Long](0).toArray).take(k - chosen.size)
+    // weighted Lloyd over the candidate set (driver-side: |cands| ≪ n)
+    var seeds = chosen.toArray
+    for (_ <- 1 to 5) {
+      val sums = Array.fill(seeds.length)(new Array[Long](Dim))
+      val cnt = new Array[Long](seeds.length)
+      cands.indices.foreach { i =>
+        val s = seeds.indices.minBy(j => (dist2(cands(i), seeds(j)), j.toLong))
+        cnt(s) += w(i)
+        var j = 0
+        while (j < Dim) { sums(s)(j) += w(i) * cands(i)(j); j += 1 }
+      }
+      seeds = seeds.indices.map { s =>
+        if (cnt(s) == 0) seeds(s)
+        else Array.tabulate(Dim)(j => math.round(sums(s)(j).toDouble / cnt(s)))
+      }.toArray
+    }
+    seeds
+  }
+
+  /** Lloyd-trained centroids in milli-units. Seed: the K smallest vec_ids,
+    * or k-means‖ when cfg.kmeansParSeeding. Per iteration: integer-L2
+    * assignment, centroid = round(avg) per dim (empty cluster keeps its
+    * previous centroid). Only K·dim values ever reach the driver. */
+  private[graft] def trainCentroids(vq: DataFrame,
       cfg: SimilarityConfig = SimilarityConfig.Default): Array[Array[Long]] = {
-    var cents: Array[Array[Long]] = vq.orderBy("vec_id").limit(cfg.kmeansK)
-      .select("qv").collect()
-      .map(_.getSeq[Long](0).toArray)
+    var cents: Array[Array[Long]] =
+      if (cfg.kmeansParSeeding) kmeansParSeeds(vq, cfg)
+      else vq.orderBy("vec_id").limit(cfg.kmeansK)
+        .select("qv").collect()
+        .map(_.getSeq[Long](0).toArray)
     for (_ <- 1 to cfg.kmeansIters) {
-      val updated = vq.withColumn("k", assignCol(col("qv"), cents))
+      val updated = vq.withColumn("k", assignK(col("qv"), cents))
         .select(col("k"), posexplode(col("qv")).as(Seq("j", "x")))
         .groupBy("k", "j").agg(round(avg("x"), 0).cast("long").as("c"))
         .collect()
@@ -164,7 +282,8 @@ object VectorOps {
     * cached DataFrame bound to a stopped one would throw). */
   private def trained(spark: SparkSession, sfDir: String,
       cfg: SimilarityConfig): (DataFrame, Array[Array[Long]]) = {
-    val key = s"$sfDir#${cfg.kmeansK}x${cfg.kmeansIters}"
+    val key = s"$sfDir#${cfg.kmeansK}x${cfg.kmeansIters}" +
+      (if (cfg.kmeansParSeeding) s"#par${cfg.kmeansParRounds}x${cfg.kmeansParOversample}" else "")
     Option(ivfCache.get(key)).foreach { case (cached, _) =>
       if (cached.sparkSession.sparkContext.isStopped) ivfCache.remove(key)
     }
@@ -183,7 +302,7 @@ object VectorOps {
   def embedCluster(spark: SparkSession, sfDir: String,
                    cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val (vq, cents) = trained(spark, sfDir, cfg)
-    vq.select(col("vec_id"), assignCol(col("qv"), cents).as("k"))
+    vq.select(col("vec_id"), assignK(col("qv"), cents).as("k"))
       .orderBy("vec_id")
   }
 
@@ -206,7 +325,7 @@ object VectorOps {
     }.sorted.take(nprobe).map(_._2).toSet
 
     val q = v.filter(col("vec_id") === targetId).select(col("e").as("qe"))
-    vq.withColumn("k", assignCol(col("qv"), cents))
+    vq.withColumn("k", assignK(col("qv"), cents))
       .filter(col("k").isin(probed.toSeq: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),

@@ -315,6 +315,8 @@ object OracleSqlOps {
     * assignment `afin` against the last centroids `cfin`. */
   private def kmeansCtes(kk: Int, iters: Int): String = {
     val sb = new StringBuilder
+    // (callers require !kmeansParSeeding — this CTE chain mirrors only the
+    // naive vec_id seed; the ‖ sampling is a multi-round driver loop)
     sb.append(
       s"""c0 AS (SELECT rn - 1 AS k, q AS c FROM (
          |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM qv) WHERE rn <= $kk)""".stripMargin)
@@ -343,13 +345,18 @@ object OracleSqlOps {
     * referenced from VectorOps so a constant change cannot silently break
     * Spark↔oracle parity). */
   def embedCluster(
-      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String = {
+    require(!cfg.kmeansParSeeding,
+      "oracle SQL mirrors the naive vec_id seed only (k-means‖ is spec-verified, not SQL-expressible)")
     s"""WITH $quantCte,
        |${kmeansCtes(cfg.kmeansK, cfg.kmeansIters)}
        |SELECT vec_id, CAST(k AS INT) AS k FROM afin ORDER BY vec_id""".stripMargin
+  }
 
   def annIvf(targetId: Long, k: Int, nprobe: Int,
-      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String = {
+    require(!cfg.kmeansParSeeding,
+      "oracle SQL mirrors the naive vec_id seed only (k-means‖ is spec-verified, not SQL-expressible)")
     s"""WITH $quantCte,
        |${kmeansCtes(cfg.kmeansK, cfg.kmeansIters)},
        |tq AS (SELECT q FROM qv WHERE vec_id = $targetId),
@@ -367,6 +374,7 @@ object OracleSqlOps {
        |  GROUP BY v.vec_id)
        |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM cx
        |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
+  }
 
   /** Random-hyperplane LSH candidates + exact-cosine verify; the ±1
     * hyperplane family is the same closed-form LCG as VectorOps.hpSign. */
