@@ -44,6 +44,22 @@ object Analyzer extends Serializable {
     * not on by default. */
   val EnglishStem: Norm = EnglishStemmer.stem
 
+  /** Per-language light stemmers (inflection-only — see [[LightStemmers]]);
+    * the non-English half of the lemmatizer seam. */
+  val FrenchLightStem: Norm = LightStemmers.french
+  val GermanLightStem: Norm = LightStemmers.german
+
+  /** The shipped normalizer for a language code (the registry's language
+    * set, StopWords.forLang): en → Porter-style stemmer, fr/de → light
+    * stemmers, anything else → Identity (mirrors the reference's English
+    * fallback for unregistered languages, BM25Reranker.cs:514-562). */
+  def stemFor(lang: String): Norm = lang match {
+    case "en" => EnglishStem
+    case "fr" => FrenchLightStem
+    case "de" => GermanLightStem
+    case _ => Identity
+  }
+
   /** Tokenize without stopword removal (codepoint iteration: surrogate
     * pairs are one character, like the oracle's regex engine sees them). */
   def tokenizeRaw(text: String): Array[String] = {

@@ -62,6 +62,61 @@ class StemmerSpec extends AnyFunSuite {
     assert(new Searcher(spark, dirId).topK("running", 3).count() == 0)
   }
 
+  test("French light stemmer conflates inflections, leaves stems apart") {
+    val fr = Analyzer.FrenchLightStem
+    // plural/feminine pairs the light rules are designed to merge
+    Seq(
+      Seq("maison", "maisons"),
+      Seq("chevaux", "cheval"), // -aux → -al (no further rule matches cheval)
+      Seq("fenêtre", "fenêtres"),
+      Seq("journaux", "journal")).foreach { g =>
+      val stems = g.map(fr).distinct
+      assert(stems.size == 1, s"$g stemmed to $stems")
+    }
+    // short words and non-Latin tokens pass through
+    assert(fr("les") == "les")
+    assert(fr("x123") == "x123")
+    // derivational suffixes are NOT touched (light = inflection only)
+    assert(fr("national") == "national")
+  }
+
+  test("German light stemmer conflates plural/case endings") {
+    val de = Analyzer.GermanLightStem
+    Seq(
+      Seq("frauen", "frau"),
+      Seq("kinder", "kind"),
+      Seq("jahre", "jahren", "jahr"),
+      Seq("autos", "auto"),
+      Seq("lehrerinnen", "lehrerin")).foreach { g =>
+      val stems = g.map(de).distinct
+      assert(stems.size == 1, s"$g stemmed to $stems")
+    }
+    assert(de("haus") == "haus") // length guard
+    assert(de("straße") == "straß") // final-e rule; ß is in-alphabet
+  }
+
+  test("stemFor registry: per-language norm with Identity fallback") {
+    assert(Analyzer.stemFor("en")("running") == "run")
+    assert(Analyzer.stemFor("fr")("maisons") == "maison")
+    assert(Analyzer.stemFor("de")("kinder") == "kind")
+    assert(Analyzer.stemFor("xx")("maisons") == "maisons")
+  }
+
+  test("French stemmed build+query end-to-end: 'fenêtres' retrieves 'fenêtre'") {
+    val texts = Seq(
+      "la fenêtre donne sur le jardin du voisin",
+      "les chevaux galopent dans la prairie verte",
+      "texte sans rapport sur les montagnes lointaines")
+    val dir = TestSpark.tmpDir("idxstemfr")
+    IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", texts).toDF(), dir,
+      IndexBuilder.Config(shards = 2, language = "fr", normalizer = Analyzer.FrenchLightStem))
+    val s = new Searcher(spark, dir, language = "fr", normalizer = Analyzer.FrenchLightStem)
+    val hits = s.topK("fenêtres", 3).select("turn_idx").as[Int].collect()
+    assert(hits.sameElements(Array(0)), s"expected doc 0 only, got ${hits.mkString(",")}")
+    val hits2 = s.topK("cheval", 3).select("turn_idx").as[Int].collect()
+    assert(hits2.sameElements(Array(1)), s"expected doc 1 only, got ${hits2.mkString(",")}")
+  }
+
   test("rank-identity vs oracle running the same Norm (F3 corpus)") {
     val dir = TestSpark.tmpDir("idxstemf3")
     IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", Transcripts.F3).toDF(), dir,
