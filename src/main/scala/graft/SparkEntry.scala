@@ -86,6 +86,9 @@ object SparkEntry {
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
     // incremental maintenance: base build + append + refresh ≡ full index
     "q_refresh_topk" -> ((s, d) => DocQueries.refreshTopK(s, d, Q_TOPK_REL, 10)),
+    // snapshot (time-travel) read: the SAME index as of generation 0 must
+    // equal the oracle over the base 80% subset (stats included)
+    "q_snapshot_topk" -> ((s, d) => DocQueries.snapshotTopK(s, d, Q_TOPK_REL, 10)),
     // O9-O14 cascade (BM25 stage → mock LM stage, threshold/topK/topM)
     "q_cascade" -> ((s, d) => DocQueries.cascade(s, d, Q_CASCADE, 0.5, 20, 5)),
     // O6/O8 two-pass scoring without a prebuilt index, caller-named columns
@@ -164,6 +167,8 @@ object SparkEntry {
     "q_facet_range" -> OracleSql.facetCountsRange(qt(Q_SCORE), "n_chars", NCharBounds),
     "q_bm25_empty" -> OracleSql.emptyQuery,
     "q_refresh_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
+    "q_snapshot_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10,
+      where = "d.doc_id % 5 <> 0"),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),
     "q_bm25_twopass" -> OracleSql.scoreAll(qt(Q_SCORE), P),
     "q_cascade_metrics" -> OracleSql.cascadeMetrics(qt(Q_CASCADE), P, 0.5, 20, 5),

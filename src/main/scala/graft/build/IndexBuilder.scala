@@ -234,28 +234,62 @@ object IndexBuilder {
   def committedGen(indexDir: String): Long =
     Manifests.read(indexDir, "postings_gen").map(_.rows).getOrElse(0L)
 
+  /** Stats table location as of generation `gen` (gen-suffixed after a
+    * refresh; generation 0 is the base build). */
+  def statsPathAsOf(indexDir: String, gen: Long): String =
+    if (gen == 0L) s"$indexDir/stats" else s"$indexDir/stats_g$gen"
+
   /** Current stats table location (gen-suffixed after a refresh). */
-  def statsPath(indexDir: String): String = {
-    val g = committedGen(indexDir)
-    if (g == 0L) s"$indexDir/stats" else s"$indexDir/stats_g$g"
-  }
+  def statsPath(indexDir: String): String =
+    statsPathAsOf(indexDir, committedGen(indexDir))
+
+  /** Df table location as of generation `gen`. */
+  def dfPathAsOf(indexDir: String, gen: Long): String =
+    if (gen == 0L) s"$indexDir/df" else s"$indexDir/df_g$gen"
 
   /** Current df table location (gen-suffixed after a refresh). */
-  def dfPath(indexDir: String): String = {
-    val g = committedGen(indexDir)
-    if (g == 0L) s"$indexDir/df" else s"$indexDir/df_g$g"
-  }
+  def dfPath(indexDir: String): String =
+    dfPathAsOf(indexDir, committedGen(indexDir))
 
-  /** Live posting segment dirs: generations 1..committed that still exist
-    * (compact deletes folded segments; staging above the pointer is never
-    * read, so a crashed half-written segment is invisible). */
-  def segmentPaths(spark: SparkSession, indexDir: String): Seq[String] = {
-    val g = committedGen(indexDir)
-    if (g == 0L) return Seq.empty
+  /** Posting segment dirs readable as of generation `gen`: segments
+    * 1..gen that still exist (compact deletes folded segments — their
+    * documents then live in the base table; staging above the pointer is
+    * never read, so a crashed half-written segment is invisible). */
+  def segmentPathsAsOf(spark: SparkSession, indexDir: String, gen: Long): Seq[String] = {
+    if (gen == 0L) return Seq.empty
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (1L to g).map(i => s"$indexDir/postings_seg_$i")
+    (1L to gen).map(i => s"$indexDir/postings_seg_$i")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+  }
+
+  /** Live posting segment dirs at the committed generation. */
+  def segmentPaths(spark: SparkSession, indexDir: String): Seq[String] =
+    segmentPathsAsOf(spark, indexDir, committedGen(indexDir))
+
+  /** Fail-fast validity check for a snapshot (as-of) read at generation
+    * `gen` — the manifest analogue of an Iceberg time-travel read. A
+    * snapshot stays readable until maintenance reclaims its inputs:
+    *  - refresh retention deletes stats/df copies of generations ≤ g-2,
+    *    so only the last two generations keep their global stats;
+    *  - compact folds ALL segments into the base table, which collapses
+    *    every snapshot older than the fold point (the base then over-covers
+    *    them) — detected here as a missing segment in (gen, committed].
+    * Production retention would be time-based (SURVEY §7.5); the protocol
+    * is the same. */
+  def validateSnapshot(spark: SparkSession, indexDir: String, gen: Long): Unit = {
+    val committed = committedGen(indexDir)
+    require(gen >= 0L && gen <= committed,
+      s"generation $gen does not exist (committed generation is $committed)")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    require(exists(statsPathAsOf(indexDir, gen)) && exists(dfPathAsOf(indexDir, gen)),
+      s"snapshot $gen expired: stats/df retention keeps only generations ${committed - 1}..$committed")
+    ((gen + 1) to committed).foreach { i =>
+      require(exists(s"$indexDir/postings_seg_$i"),
+        s"snapshot $gen expired: segment $i was folded into the base by compact")
+    }
   }
 
   // ---- shared build configuration -----------------------------------------
@@ -734,8 +768,13 @@ object IndexBuilder {
     * per-shard cover manifests; missing covers mean a foreign/corrupt
     * index — fail fast rather than silently re-index or skip rows. */
   private[graft] def readCover(spark: SparkSession, indexDir: String,
-                               shards: Int): Array[Long] = {
-    val g = committedGen(indexDir)
+                               shards: Int): Array[Long] =
+    readCoverAsOf(spark, indexDir, shards, committedGen(indexDir))
+
+  /** Per-shard coverage as of generation `g` (cover manifests are tiny and
+    * never reclaimed, so any generation's coverage stays resolvable). */
+  private[graft] def readCoverAsOf(spark: SparkSession, indexDir: String,
+                                   shards: Int, g: Long): Array[Long] = {
     val cover = new Array[Long](shards)
     (0 until shards).foreach { s =>
       cover(s) = Manifests.read(indexDir, s"postings_cover_g${g}_$s").map(_.rows)

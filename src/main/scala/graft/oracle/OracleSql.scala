@@ -19,20 +19,25 @@ object OracleSql {
   /** English stopword list as a SQL IN-list (matches Analyzer.tokenizeEn). */
   lazy val stopListEn: String = StopWords.english.toSeq.sorted.map(lit).mkString(",")
 
-  /** Tokenization CTEs over the documents table — the SQL mirror of
-    * Analyzer.tokenize(text, english) for ASCII input. */
-  def baseCtes: String =
+  /** Tokenization CTEs over the documents table restricted to `where`
+    * (a predicate over alias `d`) — the corpus a snapshot/time-travel read
+    * serves is a strict subset of documents, stats included. */
+  def baseCtesFor(where: String): String =
     s"""toks AS (
        |  SELECT d.doc_id, t.term
        |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[\\p{L}\\p{Nd}]+')) AS t(term)
-       |  WHERE t.term NOT IN ($stopListEn)),
+       |  WHERE t.term NOT IN ($stopListEn) AND ($where)),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1),
        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        |stats AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(coalesce(dl.len, 0)) AS DOUBLE) / count(*) AS avgdl
-       |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id)""".stripMargin
+       |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id WHERE ($where))""".stripMargin
+
+  /** Tokenization CTEs over the documents table — the SQL mirror of
+    * Analyzer.tokenize(text, english) for ASCII input. */
+  def baseCtes: String = baseCtesFor("TRUE")
 
   private def queryValues(terms: Seq[(String, Int)]): String =
     terms.map { case (t, c) => s"(${lit(t)}, $c)" }.mkString(", ")
@@ -75,8 +80,11 @@ object OracleSql {
        |${scoredCte(terms, p)}
        |SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY doc_id""".stripMargin
 
-  def topK(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
-    s"""WITH $baseCtes,
+  def topK(terms: Seq[(String, Int)], p: Bm25.Params, k: Int,
+           /** Corpus restriction (predicate over alias `d`) — the oracle of
+             * a snapshot read: df/avgdl/N come from the subset only. */
+           where: String = "TRUE"): String =
+    s"""WITH ${baseCtesFor(where)},
        |${scoredCte(terms, p)}
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin

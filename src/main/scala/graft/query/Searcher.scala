@@ -50,8 +50,24 @@ final class Searcher(spark: SparkSession, indexDir: String,
                      cacheTables: Boolean = false,
                      /** Must equal the IndexBuilder.Config.normalizer the
                        * index was built with. */
-                     normalizer: Analyzer.Norm = Analyzer.Identity) {
+                     normalizer: Analyzer.Norm = Analyzer.Identity,
+                     /** Snapshot (time-travel) read: serve the index as of
+                       * this committed refresh generation; -1 = latest.
+                       * Validity is checked at construction (retention
+                       * keeps the last two generations' stats/df; compact
+                       * collapses older snapshots) — see
+                       * IndexBuilder.validateSnapshot. */
+                     asOfGen: Long = -1L) {
   import spark.implicits._
+
+  /** The generation this Searcher serves (pinned at construction — a
+    * Searcher serves ONE snapshot; the serving tier builds a new Searcher
+    * on publish). */
+  val generation: Long =
+    if (asOfGen >= 0L) {
+      graft.build.IndexBuilder.validateSnapshot(spark, indexDir, asOfGen)
+      asOfGen
+    } else graft.build.IndexBuilder.committedGen(indexDir)
 
   /** Hot-index mode: pin the (small) per-query tables in executor memory.
     * Off by default — a 10^12-doc index must not be blanket-persisted;
@@ -66,16 +82,16 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * of the segment list is taken at construction: a Searcher serves one
     * index generation; the serving tier builds a new Searcher on publish. */
   private val postingsPaths: Seq[String] =
-    s"$indexDir/postings" +: graft.build.IndexBuilder.segmentPaths(spark, indexDir)
+    s"$indexDir/postings" +: graft.build.IndexBuilder.segmentPathsAsOf(spark, indexDir, generation)
   private val postingsDF = maybeCache(graft.sources.TableIO.read(spark, postingsPaths))
   private val dfDF = maybeCache(graft.sources.TableIO.read(spark,
-    graft.build.IndexBuilder.dfPath(indexDir)))
+    graft.build.IndexBuilder.dfPathAsOf(indexDir, generation)))
   private lazy val docMetaDF = maybeCache(
     covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
       .select(col("shard"), col("docId"), col("conv_id"), col("turn_idx"), col("len")))
 
   private val statsRow = graft.sources.TableIO.read(spark,
-    graft.build.IndexBuilder.statsPath(indexDir)).head()
+    graft.build.IndexBuilder.statsPathAsOf(indexDir, generation)).head()
 
   /** Committed-coverage filter: analyzed/ may hold appended-but-UNREFRESHED
     * rows, and the relational paths (scoreAll, doc-meta) scan analyzed/
@@ -84,9 +100,12 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * None when no append/stream ever touched the index (no HWM manifests):
     * coverage is then trivially complete and the filter would only cost. */
   private val coveredOnly: Option[org.apache.spark.sql.Column] =
-    if (graft.build.Manifests.read(indexDir, "stream_hwm_max").isEmpty) None
+    if (asOfGen < 0L &&
+      graft.build.Manifests.read(indexDir, "stream_hwm_max").isEmpty) None
     else graft.build.IndexBuilder.metaShards(indexDir).map { shards =>
-      val cover = graft.build.IndexBuilder.readCover(spark, indexDir, shards)
+      // a snapshot read ALWAYS filters to its generation's coverage —
+      // analyzed/ holds every later generation's rows too
+      val cover = graft.build.IndexBuilder.readCoverAsOf(spark, indexDir, shards, generation)
       expr(s"docId & ${graft.model.Ids.RankMask}")
         .lt(element_at(lit(cover), col("shard") + 1))
     }

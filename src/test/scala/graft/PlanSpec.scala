@@ -108,6 +108,21 @@ class PlanSpec extends AnyFunSuite {
     assert(s.colocated, "restoring the conf restores the zero-exchange path")
   }
 
+  test("batched hit resolution is a pruned point read, not a corpus scan-join") {
+    // |batch|·k below MaxPointReadHits must resolve hits exactly like the
+    // single-query path: winners collected (≤ |batch|·k rows), doc meta
+    // read with a pushed-down docId IN (...) point read + broadcast join
+    // of the tiny hit list — NEVER a full doc-meta scan joined by shuffle
+    // (that scan made q_bm25_batch corpus-bound at 8M docs).
+    val s = new Searcher(spark, dir)
+    val batch = Map("q1" -> "quick brown fox", "q2" -> "machine learning")
+    val plan = s.topKBatch(batch, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(docId"),
+      s"no pushed docId filter in batch resolution:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "batch hit resolution must not shuffle-join the doc-meta table")
+  }
+
   test("LSH pair ops generate candidates without any join (bucket-local)") {
     // embedding pairs and MinHash candidate pairs both build pairs INSIDE
     // their hash buckets — the plan must contain no join operator at all

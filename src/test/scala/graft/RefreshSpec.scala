@@ -174,6 +174,39 @@ class RefreshSpec extends AnyFunSuite {
     assert(s1.topK("qqcrash", 5).select("conv_id").as[String].collect().contains("cLATE"))
   }
 
+  test("snapshot reads: asOfGen time-travels; expired snapshots fail fast") {
+    val dir = TestSpark.tmpDir("asof")
+    IndexBuilder.build(spark,
+      Transcripts.fixture(spark, "cG0", Seq("zzsnap base document", "plain other text")).toDF(),
+      dir, IndexBuilder.Config(shards = 2))
+    IndexBuilder.append(spark,
+      Transcripts.fixture(spark, "cG1", Seq("zzsnap appended in generation one")).toDF(),
+      dir, IndexBuilder.Config(shards = 2))
+    IndexBuilder.refresh(spark, dir) // gen 1
+
+    // latest sees both docs; the gen-0 snapshot sees only the base doc —
+    // on the WAND path AND the relational paths (scoreAll reads analyzed/)
+    val latest = new Searcher(spark, dir)
+    assert(latest.generation == 1L)
+    assert(latest.topK("zzsnap", 10).select("conv_id").as[String].collect().toSet ==
+      Set("cG0", "cG1"))
+    val snap0 = new Searcher(spark, dir, asOfGen = 0L)
+    assert(snap0.generation == 0L)
+    assert(snap0.topK("zzsnap", 10).select("conv_id").as[String].collect().toSet == Set("cG0"))
+    assert(snap0.scoreAll("zzsnap").filter($"conv_id" === "cG1").count() == 0)
+    assert(snap0.n == 2L && latest.n == 3L) // per-snapshot global stats
+
+    // nonexistent generation fails fast
+    intercept[IllegalArgumentException] { new Searcher(spark, dir, asOfGen = 7L) }
+
+    // compact folds the segment into the base → the gen-0 snapshot is
+    // collapsed (base now over-covers it) and must refuse to open
+    IndexBuilder.compact(spark, dir)
+    val postCompact = new Searcher(spark, dir, asOfGen = 1L) // fold point itself: still valid
+    assert(postCompact.topK("zzsnap", 10).count() == 2)
+    intercept[IllegalArgumentException] { new Searcher(spark, dir, asOfGen = 0L) }
+  }
+
   test("refresh with no new rows is a no-op; append alone leaves queries unchanged") {
     val all = Transcripts.synth(spark, 800, turnsPerConv = 5).toDF()
     val dir = TestSpark.tmpDir("noop")
