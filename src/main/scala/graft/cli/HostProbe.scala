@@ -50,6 +50,12 @@ object HostProbe {
   def measure(): (Double, Double) = {
     val arr = new Array[Long](256 * 1024 * 1024) // 2 GiB
     java.util.Arrays.fill(arr, 3L)
+    measureWith(arr)
+  }
+
+  /** Like [[measure]] but over a caller-owned (already-filled) buffer, so
+    * repeated bracketing probes don't re-pay the 2 GiB alloc+fill. */
+  def measureWith(arr: Array[Long]): (Double, Double) = {
     registerBurn(2, 200000000L) // JIT warm
     memoryBurn(2, arr, 1)
     // registerBurn: per-thread work fixed → total work ∝ threads →
