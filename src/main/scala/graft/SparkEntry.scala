@@ -102,6 +102,12 @@ object SparkEntry {
     // batched multi-query top-k: one index pass answers the whole batch
     "q_bm25_batch" -> ((s, d) => DocQueries.batchTopK(s, d,
       Map("q1" -> Q_TOPK, "q2" -> Q_SCORE), 10)),
+    // group-level retrieval: conversation/source rollup of BM25 relevance
+    "q_group_topk" -> ((s, d) => DocQueries.groupTopK(s, d, Q_SCORE, "source", 5)),
+    // per-doc TF-IDF keyword extraction over the index tables
+    "q_keywords" -> ((s, d) => DocQueries.keywords(s, d, 30L, 3)),
+    // pseudo-relevance-feedback expansion terms from the top-10 pool
+    "q_expand" -> ((s, d) => DocQueries.expandTerms(s, d, Q_TOPK, 10, 10)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_token_pieces" -> ((s, d) => TextOps.tokenPieces(s, d)),
@@ -123,6 +129,8 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
     "q_simhash_pairs" -> ((s, d) => TextOps.simHashPairs(s, d, 3)),
     "q_minhash_pairs" -> ((s, d) => TextOps.minHashPairs(s, d)),
+    // near-dup clustering: connected components over the LSH pair graph
+    "q_dup_clusters" -> ((s, d) => TextOps.dupClusters(s, d)),
     // NON-DEFAULT SimilarityConfig, oracle-mirrored: 16 permutations =
     // 8 bands (the larger-corpus recall setting) — proves the knobs are
     // real and parity survives a constant change
@@ -176,6 +184,9 @@ object SparkEntry {
     "q_lm_rank" -> OracleSql.lmRank(Analyzer.tokenizeRaw(Q_TOPK).distinct.toSeq, 5),
     "q_bm25_batch" -> OracleSql.topKBatch(
       Seq("q1" -> qt(Q_TOPK), "q2" -> qt(Q_SCORE)), P, 10),
+    "q_group_topk" -> OracleSql.groupTopK(qt(Q_SCORE), P, "source", 5),
+    "q_keywords" -> OracleSql.keywords(30L, 3),
+    "q_expand" -> OracleSql.expandTerms(qt(Q_TOPK), P, 10, 10),
     "q_token_count" -> OracleSqlOps.tokenCount,
     "q_token_pieces" -> OracleSqlOps.tokenPieces,
     "q_langid" -> OracleSqlOps.langId,
@@ -190,6 +201,7 @@ object SparkEntry {
     "q_simhash" -> OracleSqlOps.simHash,
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),
     "q_minhash_pairs" -> OracleSqlOps.minHashPairs(),
+    "q_dup_clusters" -> OracleSqlOps.dupClusters(),
     "q_minhash_k16" -> OracleSqlOps.minHashPairs(CfgK16),
     "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),

@@ -386,6 +386,59 @@ object TextOps {
                    cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
     minHashCandidates(docs(spark, sfDir), cfg).orderBy("a", "b")
 
+  /** Near-dup CLUSTERING — the dedup-pipeline step after pair generation:
+    * connected components over the MinHash-LSH candidate-pair graph.
+    * Every doc sharing a band bucket with another lands in a cluster
+    * labeled by the component's smallest doc_id, and
+    * `keep = (doc_id == cluster)` marks the canonical representative a
+    * training pipeline retains. Output (doc_id, cluster, keep) for docs
+    * in ≥ 1 candidate pair, ordered by doc_id. */
+  def dupClusters(spark: SparkSession, sfDir: String,
+                  cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
+    connectedComponents(minHashCandidates(docs(spark, sfDir), cfg))
+      .orderBy("doc_id")
+
+  /** Distributed min-label propagation over an (a, b) edge list: each
+    * round every node takes the min label over itself and its neighbors;
+    * converged when no label changed. Rounds = graph diameter — LSH dup
+    * graphs are unions of per-bucket cliques (one round flattens a
+    * clique), so a handful of rounds suffices even at corpus scale; an
+    * adversarially long chain would want the alternating large-star/
+    * small-star variant (O(log n) rounds), a drop-in upgrade of this
+    * loop's body. Only per-round CHANGE COUNTS reach the driver — the
+    * label table itself never does, and each round is one shuffle on the
+    * node id (partial-agg min). Labels decrease monotonically, so "any
+    * row strictly smaller than last round" is a complete convergence
+    * test. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0L) {
+      rounds += 1
+      require(rounds <= 64, "connected components did not converge in 64 rounds")
+      val next = edges
+        .join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .select(col("u").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
   /** Near-dup pairs by 3-word-shingle Jaccard ≥ minJ. Candidates come from
     * the MinHash band buckets (the same family as minHashPairs), then the
     * exact Jaccard is verified over the shingle sets — so no hot-shingle

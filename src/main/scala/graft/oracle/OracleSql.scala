@@ -186,6 +186,58 @@ object OracleSql {
       s"\n  HAVING count(DISTINCT tf.term) = ${terms.size})"
 
   /** AND-mode top-k: docs containing every query term, OR-mode score. */
+  /** Mirror of DocQueries.groupTopK: per-group Σ of round-4 scores summed
+    * as integer 1e-4 units (exact, order-independent), cut on (micro-sum,
+    * group). */
+  def groupTopK(terms: Seq[(String, Int)], p: Bm25.Params,
+                groupCol: String, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |g AS (
+       |  SELECT d.$groupCol AS grp,
+       |    sum(CAST(round(round(s.score, 4) * 10000) AS BIGINT)) AS m,
+       |    CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |  GROUP BY 1)
+       |SELECT grp AS $groupCol, CAST(m AS DOUBLE) / 10000 AS group_score, n_hits
+       |FROM g ORDER BY m DESC, grp LIMIT $k""".stripMargin
+
+  /** Mirror of DocQueries.keywords: top-n TF-IDF terms per doc, ranked on
+    * (round-4 weight desc, term). */
+  def keywords(maxDocId: Long, n: Int): String =
+    s"""WITH $baseCtes,
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    round(tf.tf * ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)), 4) AS tfidf
+       |  FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN stats
+       |  WHERE tf.doc_id < $maxDocId),
+       |rk AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+       |  FROM sc)
+       |SELECT doc_id, term, tfidf FROM rk WHERE rn <= $n
+       |ORDER BY doc_id, tfidf DESC, term""".stripMargin
+
+  /** Mirror of DocQueries.expandTerms: top-k doc pool by (round4, doc_id)
+    * cut, then Σ over the pool of round-4 tf·idf as integer 1e-4 units. */
+  def expandTerms(terms: Seq[(String, Int)], p: Bm25.Params,
+                  k: Int, nTerms: Int): String = {
+    val qlist = terms.map(t => lit(t._1)).mkString(",")
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |pool AS (
+       |  SELECT doc_id FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT $k),
+       |w AS (
+       |  SELECT tf.term,
+       |    sum(CAST(round(round(tf.tf * ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)), 4) * 10000) AS BIGINT)) AS m
+       |  FROM tf JOIN pool ON pool.doc_id = tf.doc_id
+       |  JOIN dft ON dft.term = tf.term CROSS JOIN stats
+       |  WHERE tf.term NOT IN ($qlist)
+       |  GROUP BY 1)
+       |SELECT term, CAST(m AS DOUBLE) / 10000 AS weight FROM w
+       |ORDER BY m DESC, term LIMIT $nTerms""".stripMargin
+  }
+
   def topKAnd(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
     s"""WITH $baseCtes,
        |${scoredAndCte(terms, p)}

@@ -245,6 +245,21 @@ object OracleSqlOps {
        |${minHashCandCtes(cfg)}
        |SELECT a, b FROM mhcand ORDER BY a, b""".stripMargin
 
+  /** Mirror of TextOps.dupClusters: component label = min doc_id reachable
+    * over the candidate-pair graph, via a recursive transitive closure
+    * (fine at oracle scale; the Spark side iterates min-propagation). */
+  def dupClusters(
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |${minHashCandCtes(cfg)},
+       |edges AS (SELECT a AS u, b AS v FROM mhcand UNION ALL SELECT b AS u, a AS v FROM mhcand),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+       |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   def ngramJaccard(minJ: Double,
       cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
     s"""WITH $shingleCtes,

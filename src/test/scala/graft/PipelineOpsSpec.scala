@@ -29,6 +29,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"near-dup (0,1) not found; got ${pairs.mkString(", ")}")
   }
 
+  test("connectedComponents labels every member with the component min id") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // separate pair 7-9, clique 10-11-12, singleton 20 not in any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val got = TextOps.connectedComponents(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val want = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false),
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false))
+    assert(got.toSeq == want, s"got ${got.mkString(", ")}")
+  }
+
+  test("dupClusters keep flags exactly one representative per cluster") {
+    val cl = TextOps.dupClusters(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Boolean)].collect()
+    assert(cl.nonEmpty) // sf0.001 carries near-dup docs by construction
+    val byCluster = cl.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3) == 1, s"cluster $c keep-count != 1")
+      assert(members.map(_._1).min == c, s"cluster $c label is not the min member")
+    }
+  }
+
   test("simHashPairs banded candidates are exhaustive for hamming <= 3") {
     // brute-force ALL pairs at hamming <= 3 over sf0.001 and require the
     // banded op to find exactly that set (pigeonhole: 4 bands, <= 3
