@@ -108,6 +108,10 @@ object SparkEntry {
     "q_keywords" -> ((s, d) => DocQueries.keywords(s, d, 30L, 3)),
     // pseudo-relevance-feedback expansion terms from the top-10 pool
     "q_expand" -> ((s, d) => DocQueries.expandTerms(s, d, Q_TOPK, 10, 10)),
+    // hybrid sparse+dense retrieval: RRF fusion of BM25 and cosine top-20
+    "q_hybrid_rrf" -> ((s, d) => DocQueries.hybridTopK(s, d, Q_SCORE, 0L, 20, 10)),
+    // wildcard retrieval: prefix expansion against the term dictionary
+    "q_prefix" -> ((s, d) => DocQueries.prefixTopK(s, d, "s", 10)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_token_pieces" -> ((s, d) => TextOps.tokenPieces(s, d)),
@@ -187,6 +191,8 @@ object SparkEntry {
     "q_group_topk" -> OracleSql.groupTopK(qt(Q_SCORE), P, "source", 5),
     "q_keywords" -> OracleSql.keywords(30L, 3),
     "q_expand" -> OracleSql.expandTerms(qt(Q_TOPK), P, 10, 10),
+    "q_hybrid_rrf" -> OracleSqlOps.hybridTopK(qt(Q_SCORE), P, 0L, 20, 10),
+    "q_prefix" -> OracleSql.prefixTopK("s", P, 10),
     "q_token_count" -> OracleSqlOps.tokenCount,
     "q_token_pieces" -> OracleSqlOps.tokenPieces,
     "q_langid" -> OracleSqlOps.langId,

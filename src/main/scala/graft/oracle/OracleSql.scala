@@ -238,6 +238,25 @@ object OracleSql {
        |ORDER BY m DESC, term LIMIT $nTerms""".stripMargin
   }
 
+  /** Mirror of DocQueries.prefixTopK: the query-term set is the term
+    * dictionary's prefix slice (qtf = 1 each, so the reference's qtf
+    * factor is exactly 1), scored and cut like topK. */
+  def prefixTopK(prefix: String, p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |qt AS (SELECT term FROM dft WHERE term LIKE ${lit(prefix + "%")}),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * ${p.k1 + 1}) / (tf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl)) ) AS score
+       |  FROM tf
+       |  JOIN qt ON qt.term = tf.term
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
   def topKAnd(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
     s"""WITH $baseCtes,
        |${scoredAndCte(terms, p)}

@@ -306,6 +306,34 @@ object OracleSqlOps {
        |    sqrt(sum(CAST($vecA AS DOUBLE) * CAST($vecA AS DOUBLE))) AS na,
        |    sqrt(sum(CAST($vecB AS DOUBLE) * CAST($vecB AS DOUBLE))) AS nb""".stripMargin
 
+  /** Mirror of DocQueries.hybridTopK: RRF fusion of the BM25 top-m and
+    * cosine top-m rankings, contributions as round(1e4/(60+rank))
+    * integers, cut on (fused, doc_id). */
+  def hybridTopK(terms: Seq[(String, Int)], p: graft.query.Bm25.Params,
+                 targetId: Long, m: Int, k: Int): String =
+    s"""WITH ${OracleSql.baseCtes},
+       |${OracleSql.scoredCte(terms, p)},
+       |bm AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rb
+       |  FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT $m),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
+       |c AS (
+       |  SELECT v.vec_id,
+       |    ${cosAgg("v.embedding[i.i]", "q.qe[i.i]")}
+       |  FROM embeddings v CROSS JOIN q CROSS JOIN range(1, 65) i(i)
+       |  GROUP BY v.vec_id),
+       |cs AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY round(dot / (na * nb), 4) DESC, vec_id) AS rc
+       |  FROM c ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $m),
+       |f AS (
+       |  SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+       |    coalesce(CAST(round(10000.0 / (bm.rb + 60)) AS BIGINT), 0)
+       |  + coalesce(CAST(round(10000.0 / (cs.rc + 60)) AS BIGINT), 0) AS w
+       |  FROM bm FULL OUTER JOIN cs ON cs.doc_id = bm.doc_id)
+       |SELECT doc_id, CAST(w AS DOUBLE) / 10000 AS rrf FROM f
+       |ORDER BY w DESC, doc_id LIMIT $k""".stripMargin
+
   def cosTopK(targetId: Long, k: Int): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
        |c AS (
