@@ -43,6 +43,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"got ${got.mkString(", ")}")
   }
 
+  test("connectedComponents ≡ driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 0 until 4) {
+      val nNodes = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(10 + rnd.nextInt(80)) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter { case (a, b) => a != b }.distinct
+      // oracle: classic union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.map(n => (n, find(n))).sortBy(_._1)
+      val got = TextOps.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long, Boolean)].collect().map(r => (r._1, r._2)).sortBy(_._1)
+      assert(got.toSeq == want, s"[trial $trial] components diverge from union-find")
+    }
+  }
+
   test("dupClusters keep flags exactly one representative per cluster") {
     val cl = TextOps.dupClusters(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Boolean)].collect()
