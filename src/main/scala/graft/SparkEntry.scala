@@ -27,6 +27,9 @@ object SparkEntry {
   private val Q_CASCADE = "data filter merge"
   private val Q_AND = "sort merge join"
   private val Q_PHRASE = "merge batch"
+  // rank-eval relevance labels: conjunctive matches of a query STRICTER
+  // than Q_TOPK, so MRR/nDCG land strictly inside (0, 1)
+  private val Q_EVAL_LABELS = "spark stream window customer"
   // phrases for the positional sidecar: one with a stopword inside the
   // phrase ("the" is never a scoring term), one of ONLY stopwords
   private val Q_PHRASE_POS = "the batch"
@@ -112,6 +115,9 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => DocQueries.hybridTopK(s, d, Q_SCORE, 0L, 20, 10)),
     // wildcard retrieval: prefix expansion against the term dictionary
     "q_prefix" -> ((s, d) => DocQueries.prefixTopK(s, d, "s", 10)),
+    // offline eval harness: MRR@10 / nDCG@10 of the Q_TOPK ranking vs a
+    // STRICTER conjunctive label set (so the metrics discriminate)
+    "q_rank_eval" -> ((s, d) => DocQueries.rankEval(s, d, Q_TOPK, Q_EVAL_LABELS, 10)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_token_pieces" -> ((s, d) => TextOps.tokenPieces(s, d)),
@@ -135,6 +141,8 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, d) => TextOps.minHashPairs(s, d)),
     // near-dup clustering: connected components over the LSH pair graph
     "q_dup_clusters" -> ((s, d) => TextOps.dupClusters(s, d)),
+    // dedup end product: the corpus minus non-canonical cluster members
+    "q_dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d)),
     // NON-DEFAULT SimilarityConfig, oracle-mirrored: 16 permutations =
     // 8 bands (the larger-corpus recall setting) — proves the knobs are
     // real and parity survives a constant change
@@ -193,6 +201,8 @@ object SparkEntry {
     "q_expand" -> OracleSql.expandTerms(qt(Q_TOPK), P, 10, 10),
     "q_hybrid_rrf" -> OracleSqlOps.hybridTopK(qt(Q_SCORE), P, 0L, 20, 10),
     "q_prefix" -> OracleSql.prefixTopK("s", P, 10),
+    "q_rank_eval" -> OracleSqlOps.rankEval(qt(Q_TOPK),
+      qt(Q_EVAL_LABELS).map(_._1), P, 10),
     "q_token_count" -> OracleSqlOps.tokenCount,
     "q_token_pieces" -> OracleSqlOps.tokenPieces,
     "q_langid" -> OracleSqlOps.langId,
@@ -208,6 +218,7 @@ object SparkEntry {
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),
     "q_minhash_pairs" -> OracleSqlOps.minHashPairs(),
     "q_dup_clusters" -> OracleSqlOps.dupClusters(),
+    "q_dedup_apply" -> OracleSqlOps.dedupApply(),
     "q_minhash_k16" -> OracleSqlOps.minHashPairs(CfgK16),
     "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),

@@ -405,22 +405,32 @@ object TextOps {
     * clique), so a handful of rounds suffices even at corpus scale; an
     * adversarially long chain would want the alternating large-star/
     * small-star variant (O(log n) rounds), a drop-in upgrade of this
-    * loop's body. Only per-round CHANGE COUNTS reach the driver — the
-    * label table itself never does, and each round is one shuffle on the
-    * node id (partial-agg min). Labels decrease monotonically, so "any
-    * row strictly smaller than last round" is a complete convergence
-    * test. */
+    * loop's body. Only a per-round label-sum SCALAR reaches the driver —
+    * the label table itself never does, and each round is one shuffle on
+    * the node id (partial-agg min) plus one aggregate. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // labels(id) monotonically decreases toward the component min, so the
+    // label SUM strictly decreases on every changing round: one decimal
+    // aggregate per round is a complete convergence test (a join-based
+    // changed-row count was 2 extra jobs/round). Decimal because at
+    // corpus scale sum(doc_id) overflows a Long (1e9 nodes × 1e12 ids).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    // round 1 folded into initialization: lbl = min(id, min neighbor) is
+    // one aggregate over the edge list, no join
+    var labels = edges
+      .groupBy(col("u").as("id")).agg(min("v").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0L) {
+    var prevSum = lblSum(labels)
+    var rounds = 1
+    var converged = false
+    while (!converged) {
       rounds += 1
       require(rounds <= 64, "connected components did not converge in 64 rounds")
       val next = edges
@@ -429,14 +439,29 @@ object TextOps {
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).count()
+      val newSum = lblSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels.unpersist()
       labels = next
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
       (col("id") === col("lbl")).as("keep"))
+  }
+
+  /** The dedup pipeline's end product: doc ids SURVIVING near-dup
+    * clustering — every doc not in any cluster plus each cluster's
+    * canonical (min-id) representative. The drop set is pairs-sized
+    * ≪ corpus, so the anti-join stays cheap (AQE broadcasts it when it
+    * fits); the corpus side is a single column-pruned scan. */
+  def dedupApply(spark: SparkSession, sfDir: String,
+                 cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+    val drop = connectedComponents(minHashCandidates(docs(spark, sfDir), cfg))
+      .filter(!col("keep")).select("doc_id")
+    docs(spark, sfDir).select("doc_id")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
   }
 
   /** Near-dup pairs by 3-word-shingle Jaccard ≥ minJ. Candidates come from

@@ -306,6 +306,49 @@ object OracleSqlOps {
        |    sqrt(sum(CAST($vecA AS DOUBLE) * CAST($vecA AS DOUBLE))) AS na,
        |    sqrt(sum(CAST($vecB AS DOUBLE) * CAST($vecB AS DOUBLE))) AS nb""".stripMargin
 
+  /** Mirror of TextOps.dedupApply: docs surviving near-dup clustering
+    * (non-clustered docs + each component's min-id representative). */
+  def dedupApply(
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |${minHashCandCtes(cfg)},
+       |edges AS (SELECT a AS u, b AS v FROM mhcand UNION ALL SELECT b AS u, a AS v FROM mhcand),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+       |dropids AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropids)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of DocQueries.rankEval: MRR@k / nDCG@k of the BM25 top-k vs
+    * the conjunctive relevance set of `labelTerms`; integer micro-unit
+    * DCG gains and the tie-free r4 rounding on both ratios. */
+  def rankEval(terms: Seq[(String, Int)], labelTerms: Seq[String],
+               p: graft.query.Bm25.Params, k: Int): String = {
+    val vals = labelTerms.map(t => s"(${lit(t)})").mkString(", ")
+    s"""WITH ${OracleSql.baseCtes},
+       |${OracleSql.scoredCte(terms, p)},
+       |ranked AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS r
+       |  FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT $k),
+       |rel AS (
+       |  SELECT tf.doc_id FROM tf
+       |  JOIN (VALUES $vals) AS qt(term) ON qt.term = tf.term
+       |  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = ${labelTerms.size}),
+       |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rel),
+       |hits AS (SELECT r FROM ranked JOIN rel USING (doc_id)),
+       |dcg AS (SELECT coalesce(sum(CAST(round(1000000 / log2(r + 1)) AS BIGINT)), 0) AS d,
+       |               min(r) AS fr FROM hits),
+       |idcg AS (
+       |  SELECT coalesce(sum(CAST(round(1000000 / log2(t.i + 1)) AS BIGINT)), 0) AS d
+       |  FROM range(1, $k + 1) t(i), nrel WHERE t.i <= least(nrel.n, $k))
+       |SELECT nrel.n AS n_rel,
+       |  CASE WHEN dcg.fr IS NULL THEN 0.0 ELSE ${r4Sql("1", "dcg.fr")} END AS mrr,
+       |  CASE WHEN idcg.d = 0 THEN 0.0 ELSE ${r4Sql("dcg.d", "idcg.d")} END AS ndcg
+       |FROM nrel, dcg, idcg""".stripMargin
+  }
+
   /** Mirror of DocQueries.hybridTopK: RRF fusion of the BM25 top-m and
     * cosine top-m rankings, contributions as round(1e4/(60+rank))
     * integers, cut on (fused, doc_id). */
