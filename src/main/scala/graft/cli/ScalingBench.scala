@@ -185,10 +185,12 @@ object ScalingBench {
     val normalized = eff / (memSpeed / 4.0)
     sb.append(f"**Probe-normalized efficiency = $eff%.3f / ${memSpeed / 4.0}%.2f = $normalized%.2f** — the\n")
     sb.append("fraction of the host's concurrently-measured parallel-scaling ceiling the\n")
-    sb.append("engine achieves. Observed 0.79-0.84 across quiet and contended windows\n")
-    sb.append("(far tighter than the raw ratio's 0.58-0.80 swing) and is the\n")
-    sb.append("cluster-relevant number: on 4 real nodes each with its own DRAM the\n")
-    sb.append("ceiling is ≈1.0, so the same pipeline projects to ≥0.8 efficiency.\n\n")
+    sb.append("engine achieves. Observed 0.65-0.84 across windows (the conservative\n")
+    sb.append("normalizer is the MAX probe ceiling seen in the run, so a momentarily\n")
+    sb.append("quiet probe next to a contended build lowers the number) and is the\n")
+    sb.append("cluster-relevant figure: on 4 real nodes each with its own DRAM the\n")
+    sb.append("ceiling is ≈1.0, so the same pipeline projects toward the raw/ceiling\n")
+    sb.append("ratio rather than the single-box raw number.\n\n")
     sb.append("## Per-stage build metrics (from the checkpoint manifests)\n\n")
     sb.append("| stage | rows | bytes | N ms | 4N ms |\n|---|---|---|---|---|\n")
     stages1.zip(stages4).foreach { case (m1, m4) =>
@@ -212,9 +214,12 @@ object ScalingBench {
     sb.append("\nPer-round BENCH_r{N}.json (graft.Bench) reports the same pipeline with\n")
     sb.append("thread-level parallelism (local[8] vs local[32]) plus warm per-query\n")
     sb.append("times over sf0.1 and the flagship query p95. Round-3 graft.Bench\n")
-    sb.append("preview at sf0.1: all 46 driver queries pass (failed_queries empty),\n")
-    sb.append("total 17.9 s warm, flagship p50 86.5 ms / p95 148.9 ms, batched path\n")
-    sb.append("260 q/s. (The round-2 snapshot's \"24.3 s for 40 queries\" total had\n")
+    sb.append("preview at sf0.1: all 55 driver queries pass (failed_queries empty),\n")
+    sb.append("total 25.9-32.8 s warm across two windows, flagship p50 85-105 ms /\n")
+    sb.append("p95 129-179 ms, batched path 243-292 q/s; thread-level (local[8] vs\n")
+    sb.append("local[32]) raw scaling 0.504 in a quiet window (0.546 contended),\n")
+    sb.append("probe-normalized 0.65-0.71.\n")
+    sb.append("(The round-2 snapshot's \"24.3 s for 40 queries\" total had\n")
     sb.append("included q_simhash_pairs' time-to-FAILURE at sf0.1 — the old Bench\n")
     sb.append("swallowed the BucketCap exception; round 3 widened SimHash to 63-bit\n")
     sb.append("bands so the query passes, and Bench now records per-query ok/failed\n")
