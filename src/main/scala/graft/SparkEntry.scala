@@ -118,6 +118,9 @@ object SparkEntry {
     // offline eval harness: MRR@10 / nDCG@10 of the Q_TOPK ranking vs a
     // STRICTER conjunctive label set (so the metrics discriminate)
     "q_rank_eval" -> ((s, d) => DocQueries.rankEval(s, d, Q_TOPK, Q_EVAL_LABELS, 10)),
+    // stemmed-index top-k (lemmatizer seam end-to-end; no SQL oracle —
+    // the driver records the rows-only check, rank identity is spec-pinned)
+    "q_stem_topk" -> ((s, d) => DocQueries.stemTopK(s, d, "merging windows", 10)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_token_pieces" -> ((s, d) => TextOps.tokenPieces(s, d)),
