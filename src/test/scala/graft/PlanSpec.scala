@@ -139,4 +139,27 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!shPlan.contains("Join"), s"join in simHashPairs plan:\n${shPlan.take(3000)}")
   }
+
+  test("keyword/expansion plans broadcast the doc-bounded tf slice, never sort-merge") {
+    // the df table is vocabulary-sized at corpus scale: the tiny per-doc
+    // tf slice must come to IT as a broadcast, not force a term-keyed
+    // sort-merge shuffle of the dictionary
+    val sf = "/root/testdata/sf0.001"
+    for (df <- Seq(graft.ops.DocQueries.keywords(spark, sf, 30L, 3),
+                   graft.ops.DocQueries.expandTerms(spark, sf, "spark stream window", 10, 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n${plan.take(3000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"dictionary-side sort-merge join in:\n${plan.take(3000)}")
+    }
+  }
+
+  test("group rollup aggregates with a partial (map-side) hash aggregate") {
+    // per-group micro-sums must combine map-side before the group shuffle
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.ops.DocQueries.groupTopK(spark, sf, "fast query join", "source", 5)
+      .queryExecution.executedPlan.toString
+    val hashAggs = "(?m)^.*HashAggregate.*$".r.findAllIn(plan).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate pair in:\n${plan.take(3000)}")
+  }
 }
