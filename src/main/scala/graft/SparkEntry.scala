@@ -129,6 +129,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     // repetition diagnostics (Gopher-style repeated-bigram quality filter)
     "q_repetition" -> ((s, d) => TextOps.repetition(s, d)),
+    // mean unigram surprisal (LM-free perplexity proxy for quality filters)
+    "q_surprisal" -> ((s, d) => TextOps.surprisal(s, d)),
     // benchmark decontamination vs a held-out eval slice
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     // deterministic per-source stratified sampling (mixture weights)
@@ -212,6 +214,7 @@ object SparkEntry {
     "q_quality" -> OracleSqlOps.quality,
     "q_fingerprint" -> OracleSqlOps.fingerprint,
     "q_repetition" -> OracleSqlOps.repetition,
+    "q_surprisal" -> OracleSqlOps.surprisal,
     "q_decontaminate" -> OracleSqlOps.decontaminate(13L, 7L),
     "q_sample_stratified" -> OracleSqlOps.stratifiedSample(
       Map("src0" -> 0.75, "src3" -> 0.25), 0.5),

@@ -450,6 +450,36 @@ object TextOps {
       (col("id") === col("lbl")).as("keep"))
   }
 
+  /** (doc_id, n_tokens, surprisal) — mean unigram surprisal per doc, the
+    * LM-free perplexity proxy quality pipelines use alongside stopword/
+    * repetition ratios: surprisal(d) = (1/|d|) Σ_t tf_t · ln(total/ctf_t)
+    * over the corpus unigram distribution. Per-term contributions are
+    * round(1e4·ln(total/ctf)) integer micro-units (one transcendental +
+    * one round per DISTINCT (doc,term) — the sums are exact integers, so
+    * partial aggregation and engine differences cannot reorder them), and
+    * the final mean rounds via the tie-free integer formula. Two
+    * term-keyed hash aggregates + one term-keyed join — the standard
+    * corpus-statistics shape, no driver-side state. */
+  def surprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(rawToksUdf(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy("term").agg(sum("tf").as("ctf"))
+    val tot = tf.agg(sum("tf").as("total"))
+    val s = tf.join(ctf, "term").crossJoin(broadcast(tot))
+      .withColumn("su", col("tf") *
+        round(lit(10000.0) * log(col("total").cast("double") / col("ctf"))).cast("long"))
+      .groupBy("doc_id").agg(sum("su").as("ssum"), sum("tf").as("n"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(s, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_tokens"),
+        when(col("n") > 0,
+          expr("CAST((ssum * 20000 + n * 10000) div (2 * n * 10000) AS DOUBLE) / 10000"))
+          .otherwise(lit(0.0)).as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup pipeline's end product: doc ids SURVIVING near-dup
     * clustering — every doc not in any cluster plus each cluster's
     * canonical (min-id) representative. The drop set is pairs-sized

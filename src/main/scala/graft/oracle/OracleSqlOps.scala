@@ -306,6 +306,23 @@ object OracleSqlOps {
        |    sqrt(sum(CAST($vecA AS DOUBLE) * CAST($vecA AS DOUBLE))) AS na,
        |    sqrt(sum(CAST($vecB AS DOUBLE) * CAST($vecB AS DOUBLE))) AS nb""".stripMargin
 
+  /** Mirror of TextOps.surprisal: corpus-unigram mean surprisal with
+    * integer micro-unit contributions and r4 rounding of the mean. */
+  def surprisal: String =
+    s"""WITH $rawToks,
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM rt GROUP BY 1, 2),
+       |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+       |tot AS (SELECT sum(tf) AS total FROM tf),
+       |s AS (
+       |  SELECT tf.doc_id,
+       |    sum(tf.tf * CAST(round(10000 * ln(CAST(tot.total AS DOUBLE) / ctf.ctf)) AS BIGINT)) AS ssum,
+       |    sum(tf.tf) AS n
+       |  FROM tf JOIN ctf ON ctf.term = tf.term CROSS JOIN tot GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN s.n > 0 THEN ${r4Sql("s.ssum", "s.n * 10000")} ELSE 0.0 END AS surprisal
+       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Mirror of TextOps.dedupApply: docs surviving near-dup clustering
     * (non-clustered docs + each component's min-id representative). */
   def dedupApply(
