@@ -139,11 +139,21 @@ object SparkEntry {
     // composed one-scan cleaning predicate (lang + tokens + quality + dup)
     "q_filter_pipeline" -> ((s, d) => TextOps.filterPipeline(s, d,
       Set("en"), 30L, 0.35, 0.05)),
+    // fixed-window strided token chunking (context-sized training pieces)
+    "q_chunks" -> ((s, d) => TextOps.chunks(s, d, 64, 48)),
+    // corpus collocation mining: adjacent-bigram PMI, micro-unit parity
+    "q_pmi" -> ((s, d) => TextOps.pmi(s, d, 10L)),
     // deduplication family
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
     "q_simhash_pairs" -> ((s, d) => TextOps.simHashPairs(s, d, 3)),
+    // precision stage after banded recall: true edit distance ≤ 32 on
+    // SimHash candidates, via the banded-threshold Levenshtein kernel
+    "q_near_edit" -> ((s, d) => TextOps.nearDupEdit(s, d, 3, 32)),
     "q_minhash_pairs" -> ((s, d) => TextOps.minHashPairs(s, d)),
+    // continuous-ingest dedup: new batch (doc_id%10==3) vs the old corpus,
+    // broadcast-new band join — cost scales with the batch, not the corpus
+    "q_dedup_incr" -> ((s, d) => TextOps.dedupIncremental(s, d, 10L, 3L)),
     // near-dup clustering: connected components over the LSH pair graph
     "q_dup_clusters" -> ((s, d) => TextOps.dupClusters(s, d)),
     // dedup end product: the corpus minus non-canonical cluster members
@@ -219,6 +229,10 @@ object SparkEntry {
     "q_sample_stratified" -> OracleSqlOps.stratifiedSample(
       Map("src0" -> 0.75, "src3" -> 0.25), 0.5),
     "q_filter_pipeline" -> OracleSqlOps.filterPipeline(Set("en"), 30L, 0.35, 0.05),
+    "q_chunks" -> OracleSqlOps.chunks(64, 48),
+    "q_pmi" -> OracleSqlOps.pmi(10L),
+    "q_near_edit" -> OracleSqlOps.nearDupEdit(3, 32),
+    "q_dedup_incr" -> OracleSqlOps.dedupIncremental(10L, 3L),
     "q_dedup_exact" -> OracleSqlOps.dedupExact,
     "q_simhash" -> OracleSqlOps.simHash,
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),

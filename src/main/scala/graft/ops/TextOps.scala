@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.analysis.{Analyzer, StopWords, TextHash}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data text-pipeline operators over the documents table: token
@@ -309,10 +309,14 @@ object TextOps {
     * hamming verify (bit_count(xor)) runs in the same codegen stage.
     * Output (a, b, hamming). */
   def simHashPairs(spark: SparkSession, sfDir: String, maxHam: Int,
-                   cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+                   cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
+    simHashPairsCore(docs(spark, sfDir), maxHam, cfg).orderBy("a", "b")
+
+  private def simHashPairsCore(source: DataFrame, maxHam: Int,
+                               cfg: SimilarityConfig): DataFrame = {
     require(maxHam <= 3, s"banded candidates are exhaustive only for maxHam <= 3 (got $maxHam)")
     val sh = udf((t: String) => TextHash.simHash63(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
-    docs(spark, sfDir)
+    source
       .select(col("doc_id"), sh(col("text")).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
@@ -332,7 +336,133 @@ object TextOps {
         expr("cast(bit_count(x.simhash ^ y.simhash) AS bigint)").as("hamming"))
       .filter(col("hamming") <= maxHam)
       .groupBy("a", "b").agg(min("hamming").as("hamming")) // dedup across bands
+  }
+
+  /** Edit-distance VERIFY over SimHash near-dup candidates — the precision
+    * stage a dedup pipeline runs after banded recall: for each candidate
+    * pair within hamming ≤ `maxHam`, the true character-level edit
+    * distance, kept when ≤ `maxEdit`. Output (a, b, hamming, edit_dist).
+    *
+    * Scale shape: the candidate-pair table is ≪ corpus, so it is BROADCAST
+    * to both text lookups — the documents scan stays map-side (no corpus
+    * shuffle) and runs once per side with only (doc_id, text) read. The
+    * Levenshtein kernel is Spark's threshold variant (banded DP, O(maxEdit
+    * · min(|a|,|b|)) per pair instead of O(|a|·|b|)), which returns −1
+    * past the threshold — exactly the rows the ≤ maxEdit cut discards, so
+    * the banding is free. The SQL mirror computes the plain distance and
+    * applies the same cut. */
+  def nearDupEdit(spark: SparkSession, sfDir: String, maxHam: Int = 3,
+                  maxEdit: Int = 32,
+                  cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+    val d = docs(spark, sfDir)
+    val pairs = simHashPairsCore(d, maxHam, cfg)
+    broadcast(pairs)
+      .join(d.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(d.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb"), maxEdit).cast("long"))
+      .filter(col("edit_dist") >= 0)
+      .select("a", "b", "hamming", "edit_dist")
       .orderBy("a", "b")
+  }
+
+  /** Fixed-window token chunking with stride — the training-data prep step
+    * that splits documents into model-context-sized pieces (window tokens,
+    * overlapping by window − stride): (doc_id, chunk_id, n_chunk_tokens,
+    * chunk_hash) where chunk_hash = polyHash31 of the space-joined chunk
+    * tokens (the key downstream dedup/packing steps group on). Chunk
+    * starts are 0, stride, 2·stride, … while start < n; token-less docs
+    * emit nothing. Pure per-row map + explode — no shuffle at any scale,
+    * and output size is bounded by n/stride chunks per doc. */
+  def chunks(spark: SparkSession, sfDir: String, window: Int = 64,
+             stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window (got window=$window stride=$stride)")
+    val f = udf { (t: String) =>
+      val toks = Analyzer.tokenizeRaw(t)
+      val n = toks.length
+      (0 until n by stride).map { st =>
+        val chunk = toks.slice(st, math.min(st + window, n))
+        (st / stride, chunk.length.toLong, TextHash.polyHash31(chunk.mkString(" ")))
+      }.toArray
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(f(col("text"))).as("c"))
+      .select(col("doc_id"), col("c._1").cast("long").as("chunk_id"),
+        col("c._2").as("n_chunk_tokens"), col("c._3").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Corpus-level collocation mining: adjacent-bigram PMI over raw tokens,
+    * for bigrams seen ≥ `minCount` times. PMI(a,b) = ln(U/c_a) + ln(U/c_b)
+    * − ln(B/c_ab) where U/B are total unigram/bigram instances — each term
+    * is the log of ONE division of two exact longs, rounded to integer
+    * 1e-4 micro-units (the surprisal op's parity recipe: the micro-unit
+    * SUM is exact integer arithmetic, so engine/association-order effects
+    * cannot move the result), and all three logs are of ratios ≥ 1 so the
+    * roundings stay on non-negative values where Spark HALF_UP and the
+    * oracle's round() agree. Output (w1, w2, n_ab, pmi).
+    *
+    * Scale shape: one corpus scan explodes bigrams into a (w1,w2)-keyed
+    * partial-agg count (map-side combine absorbs the repetition that makes
+    * a bigram interesting); unigram counts are the same shape; the n_ab ≥
+    * minCount cut shrinks the bigram side BEFORE the two term-keyed joins;
+    * the two scalar totals ride in as a broadcast. Nothing corpus-sized
+    * reaches the driver. */
+  def pmi(spark: SparkSession, sfDir: String, minCount: Long = 10L): DataFrame = {
+    val bgUdf = udf { (t: String) =>
+      val toks = Analyzer.tokenizeRaw(t)
+      if (toks.length < 2) Array.empty[(String, String)]
+      else Array.tabulate(toks.length - 1)(i => (toks(i), toks(i + 1)))
+    }
+    val d = docs(spark, sfDir)
+    val uni = d.select(explode(rawToksUdf(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bgCounts = d.select(explode(bgUdf(col("text"))).as("g"))
+      .select(col("g._1").as("w1"), col("g._2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val tot = uni.agg(sum("c").as("tu"))
+      .crossJoin(bgCounts.agg(sum("n_ab").as("tb")))
+    def micro(num: Column, den: Column): Column =
+      round(lit(10000.0) * log(num.cast("double") / den)).cast("long")
+    bgCounts
+      .filter(col("n_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        ((micro(col("tu"), col("c1")) + micro(col("tu"), col("c2")) -
+          micro(col("tb"), col("n_ab"))).cast("double") / 10000.0))
+      .select("w1", "w2", "n_ab", "pmi")
+      .orderBy("w1", "w2")
+  }
+
+  /** Incremental dedup — the shape a CONTINUOUSLY-INGESTING corpus needs:
+    * near-dup-check a small incoming batch against the existing corpus
+    * without re-pairing the corpus with itself. Docs with doc_id % batchMod
+    * == batchRem stand in for the incoming batch; output one row per new
+    * doc that shares ≥ 1 MinHash band bucket with an old doc:
+    * (doc_id, n_dups = distinct colliding old docs, first_dup = min such).
+    *
+    * Scale shape: band signatures are one map-side scan; the NEW side is
+    * batch-sized and BROADCAST, so the corpus-sized old side never
+    * shuffles — the bucket equi-join is map-side, and only the collision
+    * pairs (≪ corpus) reach the distinct + per-new-doc aggregate. This is
+    * the complement of [[minHashPairs]] (corpus self-dedup): cost scales
+    * with the batch, not the corpus. */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+                       batchMod: Long = 10L, batchRem: Long = 3L,
+                       cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+    val bands = minHashBands(docs(spark, sfDir), cfg)
+    val fresh = bands.filter(col("doc_id") % batchMod === batchRem)
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+    val old = bands.filter(col("doc_id") % batchMod =!= batchRem)
+      .select(col("doc_id").as("old_id"), col("band"), col("key"))
+    old.join(broadcast(fresh), Seq("band", "key"))
+      .select(col("new_id").as("doc_id"), col("old_id")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dups"), min("old_id").as("first_dup"))
+      .orderBy("doc_id")
   }
 
   /** (doc_id, band, key) MinHash-LSH band buckets: 8 permutations over

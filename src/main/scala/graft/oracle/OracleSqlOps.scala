@@ -205,28 +205,98 @@ object OracleSqlOps {
   /** SimHash banded near-dup pairs — the SQL mirror of TextOps.simHashPairs
     * (4 bands of 16/16/16/15 bits over the 63-bit simhash, hamming verify
     * via bit_count(xor)). */
-  def simHashPairs(maxHam: Int): String =
-    s"""WITH sim AS (${simHash.replace("ORDER BY doc_id", "")}),
-       |bands AS (
+  /** CTE chain ending in `shp` (a, b, hamming) — the SimHash banded
+    * near-dup pairs, shared by simHashPairs and nearDupEdit. */
+  private def simHashPairCtes(maxHam: Int): String =
+    s"""sim AS (${simHash.replace("ORDER BY doc_id", "")}),
+       |shbands AS (
        |  SELECT doc_id, simhash, b.b AS band, (simhash >> CAST(b.b * 16 AS INT)) % 65536 AS key
        |  FROM sim CROSS JOIN range(0, 4) b(b)),
-       |cand AS (
+       |shcand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-       |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHam
-       |ORDER BY a, b""".stripMargin
+       |  FROM shbands x JOIN shbands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |shp AS (
+       |  SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |  FROM shcand WHERE bit_count(xor(sa, sb)) <= $maxHam)""".stripMargin
+
+  def simHashPairs(maxHam: Int): String =
+    s"""WITH ${simHashPairCtes(maxHam)}
+       |SELECT a, b, hamming FROM shp ORDER BY a, b""".stripMargin
+
+  /** Mirror of TextOps.nearDupEdit: edit-distance verify over the SimHash
+    * candidate pairs (the Spark side's banded-threshold Levenshtein equals
+    * the plain distance on every row the ≤ maxEdit cut keeps). */
+  def nearDupEdit(maxHam: Int, maxEdit: Int): String =
+    s"""WITH ${simHashPairCtes(maxHam)}
+       |SELECT p.a, p.b, p.hamming,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |FROM shp p
+       |JOIN documents da ON da.doc_id = p.a
+       |JOIN documents db ON db.doc_id = p.b
+       |WHERE levenshtein(da.text, db.text) <= $maxEdit
+       |ORDER BY p.a, p.b""".stripMargin
+
+  /** Mirror of TextOps.chunks: strided fixed-window token chunks with the
+    * polyHash31 chunk key. */
+  def chunks(window: Int, stride: Int): String =
+    s"""WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
+       |st AS (SELECT doc_id, a, unnest(range(0, len(a), $stride)) AS s FROM arrs),
+       |ch AS (
+       |  SELECT doc_id, s // $stride AS chunk_id,
+       |    least(s + $window, len(a)) - s AS n,
+       |    array_to_string(a[s + 1 : least(s + $window, len(a))], ' ') AS chunk
+       |  FROM st)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(n AS BIGINT) AS n_chunk_tokens, ${polyHash("chunk")} AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Mirror of TextOps.pmi: adjacent-bigram PMI in integer micro-units
+    * (each log is of one ratio ≥ 1 of two exact BIGINTs, rounded to 1e-4
+    * before the exact integer sum — the surprisal parity recipe). */
+  def pmi(minCount: Long): String =
+    s"""WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
+       |uni AS (SELECT t.w, count(*) AS c
+       |        FROM arrs, unnest(a) AS t(w) GROUP BY 1),
+       |bgc AS (
+       |  SELECT g[1] AS w1, g[2] AS w2, count(*) AS n_ab FROM (
+       |    SELECT unnest(list_transform(range(1, len(a)), i -> [a[i], a[i+1]])) AS g
+       |    FROM arrs) t GROUP BY 1, 2),
+       |tot AS (SELECT (SELECT sum(c) FROM uni) AS tu, (SELECT sum(n_ab) FROM bgc) AS tb)
+       |SELECT b.w1, b.w2, CAST(b.n_ab AS BIGINT) AS n_ab,
+       |  CAST(round(10000.0 * ln(CAST(t.tu AS DOUBLE) / u1.c))
+       |     + round(10000.0 * ln(CAST(t.tu AS DOUBLE) / u2.c))
+       |     - round(10000.0 * ln(CAST(t.tb AS DOUBLE) / b.n_ab)) AS DOUBLE) / 10000 AS pmi
+       |FROM bgc b
+       |JOIN uni u1 ON u1.w = b.w1
+       |JOIN uni u2 ON u2.w = b.w2
+       |CROSS JOIN tot t
+       |WHERE b.n_ab >= $minCount
+       |ORDER BY b.w1, b.w2""".stripMargin
+
+  /** Mirror of TextOps.dedupIncremental: new-batch docs (doc_id % mod =
+    * rem) colliding with ≥ 1 old doc in a MinHash band bucket. */
+  def dedupIncremental(batchMod: Long, batchRem: Long,
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes(cfg)},
+       |inc AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS old_id
+       |  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % $batchMod = $batchRem AND o.doc_id % $batchMod <> $batchRem)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups, min(old_id) AS first_dup
+       |FROM inc GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def permsValues(k: Int): String =
     (0 until k)
       .map(i => s"(${i}, ${TextHash.MinHashA(i)}, ${TextHash.MinHashB(i)})")
       .mkString(", ")
 
-  /** MinHash band-bucket CTEs (expects `dsh` in scope); yields `mhcand`
-    * (a, b) candidate pairs — shared by minHashPairs and ngramJaccard.
-    * Takes the SAME SimilarityConfig as the Spark ops. */
-  private def minHashCandCtes(cfg: graft.ops.SimilarityConfig): String =
+  /** MinHash band CTEs (expects `dsh` in scope); yields `bands`
+    * (doc_id, band, key) — the bucket table minHashCandCtes and
+    * dedupIncremental both build on. Takes the SAME SimilarityConfig as
+    * the Spark ops. */
+  private def minHashBandCtes(cfg: graft.ops.SimilarityConfig): String =
     s"""h AS (SELECT doc_id, ${polyHash("s")} AS th FROM dsh),
        |perms AS (SELECT * FROM (VALUES ${permsValues(cfg.minHashK)}) p(i, a, b)),
        |sig AS (SELECT doc_id, p.i, min((p.a * th + p.b) % 2147483647) AS mh
@@ -234,7 +304,12 @@ object OracleSqlOps {
        |bands AS (
        |  SELECT s1.doc_id, s1.i // 2 AS band, s1.mh * 2147483647 + s2.mh AS key
        |  FROM sig s1 JOIN sig s2 ON s1.doc_id = s2.doc_id AND s2.i = s1.i + 1
-       |  WHERE s1.i % 2 = 0),
+       |  WHERE s1.i % 2 = 0)""".stripMargin
+
+  /** MinHash band-bucket CTEs (expects `dsh` in scope); yields `mhcand`
+    * (a, b) candidate pairs — shared by minHashPairs and ngramJaccard. */
+  private def minHashCandCtes(cfg: graft.ops.SimilarityConfig): String =
+    s"""${minHashBandCtes(cfg)},
        |mhcand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin

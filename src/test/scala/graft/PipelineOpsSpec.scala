@@ -257,4 +257,102 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(predictLang("zxqv 12345 blorp") == "und")
     assert(predictLang("") == "und")
   }
+
+  test("chunks: strided windows tile every doc; hashes match a driver recompute") {
+    import graft.analysis.{Analyzer, TextHash}
+    val sf = "/root/testdata/sf0.001"
+    val (window, stride) = (64, 48)
+    val got = TextOps.chunks(spark, sf, window, stride)
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.nonEmpty)
+    texts.foreach { case (id, t) =>
+      val toks = Analyzer.tokenizeRaw(t)
+      val want = (0 until toks.length by stride).map { st =>
+        val c = toks.slice(st, math.min(st + window, toks.length))
+        (id, (st / stride).toLong, c.length.toLong, TextHash.polyHash31(c.mkString(" ")))
+      }
+      assert(got.getOrElse(id, Array.empty).sortBy(_._2).toSeq == want,
+        s"doc $id chunk mismatch")
+      // tiling: consecutive chunk starts advance by stride and cover [0, n)
+      if (toks.nonEmpty)
+        assert((want.size - 1) * stride < toks.length && want.last._3 >= 1)
+    }
+  }
+
+  test("pmi rows reproduce from driver-side unigram/bigram counts") {
+    import graft.analysis.Analyzer
+    val sf = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val toks = Analyzer.tokenizeRaw(t)
+      toks.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      toks.sliding(2).filter(_.length == 2)
+        .foreach(p => bg((p(0), p(1))) = bg.getOrElse((p(0), p(1)), 0L) + 1L)
+    }
+    val (tu, tb) = (uni.values.sum, bg.values.sum)
+    def micro(num: Long, den: Long): Long =
+      math.round(10000.0 * math.log(num.toDouble / den))
+    val minCount = 3L
+    val want = bg.collect { case ((w1, w2), nab) if nab >= minCount =>
+      (w1, w2, nab, (micro(tu, uni(w1)) + micro(tu, uni(w2)) - micro(tb, nab))
+        .toDouble / 10000.0)
+    }.toSet
+    val got = TextOps.pmi(spark, sf, minCount)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture corpus should carry repeated bigrams")
+    assert(got == want, s"pmi mismatch; e.g. ${(want -- got).take(3)}")
+  }
+
+  test("nearDupEdit = simHashPairs verified by true edit distance") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cur
+        }
+      }
+      prev(b.length)
+    }
+    val maxEdit = 32
+    val cand = TextOps.simHashPairs(spark, sf, 3)
+      .as[(Long, Long, Long)].collect()
+    val want = cand.flatMap { case (a, b, h) =>
+      val d = lev(texts(a), texts(b))
+      if (d <= maxEdit) Some((a, b, h, d.toLong)) else None
+    }.toSet
+    val got = TextOps.nearDupEdit(spark, sf, 3, maxEdit)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture corpus should contain verified near-dups")
+    assert(got == want)
+  }
+
+  test("dedupIncremental ≡ cross-boundary restriction of minHashPairs") {
+    val sf = "/root/testdata/sf0.001"
+    val (mod, rem) = (10L, 3L)
+    val pairs = TextOps.minHashPairs(spark, sf).as[(Long, Long)].collect()
+    def isNew(id: Long) = id % mod == rem
+    val byNew = pairs.flatMap { case (a, b) =>
+      if (isNew(a) && !isNew(b)) Some((a, b))
+      else if (isNew(b) && !isNew(a)) Some((b, a))
+      else None
+    }.groupBy(_._1)
+    val want = byNew.map { case (id, olds) =>
+      (id, olds.length.toLong, olds.map(_._2).min)
+    }.toSet
+    val got = TextOps.dedupIncremental(spark, sf, mod, rem)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture corpus should have cross-batch collisions")
+    assert(got == want)
+  }
 }
