@@ -34,6 +34,9 @@ object SparkEntry {
   // phrase ("the" is never a scoring term), one of ONLY stopwords
   private val Q_PHRASE_POS = "the batch"
   private val Q_PHRASE_STOP = "a the"
+  // span-near proximity query: two head terms co-occurring at varying
+  // distances (sf0.01: 95 of 314 co-occurring docs fit window 3)
+  private val Q_SPAN = "sort join"
 
   // Non-default SimilarityConfigs exercised end-to-end against the oracle
   // (the knobs a larger corpus would turn — VERDICT r2 Missing #3).
@@ -72,6 +75,9 @@ object SparkEntry {
     "q_phrase_pos" -> ((s, d) => DocQueries.phraseTopKPos(s, d, Q_PHRASE_POS, 10)),
     // stopword-only phrase: only answerable with positions (score 0, by id)
     "q_phrase_stop" -> ((s, d) => DocQueries.phraseTopKPos(s, d, Q_PHRASE_STOP, 10)),
+    // proximity retrieval: all terms within a 3-token window (positional
+    // sidecar; emits the per-doc minimal span alongside the BM25 score)
+    "q_span_near" -> ((s, d) => DocQueries.spanNearTopK(s, d, Q_SPAN, 3, 10)),
     // faceted top-k: metadata filters as facet posting lists
     "q_filtered_topk" -> ((s, d) => DocQueries.filteredTopK(s, d, Q_SCORE,
       Map("lang" -> "en", "source" -> "src7"), 10)),
@@ -113,6 +119,12 @@ object SparkEntry {
     "q_expand" -> ((s, d) => DocQueries.expandTerms(s, d, Q_TOPK, 10, 10)),
     // hybrid sparse+dense retrieval: RRF fusion of BM25 and cosine top-20
     "q_hybrid_rrf" -> ((s, d) => DocQueries.hybridTopK(s, d, Q_SCORE, 0L, 20, 10)),
+    // more-like-this: doc 0's top-5 TF-IDF terms re-issued as a BM25 query
+    "q_mlt" -> ((s, d) => DocQueries.moreLikeThis(s, d, 0L, 5, 10)),
+    // corpus-skew profile: top-20 terms by collection frequency + coverage
+    "q_zipf" -> ((s, d) => DocQueries.zipfCoverage(s, d, 20)),
+    // analyzed-length histogram (chunk/filter sizing profile)
+    "q_len_hist" -> ((s, d) => DocQueries.lenHist(s, d, 16)),
     // wildcard retrieval: prefix expansion against the term dictionary
     "q_prefix" -> ((s, d) => DocQueries.prefixTopK(s, d, "s", 10)),
     // offline eval harness: MRR@10 / nDCG@10 of the Q_TOPK ranking vs a
@@ -194,6 +206,8 @@ object SparkEntry {
       Analyzer.tokenizeRaw(Q_PHRASE_POS).toSeq, P, 10),
     "q_phrase_stop" -> OracleSql.phraseStopTopK(
       Analyzer.tokenizeRaw(Q_PHRASE_STOP).toSeq, 10),
+    "q_span_near" -> OracleSql.spanNearTopK(qt(Q_SPAN),
+      Analyzer.tokenizeRaw(Q_SPAN).toSeq, 3, P, 10),
     "q_filtered_topk" -> OracleSql.topKFiltered(qt(Q_SCORE), P, 10,
       Seq("lang" -> "en", "source" -> "src7")),
     "q_snippets" -> OracleSql.snippets(qt(Q_TOPK), P, 10, DocQueries.SnippetWindow),
@@ -215,6 +229,9 @@ object SparkEntry {
     "q_keywords" -> OracleSql.keywords(30L, 3),
     "q_expand" -> OracleSql.expandTerms(qt(Q_TOPK), P, 10, 10),
     "q_hybrid_rrf" -> OracleSqlOps.hybridTopK(qt(Q_SCORE), P, 0L, 20, 10),
+    "q_mlt" -> OracleSql.moreLikeThis(0L, 5, 10, P),
+    "q_zipf" -> OracleSql.zipfCoverage(20),
+    "q_len_hist" -> OracleSql.lenHist(16),
     "q_prefix" -> OracleSql.prefixTopK("s", P, 10),
     "q_rank_eval" -> OracleSqlOps.rankEval(qt(Q_TOPK),
       qt(Q_EVAL_LABELS).map(_._1), P, 10),

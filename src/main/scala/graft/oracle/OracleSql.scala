@@ -42,19 +42,24 @@ object OracleSql {
   private def queryValues(terms: Seq[(String, Int)]): String =
     terms.map { case (t, c) => s"(${lit(t)}, $c)" }.mkString(", ")
 
-  /** The BM25 score of BM25Reranker.cs:398-418 as a SQL aggregate. */
-  def scoredCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
+  /** The BM25 score of BM25Reranker.cs:398-418 as a SQL aggregate, with
+    * the query-term table given as any relation exposing (term, qtf). */
+  private def scoredCteFrom(qtRel: String, p: Bm25.Params): String =
     s"""scored AS (
        |  SELECT tf.doc_id,
        |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
        |       * (tf.tf * ${p.k1 + 1}) / (tf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl))
        |       * (qt.qtf * ${p.k3 + 1}) / (qt.qtf + ${p.k3}) ) AS score
        |  FROM tf
-       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term
+       |  JOIN $qtRel ON qt.term = tf.term
        |  JOIN dft ON dft.term = tf.term
        |  JOIN dl ON dl.doc_id = tf.doc_id
        |  CROSS JOIN stats
        |  GROUP BY tf.doc_id)""".stripMargin
+
+  /** The BM25 score of BM25Reranker.cs:398-418 as a SQL aggregate. */
+  def scoredCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
+    scoredCteFrom(s"(VALUES ${queryValues(terms)}) AS qt(term, qtf)", p)
 
   def corpusStats: String =
     s"""WITH $baseCtes
@@ -217,6 +222,71 @@ object OracleSql {
        |  FROM sc)
        |SELECT doc_id, term, tfidf FROM rk WHERE rn <= $n
        |ORDER BY doc_id, tfidf DESC, term""".stripMargin
+
+  /** Mirror of DocQueries.moreLikeThis: the target doc's top-nTerms
+    * TF-IDF terms (keywords' round-4 desc, term asc rule) re-issued as a
+    * qtf=1 BM25 query, target excluded, (round4, doc_id) cut. */
+  def moreLikeThis(targetId: Long, nTerms: Int, k: Int, p: Bm25.Params): String =
+    s"""WITH $baseCtes,
+       |tgt AS (
+       |  SELECT tf.term,
+       |    round(tf.tf * ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)), 4) AS tfidf
+       |  FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN stats
+       |  WHERE tf.doc_id = $targetId),
+       |qt AS (SELECT term, 1 AS qtf FROM tgt ORDER BY tfidf DESC, term LIMIT $nTerms),
+       |${scoredCteFrom("qt", p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |WHERE doc_id <> $targetId
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Mirror of DocQueries.zipfCoverage: top-limit terms by collection
+    * frequency with integer-rational cumulative share. */
+  def zipfCoverage(limit: Int): String =
+    s"""WITH $baseCtes,
+       |ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS tot FROM ctf),
+       |head AS (SELECT term, ctf FROM ctf ORDER BY ctf DESC, term LIMIT $limit)
+       |SELECT term, ctf,
+       |  CAST((sum(ctf) OVER (ORDER BY ctf DESC, term ROWS UNBOUNDED PRECEDING) * 20000 + t.tot)
+       |       // (2 * t.tot) AS DOUBLE) / 10000 AS cum_share
+       |FROM head CROSS JOIN tot t ORDER BY ctf DESC, term""".stripMargin
+
+  /** Mirror of DocQueries.lenHist: analyzed-length histogram over fixed
+    * buckets (token-less docs land in bucket 0, same as the doc-meta
+    * table's len = 0). */
+  def lenHist(width: Int): String =
+    s"""WITH $baseCtes
+       |SELECT (coalesce(dl.len, 0) // $width) * $width AS bucket_lo,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mirror of DocQueries.spanNearTopK: conjunctive BM25 candidates whose
+    * distinct raw tokens all fit in a ≤ `window` position window; span =
+    * min over one-occurrence-per-term combinations (the Spark kernel's
+    * k-pointer sweep computes the same minimum without the product). */
+  def spanNearTopK(terms: Seq[(String, Int)], rawToks: Seq[String],
+                   window: Int, p: Bm25.Params, k: Int): String = {
+    val ts = rawToks.distinct
+    require(ts.length >= 2, "span-near oracle needs >= 2 distinct terms")
+    val joins = ts.indices.tail.map(i =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.term = ${lit(ts(i))}")
+      .mkString("\n|  ")
+    val ps = ts.indices.map(i => s"p$i.p").mkString(", ")
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |arrs2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
+       |pos AS (SELECT doc_id, a[i] AS term, i AS p FROM arrs2, unnest(range(1, len(a) + 1)) r(i)),
+       |sp AS (
+       |  SELECT p0.doc_id, min(greatest($ps) - least($ps) + 1) AS span
+       |  FROM pos p0
+       |  $joins
+       |  WHERE p0.term = ${lit(ts.head)}
+       |  GROUP BY 1)
+       |SELECT s.doc_id, round(s.score, 4) AS score, CAST(sp.span AS BIGINT) AS span
+       |FROM scored s JOIN sp ON sp.doc_id = s.doc_id AND sp.span <= $window
+       |ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT $k""".stripMargin
+  }
 
   /** Mirror of DocQueries.expandTerms: top-k doc pool by (round4, doc_id)
     * cut, then Σ over the pool of round-4 tf·idf as integer 1e-4 units. */

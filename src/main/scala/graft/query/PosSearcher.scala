@@ -68,6 +68,35 @@ final class PosSearcher(spark: SparkSession, indexDir: String) {
           .flatMapGroups((_, ps) => PosSearcher.shardMatches(ps.toSeq, toks))
     out.toDF("docId")
   }
+
+  /** (docId, span) of documents containing EVERY distinct raw token of
+    * `rawToks` within a window of at most `window` consecutive positions
+    * (unordered SpanNear): span = min over one-occurrence-per-term
+    * combinations of (max pos − min pos + 1). Same pruned-scan + per-shard
+    * kernel shape as [[matchDocs]]; the min-span merge is linear in the
+    * terms' total in-doc occurrences (k-pointer sweep), not the
+    * combinatorial product the definition suggests. */
+  def spanDocs(rawToks: Seq[String], window: Int): DataFrame = {
+    require(rawToks.nonEmpty, "empty span query")
+    require(window >= rawToks.distinct.length,
+      s"window $window can never hold ${rawToks.distinct.length} distinct terms")
+    val terms = rawToks.distinct.toArray
+    val pruned = posDF.where(col("term").isin(terms.toSeq: _*)).as[PosPosting]
+    val out =
+      if (colocated)
+        pruned.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[PosPosting]]()
+          ps.foreach(p =>
+            byShard.computeIfAbsent(p.shard, _ => new ArrayBuffer[PosPosting]) += p)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala
+            .flatMap(g => PosSearcher.shardSpans(g.toSeq, terms, window))
+        }
+      else
+        pruned.groupByKey(_.shard)
+          .flatMapGroups((_, ps) => PosSearcher.shardSpans(ps.toSeq, terms, window))
+    out.toDF("docId", "span")
+  }
 }
 
 object PosSearcher {
@@ -130,6 +159,90 @@ object PosSearcher {
       di += 1
     }
     out.iterator
+  }
+
+  /** One shard's span-near matches: the same shortest-list-driven doc
+    * intersection as [[shardMatches]], then the classic minimal-interval
+    * k-pointer sweep over the terms' sorted position arrays — at each
+    * step span = max(current) − min(current) + 1 and the pointer at the
+    * minimum advances, so the sweep is linear in total occurrences.
+    * Emits (docId, minSpan) for docs with minSpan ≤ window, ascending. */
+  private[graft] def shardSpans(lists: Seq[PosPosting], terms: Array[String],
+                                window: Int): Iterator[(Long, Long)] = {
+    val byTerm = new java.util.HashMap[String, (Array[Long], Array[Array[Int]])]()
+    lists.foreach { p =>
+      require(byTerm.put(p.term, PosPostings.decode(p)) == null,
+        s"duplicate positional list for '${p.term}' in shard ${p.shard}")
+    }
+    val nT = terms.length
+    var t = 0
+    while (t < nT) {
+      if (!byTerm.containsKey(terms(t))) return Iterator.empty
+      t += 1
+    }
+    val docsArr = new Array[Array[Long]](nT)
+    val posArr = new Array[Array[Array[Int]]](nT)
+    t = 0
+    while (t < nT) {
+      val d = byTerm.get(terms(t))
+      docsArr(t) = d._1
+      posArr(t) = d._2
+      t += 1
+    }
+    var drv = 0
+    t = 1
+    while (t < nT) { if (docsArr(t).length < docsArr(drv).length) drv = t; t += 1 }
+    val ptrs = new Array[Int](nT)
+    val out = new ArrayBuffer[(Long, Long)]()
+    var di = 0
+    var exhausted = false
+    while (di < docsArr(drv).length && !exhausted) {
+      val d = docsArr(drv)(di)
+      ptrs(drv) = di
+      var ok = true
+      t = 0
+      while (t < nT && !exhausted) {
+        if (t != drv) {
+          val a = docsArr(t)
+          var p = ptrs(t)
+          while (p < a.length && a(p) < d) p += 1
+          ptrs(t) = p
+          if (p >= a.length) exhausted = true
+          else if (a(p) != d) ok = false
+        }
+        t += 1
+      }
+      if (ok && !exhausted) {
+        val s = minSpan(Array.tabulate(nT)(i => posArr(i)(ptrs(i))))
+        if (s <= window) out += ((d, s.toLong))
+      }
+      di += 1
+    }
+    out.iterator
+  }
+
+  /** Minimal window covering one element of each sorted array. */
+  private def minSpan(pos: Array[Array[Int]]): Int = {
+    val k = pos.length
+    val idx = new Array[Int](k)
+    var best = Int.MaxValue
+    var done = false
+    while (!done) {
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var mnAt = 0
+      var i = 0
+      while (i < k) {
+        val v = pos(i)(idx(i))
+        if (v < mn) { mn = v; mnAt = i }
+        if (v > mx) mx = v
+        i += 1
+      }
+      if (mx - mn + 1 < best) best = mx - mn + 1
+      idx(mnAt) += 1
+      if (idx(mnAt) >= pos(mnAt).length) done = true
+    }
+    best
   }
 
   /** True iff some base position p has token j's term at p+j for every
