@@ -155,6 +155,9 @@ object SparkEntry {
     "q_chunks" -> ((s, d) => TextOps.chunks(s, d, 64, 48)),
     // corpus collocation mining: adjacent-bigram PMI, micro-unit parity
     "q_pmi" -> ((s, d) => TextOps.pmi(s, d, 10L)),
+    // sequence packing: chunks concat-split into 256-token training bins
+    // (distributed two-pass prefix sum — never a one-task global window)
+    "q_pack" -> ((s, d) => TextOps.packChunks(s, d, 64, 48, 256L)),
     // deduplication family
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
@@ -248,6 +251,7 @@ object SparkEntry {
     "q_filter_pipeline" -> OracleSqlOps.filterPipeline(Set("en"), 30L, 0.35, 0.05),
     "q_chunks" -> OracleSqlOps.chunks(64, 48),
     "q_pmi" -> OracleSqlOps.pmi(10L),
+    "q_pack" -> OracleSqlOps.packChunks(64, 48, 256L),
     "q_near_edit" -> OracleSqlOps.nearDupEdit(3, 32),
     "q_dedup_incr" -> OracleSqlOps.dedupIncremental(10L, 3L),
     "q_dedup_exact" -> OracleSqlOps.dedupExact,

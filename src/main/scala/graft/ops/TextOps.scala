@@ -393,6 +393,52 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Token-stream PACKING — the GPT-style pretraining step after
+    * chunking: concatenate all chunks in stable (doc_id, chunk_id) order
+    * into one virtual token stream and split it into fixed `budget`-token
+    * training bins. Output (doc_id, chunk_id, bin, off): the bin a chunk
+    * STARTS in and its offset there (concat-and-split semantics — a chunk
+    * may straddle into bin+1, exactly like real sequence packing).
+    *
+    * Scale shape: a global running sum. The naive window
+    * (`sum OVER (ORDER BY …)` with no PARTITION BY) collapses to ONE task
+    * in Spark — unusable at corpus scale — so this op does the
+    * distributed two-pass prefix sum instead: range-repartition by the
+    * order key, per-partition token totals (one tiny row per partition)
+    * prefix-scanned on the driver, then a single map pass adds each
+    * partition's base offset. Cost: one range shuffle + two narrow passes
+    * over the sorted data; nothing corpus-sized is ever single-tasked or
+    * driver-resident. */
+  def packChunks(spark: SparkSession, sfDir: String, window: Int = 64,
+                 stride: Int = 48, budget: Long = 256L): DataFrame = {
+    import spark.implicits._
+    require(budget >= 1)
+    val sorted = chunks(spark, sfDir, window, stride)
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .repartitionByRange(col("doc_id"), col("chunk_id"))
+      .sortWithinPartitions("doc_id", "chunk_id")
+      .as[(Long, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._3); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val bases = partSums.scanLeft(0L)(_ + _) // bases(i) = tokens before partition i
+    val bc = spark.sparkContext.broadcast(bases)
+    // `sorted` stays persisted for the second pass: the offsets assume the
+    // EXACT partitioning the totals were taken from, so the map pass must
+    // read the materialized partitions, not a recomputed shuffle
+    sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = bc.value(i)
+        it.map { case (d, c, n) =>
+          val start = s; s += n
+          (d, c, start / budget, start % budget)
+        }
+      }.toDF("doc_id", "chunk_id", "bin", "off")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Corpus-level collocation mining: adjacent-bigram PMI over raw tokens,
     * for bigrams seen ≥ `minCount` times. PMI(a,b) = ln(U/c_a) + ln(U/c_b)
     * − ln(B/c_ab) where U/B are total unigram/bigram instances — each term

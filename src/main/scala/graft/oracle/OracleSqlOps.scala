@@ -237,19 +237,39 @@ object OracleSqlOps {
        |WHERE levenshtein(da.text, db.text) <= $maxEdit
        |ORDER BY p.a, p.b""".stripMargin
 
-  /** Mirror of TextOps.chunks: strided fixed-window token chunks with the
-    * polyHash31 chunk key. */
-  def chunks(window: Int, stride: Int): String =
-    s"""WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
+  /** Strided-chunk CTEs; yields `ch` (doc_id, chunk_id, n, chunk). */
+  private def chunkCtes(window: Int, stride: Int): String =
+    s"""arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
        |st AS (SELECT doc_id, a, unnest(range(0, len(a), $stride)) AS s FROM arrs),
        |ch AS (
        |  SELECT doc_id, s // $stride AS chunk_id,
        |    least(s + $window, len(a)) - s AS n,
        |    array_to_string(a[s + 1 : least(s + $window, len(a))], ' ') AS chunk
-       |  FROM st)
+       |  FROM st)""".stripMargin
+
+  /** Mirror of TextOps.chunks: strided fixed-window token chunks with the
+    * polyHash31 chunk key. */
+  def chunks(window: Int, stride: Int): String =
+    s"""WITH ${chunkCtes(window, stride)}
        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        |  CAST(n AS BIGINT) AS n_chunk_tokens, ${polyHash("chunk")} AS chunk_hash
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Mirror of TextOps.packChunks: concat-and-split sequence packing —
+    * each chunk's start offset in the (doc_id, chunk_id)-ordered token
+    * stream, divided into `budget`-token bins. (The oracle's global
+    * window IS the single-partition formulation the Spark side replaces
+    * with a two-pass prefix sum; fine at oracle scale.) */
+  def packChunks(window: Int, stride: Int, budget: Long): String =
+    s"""WITH ${chunkCtes(window, stride)},
+       |ord AS (
+       |  SELECT doc_id, chunk_id, n,
+       |    sum(n) OVER (ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) - n AS start
+       |  FROM ch)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(start // $budget AS BIGINT) AS bin,
+       |  CAST(start % $budget AS BIGINT) AS off
+       |FROM ord ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Mirror of TextOps.pmi: adjacent-bigram PMI in integer micro-units
     * (each log is of one ratio ≥ 1 of two exact BIGINTs, rounded to 1e-4

@@ -337,6 +337,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("packChunks ≡ driver prefix sum over the chunk stream") {
+    val sf = "/root/testdata/sf0.001"
+    val budget = 100L
+    val ch = TextOps.chunks(spark, sf, 64, 48)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    var s = 0L
+    val want = ch.map { case (d, c, n, _) =>
+      val start = s; s += n
+      (d, c, start / budget, start % budget)
+    }.toSeq
+    val got = TextOps.packChunks(spark, sf, 64, 48, budget)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.head == ((got.head._1, got.head._2, 0L, 0L)))
+    assert(got.forall(_._4 < budget))
+  }
+
   test("dedupIncremental ≡ cross-boundary restriction of minHashPairs") {
     val sf = "/root/testdata/sf0.001"
     val (mod, rem) = (10L, 3L)
