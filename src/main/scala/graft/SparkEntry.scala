@@ -127,6 +127,12 @@ object SparkEntry {
     "q_len_hist" -> ((s, d) => DocQueries.lenHist(s, d, 16)),
     // wildcard retrieval: prefix expansion against the term dictionary
     "q_prefix" -> ((s, d) => DocQueries.prefixTopK(s, d, "s", 10)),
+    // fuzzy retrieval: 'past' expands to dictionary terms {fast, part}
+    // within edit distance 1, scored as a qtf=1 BM25 query
+    "q_fuzzy" -> ((s, d) => DocQueries.fuzzyTopK(s, d, "past", 1, 50, 10)),
+    // MMR-diversified rerank over the BM25 top-20 pool (rows-only check;
+    // semantics pinned by MmrSpec's independent greedy recompute)
+    "q_mmr" -> ((s, d) => DocQueries.mmrTopK(s, d, Q_SCORE, 20, 10, 0.7)),
     // offline eval harness: MRR@10 / nDCG@10 of the Q_TOPK ranking vs a
     // STRICTER conjunctive label set (so the metrics discriminate)
     "q_rank_eval" -> ((s, d) => DocQueries.rankEval(s, d, Q_TOPK, Q_EVAL_LABELS, 10)),
@@ -236,6 +242,7 @@ object SparkEntry {
     "q_zipf" -> OracleSql.zipfCoverage(20),
     "q_len_hist" -> OracleSql.lenHist(16),
     "q_prefix" -> OracleSql.prefixTopK("s", P, 10),
+    "q_fuzzy" -> OracleSql.fuzzyTopK("past", 1, 50, P, 10),
     "q_rank_eval" -> OracleSqlOps.rankEval(qt(Q_TOPK),
       qt(Q_EVAL_LABELS).map(_._1), P, 10),
     "q_token_count" -> OracleSqlOps.tokenCount,

@@ -261,6 +261,19 @@ object OracleSql {
        |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mirror of DocQueries.fuzzyTopK: dictionary terms within edit distance
+    * ≤ maxDist (term-order capped) re-issued as a qtf=1 BM25 query. */
+  def fuzzyTopK(term: String, maxDist: Int, maxExpansions: Int,
+                p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |qt AS (
+       |  SELECT term, 1 AS qtf FROM (
+       |    SELECT term FROM dft WHERE levenshtein(term, ${lit(term)}) <= $maxDist
+       |    ORDER BY term LIMIT $maxExpansions) t),
+       |${scoredCteFrom("qt", p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
   /** Mirror of DocQueries.spanNearTopK: conjunctive BM25 candidates whose
     * distinct raw tokens all fit in a ≤ `window` position window; span =
     * min over one-occurrence-per-term combinations (the Spark kernel's

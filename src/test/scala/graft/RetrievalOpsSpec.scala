@@ -89,6 +89,52 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .filter(_.length == 2).forall(a => a(0) <= a(1)))
   }
 
+  test("fuzzyTopK('past', 1) ≡ topK over the expanded variants 'fast part'") {
+    // the sf0.001 dictionary has exactly {fast, part} within distance 1
+    val got = DocQueries.fuzzyTopK(spark, sf, "past", 1, 50, 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = DocQueries.topK(spark, sf, "fast part", 10, relational = false)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // no dictionary term in range → empty result, not an error
+    assert(DocQueries.fuzzyTopK(spark, sf, "zzzzzzzz", 1, 50, 10).count() == 0L)
+  }
+
+  test("mmrTopK ≡ independent greedy MMR recompute over the top-m pool") {
+    val (query, m, k, lam) = ("fast query join", 20, 10, 0.7)
+    val pool = DocQueries.topK(spark, sf, query, m, relational = false)
+      .as[(Long, Double)].collect().toSeq
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.map(_.toDouble)) }.toMap
+    def cos(a: Long, b: Long): Double = (embs.get(a), embs.get(b)) match {
+      case (Some(x), Some(y)) =>
+        val dot = x.zip(y).map { case (p, q) => p * q }.sum
+        val nx = math.sqrt(x.map(v => v * v).sum)
+        val ny = math.sqrt(y.map(v => v * v).sum)
+        if (nx == 0 || ny == 0) 0.0 else dot / (nx * ny)
+      case _ => 0.0
+    }
+    var rem = pool
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    while (want.size < k && rem.nonEmpty) {
+      val scoredRem = rem.map { case (id, sc) =>
+        val ms = if (want.isEmpty) 0.0 else want.map(s => cos(id, s._1)).max
+        (id, sc, lam * sc - (1 - lam) * ms)
+      }
+      val best = scoredRem.minBy { case (id, _, v) => (-v, id) }
+      want += ((best._1, best._2, want.size + 1L))
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    val got = DocQueries.mmrTopK(spark, sf, query, m, k, lam)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == want.toSeq)
+    // diversification is real: MMR order differs from pure-score order
+    // whenever any pool similarity is positive (fixture embeddings are)
+    assert(got.map(_._1) != pool.take(k).map(_._1) ||
+      pool.combinations(2).forall(p => cos(p(0)._1, p(1)._1) <= 0.0))
+  }
+
   test("lenHist: buckets partition the corpus and match docLens") {
     val width = 16
     val lens = DocQueries.docLens(spark, sf).as[(Long, Long)].collect()
