@@ -162,4 +162,41 @@ class PlanSpec extends AnyFunSuite {
     val hashAggs = "(?m)^.*HashAggregate.*$".r.findAllIn(plan).size
     assert(hashAggs >= 2, s"expected partial+final HashAggregate pair in:\n${plan.take(3000)}")
   }
+
+  test("packChunks plans no WindowExec and no corpus-wide single task") {
+    // the global running sum must be the two-pass prefix sum, never
+    // Spark's one-partition window
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.ops.TextOps.packChunks(spark, sf, 64, 48, 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"WindowExec in packChunks plan:\n${plan.take(3000)}")
+  }
+
+  test("dedupIncremental broadcasts the new batch; the corpus side never sort-merges") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.ops.TextOps.dedupIncremental(spark, sf, 10L, 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in:\n${plan.take(3000)}")
+  }
+
+  test("nearDupEdit broadcasts the candidate pairs to both text lookups") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.ops.TextOps.nearDupEdit(spark, sf, 3, 32)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "(?m)^.*BroadcastHashJoin.*$".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected 2 broadcast joins in:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in:\n${plan.take(3000)}")
+  }
+
+  test("chunks is map-side: the only Exchange is the output ordering") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.ops.TextOps.chunks(spark, sf, 64, 48)
+      .queryExecution.executedPlan.toString
+    val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan).toList
+    assert(shuffles.forall(_.contains("rangepartitioning")),
+      s"non-sort Exchange in chunks plan: $shuffles")
+  }
 }
