@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.analysis.Analyzer
-import graft.ops.{DocQueries, TextOps, VectorOps, Multimodal}
+import graft.ops.{DocQueries, TextOps, VectorOps, Multimodal, EventOps}
 import graft.oracle.{OracleSql, OracleSqlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -113,6 +113,14 @@ object SparkEntry {
       Map("q1" -> Q_TOPK, "q2" -> Q_SCORE), 10)),
     // group-level retrieval: conversation/source rollup of BM25 relevance
     "q_group_topk" -> ((s, d) => DocQueries.groupTopK(s, d, Q_SCORE, "source", 5)),
+    // conversation-level retrieval: sum-of-top-3-turns rollup, top-5 convs
+    "q_conv_topk" -> ((s, d) => DocQueries.convTopK(s, d, Q_SCORE, 3, 5)),
+    // RAG context stitch: top-k turn hits + same-conversation neighbors
+    "q_turn_context" -> ((s, d) => DocQueries.turnContext(s, d, Q_TOPK, 10)),
+    // recency-boosted ranking (integer-rational freshness × BM25)
+    "q_time_topk" -> ((s, d) => DocQueries.timeTopK(s, d, Q_SCORE, 10)),
+    // behavioral log pipeline: gap-based sessionization over `events`
+    "q_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 360)),
     // per-doc TF-IDF keyword extraction over the index tables
     "q_keywords" -> ((s, d) => DocQueries.keywords(s, d, 30L, 3)),
     // pseudo-relevance-feedback expansion terms from the top-10 pool
@@ -235,6 +243,10 @@ object SparkEntry {
     "q_bm25_batch" -> OracleSql.topKBatch(
       Seq("q1" -> qt(Q_TOPK), "q2" -> qt(Q_SCORE)), P, 10),
     "q_group_topk" -> OracleSql.groupTopK(qt(Q_SCORE), P, "source", 5),
+    "q_conv_topk" -> OracleSql.convTopK(qt(Q_SCORE), P, DocQueries.TurnsPerConv, 3, 5),
+    "q_turn_context" -> OracleSql.turnContext(qt(Q_TOPK), P, DocQueries.TurnsPerConv, 10),
+    "q_time_topk" -> OracleSql.timeTopK(qt(Q_SCORE), P, 10),
+    "q_sessionize" -> OracleSqlOps.sessionize(360),
     "q_keywords" -> OracleSql.keywords(30L, 3),
     "q_expand" -> OracleSql.expandTerms(qt(Q_TOPK), P, 10, 10),
     "q_hybrid_rrf" -> OracleSqlOps.hybridTopK(qt(Q_SCORE), P, 0L, 20, 10),

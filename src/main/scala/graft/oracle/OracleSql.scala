@@ -207,6 +207,62 @@ object OracleSql {
        |SELECT grp AS $groupCol, CAST(m AS DOUBLE) / 10000 AS group_score, n_hits
        |FROM g ORDER BY m DESC, grp LIMIT $k""".stripMargin
 
+  /** Mirror of DocQueries.convTopK: per-conversation relevance = Σ of the
+    * conversation's top-`t` turn micros (conv = doc_id div TurnsPerConv),
+    * (micro-sum desc, conv) cut. */
+  def convTopK(terms: Seq[(String, Int)], p: Bm25.Params,
+               turnsPerConv: Int, t: Int, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |m AS (
+       |  SELECT doc_id, doc_id // $turnsPerConv AS conv_id,
+       |    CAST(round(round(score, 4) * 10000) AS BIGINT) AS micros
+       |  FROM scored),
+       |r AS (
+       |  SELECT conv_id, micros,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY micros DESC, doc_id) AS rn
+       |  FROM m),
+       |g AS (
+       |  SELECT conv_id, sum(micros) AS m, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM r WHERE rn <= $t GROUP BY 1)
+       |SELECT conv_id, CAST(m AS DOUBLE) / 10000 AS conv_score, n_hits
+       |FROM g ORDER BY m DESC, conv_id LIMIT $k""".stripMargin
+
+  /** Mirror of DocQueries.turnContext: top-k turn hits with same-conversation
+    * previous/next turn ids and char sizes (-1 / 0 on boundaries). */
+  def turnContext(terms: Seq[(String, Int)], p: Bm25.Params,
+                  turnsPerConv: Int, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |topk AS (
+       |  SELECT doc_id, round(score, 4) AS score FROM scored
+       |  ORDER BY round(score, 4) DESC, doc_id LIMIT $k),
+       |mx AS (SELECT max(doc_id) AS maxid FROM documents)
+       |SELECT t.doc_id, t.score,
+       |  CASE WHEN t.doc_id % $turnsPerConv = 0 THEN -1 ELSE t.doc_id - 1 END AS prev_id,
+       |  CAST(coalesce(p.n_chars, 0) AS BIGINT) AS prev_chars,
+       |  CASE WHEN t.doc_id % $turnsPerConv = ${turnsPerConv - 1}
+       |         OR t.doc_id + 1 > mx.maxid THEN -1 ELSE t.doc_id + 1 END AS next_id,
+       |  CAST(CASE WHEN t.doc_id % $turnsPerConv = ${turnsPerConv - 1} THEN 0
+       |       ELSE coalesce(nx.n_chars, 0) END AS BIGINT) AS next_chars
+       |FROM topk t CROSS JOIN mx
+       |LEFT JOIN documents p ON p.doc_id = t.doc_id - 1 AND t.doc_id % $turnsPerConv <> 0
+       |LEFT JOIN documents nx ON nx.doc_id = t.doc_id + 1
+       |ORDER BY t.score DESC, t.doc_id""".stripMargin
+
+  /** Mirror of DocQueries.timeTopK: integer-rational recency boost
+    * boosted = (micros·(n + doc_id)) // (2n), (boosted desc, doc_id) cut. */
+  def timeTopK(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |b AS (
+       |  SELECT doc_id,
+       |    (CAST(round(round(score, 4) * 10000) AS BIGINT) * (stats.n + doc_id))
+       |      // (2 * stats.n) AS boosted
+       |  FROM scored CROSS JOIN stats)
+       |SELECT doc_id, CAST(boosted AS DOUBLE) / 10000 AS score
+       |FROM b ORDER BY boosted DESC, doc_id LIMIT $k""".stripMargin
+
   /** Mirror of DocQueries.keywords: top-n TF-IDF terms per doc, ranked on
     * (round-4 weight desc, term). */
   def keywords(maxDocId: Long, n: Int): String =

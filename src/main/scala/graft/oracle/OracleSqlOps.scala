@@ -600,4 +600,26 @@ object OracleSqlOps {
        |  GROUP BY 1, 2)
        |SELECT a, b, round(dot / (na * nb), 4) AS cos FROM pr
        |ORDER BY round(dot / (na * nb), 4) DESC, a, b LIMIT $n""".stripMargin
+
+  /** Mirror of EventOps.sessionize: gap-based sessions over the events
+    * table (gap test on unix MICROSECONDS — exact integer arithmetic in
+    * both engines), rolled up to one row per user. */
+  def sessionize(gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60000000L
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+       |f AS (
+       |  SELECT user_id, us, event_id,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (
+       |  SELECT user_id,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+       |  FROM f),
+       |ps AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS se FROM s GROUP BY 1, 2)
+       |SELECT user_id, CAST(sum(se) AS BIGINT) AS n_events,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(max(se) AS BIGINT) AS max_session_events
+       |FROM ps GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
 }
