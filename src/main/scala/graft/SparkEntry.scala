@@ -121,6 +121,8 @@ object SparkEntry {
     "q_time_topk" -> ((s, d) => DocQueries.timeTopK(s, d, Q_SCORE, 10)),
     // behavioral log pipeline: gap-based sessionization over `events`
     "q_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 360)),
+    // tumbling event-time windows: daily per-type volume + value rollup
+    "q_event_windows" -> ((s, d) => EventOps.eventWindows(s, d, 1440)),
     // per-doc TF-IDF keyword extraction over the index tables
     "q_keywords" -> ((s, d) => DocQueries.keywords(s, d, 30L, 3)),
     // pseudo-relevance-feedback expansion terms from the top-10 pool
@@ -247,6 +249,7 @@ object SparkEntry {
     "q_turn_context" -> OracleSql.turnContext(qt(Q_TOPK), P, DocQueries.TurnsPerConv, 10),
     "q_time_topk" -> OracleSql.timeTopK(qt(Q_SCORE), P, 10),
     "q_sessionize" -> OracleSqlOps.sessionize(360),
+    "q_event_windows" -> OracleSqlOps.eventWindows(1440),
     "q_keywords" -> OracleSql.keywords(30L, 3),
     "q_expand" -> OracleSql.expandTerms(qt(Q_TOPK), P, 10, 10),
     "q_hybrid_rrf" -> OracleSqlOps.hybridTopK(qt(Q_SCORE), P, 0L, 20, 10),

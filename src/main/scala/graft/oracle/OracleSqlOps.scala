@@ -622,4 +622,19 @@ object OracleSqlOps {
        |  CAST(max(se) AS BIGINT) AS max_session_events
        |FROM ps GROUP BY user_id ORDER BY user_id""".stripMargin
   }
+
+  /** Mirror of EventOps.eventWindows: tumbling µs windows, values summed
+    * as floor(value·10⁴) integer units (floor of an identical IEEE double
+    * is engine-identical — no round-half semantics in play). */
+  def eventWindows(windowMinutes: Int): String = {
+    val wUs = windowMinutes * 60000000L
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS us, event_type,
+       |    CAST(floor(value * 10000) AS BIGINT) AS mv
+       |  FROM events)
+       |SELECT us - us % $wUs AS w_start, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(mv) AS DOUBLE) / 10000 AS sum_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

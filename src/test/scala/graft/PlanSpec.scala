@@ -199,4 +199,42 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.forall(_.contains("rangepartitioning")),
       s"non-sort Exchange in chunks plan: $shuffles")
   }
+
+  test("sessionize: ONE user_id hash shuffle drives both windows and both aggregates") {
+    val plan = graft.ops.EventOps.sessionize(spark, "/root/testdata/sf0.001", 360)
+      .queryExecution.executedPlan.toString
+    val hashEx = "(?m)^.*Exchange hashpartitioning.*$".r.findAllIn(plan).toList
+    assert(hashEx.length == 1, s"want exactly 1 hash Exchange, got: $hashEx")
+    assert(!plan.contains("SortMergeJoin"), "sessionize must not join")
+  }
+
+  // Shuffle budget of the scored-stream subtree these rollups ride on
+  // (the scorer's own TF aggregation) — the pins below charge the ops
+  // only for shuffles they ADD on top of it.
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): List[String] =
+    "(?m)^.*Exchange hashpartitioning.*$".r
+      .findAllIn(df.queryExecution.executedPlan.toString).toList
+
+  test("convTopK adds exactly ONE shuffle (conv-keyed) over the scored stream") {
+    val sf = "/root/testdata/sf0.001"
+    val base = hashExchanges(graft.ops.DocQueries.scoreAll(spark, sf, "fast query join"))
+    val df = graft.ops.DocQueries.convTopK(spark, sf, "fast query join", 3, 5)
+    val got = hashExchanges(df)
+    assert(got.length == base.length + 1,
+      s"want ${base.length}+1 hash Exchanges, got: $got")
+    assert(got.exists(_.contains("conv_id")), s"no conv-keyed Exchange in: $got")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "final cut must be a bounded heap")
+  }
+
+  test("timeTopK adds NO shuffle — broadcast stats row + bounded heap") {
+    val sf = "/root/testdata/sf0.001"
+    val base = hashExchanges(graft.ops.DocQueries.scoreAll(spark, sf, "fast query join"))
+    val df = graft.ops.DocQueries.timeTopK(spark, sf, "fast query join", 10)
+    val got = hashExchanges(df)
+    assert(got.length == base.length, s"want ${base.length} hash Exchanges, got: $got")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "final cut must be a bounded heap")
+    assert(!plan.contains("SortMergeJoin"), "stats row must broadcast, not sort-merge")
+  }
 }

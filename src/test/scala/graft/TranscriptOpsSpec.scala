@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{DocQueries, EventOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-recompute contracts for the conversation/transcript ops:
+  * conversation rollup, RAG context stitch, recency rerank, and event
+  * sessionization. */
+class TranscriptOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val Tpc = DocQueries.TurnsPerConv
+
+  test("sessionizeOver: exact-gap boundary stays in-session; ties order by event_id") {
+    val gapM = 10
+    val gapUs = gapM * 60000000L
+    val rows = Seq(
+      (1L, 0L, 1L), (1L, gapUs, 2L),  // gap == limit → SAME session (test is strict >)
+      (1L, 2 * gapUs + 1, 3L),        // gap == limit+1 → new session
+      (2L, 5L, 4L), (2L, 5L, 5L),     // us tie broken by event_id
+      (3L, 7L, 6L))
+    val got = EventOps.sessionizeOver(rows.toDF("user_id", "us", "event_id"), gapM)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 3L, 2L, 2L), (2L, 2L, 1L, 2L), (3L, 1L, 1L, 1L)))
+  }
+
+  test("sessionize on testdata ≡ driver-side gap split") {
+    val gapM = 360
+    val gapUs = gapM * 60000000L
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val sorted = xs.sortBy(e => (e._2, e._3)).toList
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._2 - acc.head.head._2 > gapUs) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }
+      (u, xs.size.toLong, sessions.size.toLong, sessions.map(_.size).max.toLong)
+    }.sortBy(_._1)
+    val got = EventOps.sessionize(spark, sf, gapM)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("convTopK ≡ driver rollup of scoreAll (sum of top-t turn micros)") {
+    val (q, t, k) = ("fast query join", 3, 5)
+    val scored = DocQueries.scoreAll(spark, sf, q).as[(Long, Double)].collect()
+    val want = scored.map { case (d, s) => (d, math.round(s * 10000)) }
+      .groupBy(_._1 / Tpc).toSeq.map { case (c, xs) =>
+        val top = xs.sortBy { case (d, m) => (-m, d) }.take(t)
+        (c, top.map(_._2).sum, top.size.toLong)
+      }.sortBy { case (c, m, _) => (-m, c) }.take(k)
+      .map { case (c, m, n) => (c, m.toDouble / 10000, n) }
+    val got = DocQueries.convTopK(spark, sf, q, t, k)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("timeTopK ≡ driver recompute of the integer-rational recency boost") {
+    val (q, k) = ("fast query join", 10)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val scored = DocQueries.scoreAll(spark, sf, q).as[(Long, Double)].collect()
+    val want = scored.map { case (d, s) =>
+      (d, math.round(s * 10000) * (n + d) / (2 * n))
+    }.sortBy { case (d, b) => (-b, d) }.take(k)
+      .map { case (d, b) => (d, b.toDouble / 10000) }.toSeq
+    val got = DocQueries.timeTopK(spark, sf, q, k)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // the boost is a genuine rerank at fixture scale, not a no-op
+    val plain = DocQueries.topK(spark, sf, q, k, relational = true)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(got.map(_._1) != plain, "recency boost should reorder the top-k")
+  }
+
+  test("turnContext: arithmetic neighbor ids, boundary -1/0, true char sizes") {
+    val (q, k) = ("spark stream window", 10)
+    val got = DocQueries.turnContext(spark, sf, q, k)
+      .as[(Long, Double, Long, Long, Long, Long)].collect()
+    val hits = DocQueries.topK(spark, sf, q, k, relational = true)
+      .as[(Long, Double)].collect().toMap
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars".cast("long")).as[(Long, Long)].collect().toMap
+    val maxId = chars.keys.max
+    assert(got.map(_._1).toSet == hits.keys.toSet)
+    got.foreach { case (d, s, p, pc, nx, nc) =>
+      assert(s == hits(d), s"doc $d score $s vs exhaustive ${hits(d)}")
+      if (d % Tpc == 0) assert(p == -1L && pc == 0L)
+      else assert(p == d - 1 && pc == chars(d - 1))
+      if (d % Tpc == Tpc - 1 || d == maxId) assert(nx == -1L && nc == 0L)
+      else assert(nx == d + 1 && nc == chars(d + 1))
+    }
+  }
+}
