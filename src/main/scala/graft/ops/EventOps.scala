@@ -58,6 +58,50 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** AS-OF JOIN (time-series alignment): each event is paired with the
+    * most recent PRIOR event of type `rightType` by the same user — the
+    * "attach the last quote to every trade" operator Spark has no native
+    * node for. Output: (event_id, user_id, prior_event_id, prior_value,
+    * gap_us), with (-1, 0, -1) when no prior right-side event exists.
+    *
+    * Implementation is the union-tag trick, not a range join: both sides
+    * already live in one table here, so a single window in strict
+    * (us, event_id) arrival order with `last(..., ignoreNulls) ROWS
+    * UNBOUNDED PRECEDING..1 PRECEDING` IS the as-of merge. For two
+    * distinct tables the same shape applies after a tagged union. Scale
+    * shape: ONE user-keyed shuffle + a per-partition sorted sweep —
+    * the naive inequality join (`l.us > r.us`) Catalyst can only plan
+    * as a broadcast-nested-loop or cartesian product, quadratic per
+    * user; the window form is O(n log n) per partition and never
+    * materializes candidate pairs.
+    *
+    * Parity: arrival order (us, event_id) is unique, prior_value rides
+    * as floor(value·10⁴) integer units — everything engine-exact. */
+  def asOf(spark: SparkSession, sfDir: String, rightType: String): DataFrame =
+    asOfOver(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"),
+          floor(col("value") * 10000).cast("long").as("mv")),
+      rightType)
+
+  /** [[asOf]] over any (event_id, user_id, us, event_type, mv) frame —
+    * the test seam. */
+  private[graft] def asOfOver(ev: DataFrame, rightType: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val right = when(col("event_type") === rightType,
+      struct(col("event_id"), col("mv"), col("us")))
+    ev.withColumn("p", last(right, ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("p.event_id"), lit(-1L)).as("prior_event_id"),
+        (coalesce(col("p.mv"), lit(0L)).cast("double") / 10000).as("prior_value"),
+        coalesce(col("us") - col("p.us"), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Tumbling event-time windows: per (window, event_type) event count and
     * value sum over `windowMinutes`-wide buckets — the standing rollup
     * behind every event-volume dashboard. Window identity is integer

@@ -623,6 +623,33 @@ object OracleSqlOps {
        |FROM ps GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Mirror of EventOps.asOf: most recent prior `rightType` event per
+    * user in strict (us, event_id) arrival order, via the same
+    * ignore-nulls window — DuckDB's native ASOF JOIN is deliberately NOT
+    * used here because it cannot express the event_id tiebreak on equal
+    * timestamps. */
+  def asOf(rightType: String): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+       |    CAST(floor(value * 10000) AS BIGINT) AS mv
+       |  FROM events),
+       |p AS (
+       |  SELECT event_id, user_id, us,
+       |    last_value(CASE WHEN event_type = '$rightType' THEN event_id END IGNORE NULLS)
+       |      OVER w AS p_eid,
+       |    last_value(CASE WHEN event_type = '$rightType' THEN mv END IGNORE NULLS)
+       |      OVER w AS p_mv,
+       |    last_value(CASE WHEN event_type = '$rightType' THEN us END IGNORE NULLS)
+       |      OVER w AS p_us
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, user_id,
+       |  CAST(coalesce(p_eid, -1) AS BIGINT) AS prior_event_id,
+       |  CAST(coalesce(p_mv, 0) AS DOUBLE) / 10000 AS prior_value,
+       |  CAST(coalesce(us - p_us, -1) AS BIGINT) AS gap_us
+       |FROM p ORDER BY event_id""".stripMargin
+
   /** Mirror of EventOps.eventWindows: tumbling µs windows, values summed
     * as floor(value·10⁴) integer units (floor of an identical IEEE double
     * is engine-identical — no round-half semantics in play). */

@@ -200,6 +200,15 @@ class PlanSpec extends AnyFunSuite {
       s"non-sort Exchange in chunks plan: $shuffles")
   }
 
+  test("asOf: ONE user-keyed shuffle + window sweep — never a quadratic range join") {
+    val plan = graft.ops.EventOps.asOf(spark, "/root/testdata/sf0.001", "purchase")
+      .queryExecution.executedPlan.toString
+    val hashEx = "(?m)^.*Exchange hashpartitioning.*$".r.findAllIn(plan).toList
+    assert(hashEx.length == 1, s"want exactly 1 hash Exchange, got: $hashEx")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "as-of must be the window form, not an inequality join")
+  }
+
   test("sessionize: ONE user_id hash shuffle drives both windows and both aggregates") {
     val plan = graft.ops.EventOps.sessionize(spark, "/root/testdata/sf0.001", 360)
       .queryExecution.executedPlan.toString

@@ -77,6 +77,26 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) != plain, "recency boost should reorder the top-k")
   }
 
+  test("asOfOver ≡ driver scan: last prior right-type event, ties by event_id, -1/0 when none") {
+    // user 1: interleaved trades/quotes incl. a same-us tie; user 2: no quotes at all
+    val rows = Seq(
+      (1L, 1L, 100L, "q", 11L), (2L, 1L, 100L, "t", 0L), // same us: event 1 orders first
+      (3L, 1L, 200L, "q", 22L), (4L, 1L, 200L, "q", 33L), // same-us quote tie → max event_id wins later
+      (5L, 1L, 300L, "t", 0L),
+      (6L, 2L, 100L, "t", 0L))
+    val df = rows.toDF("event_id", "user_id", "us", "event_type", "mv")
+    val got = EventOps.asOfOver(df, "q")
+      .as[(Long, Long, Long, Double, Long)].collect().toList
+    val want = List(
+      (1L, 1L, -1L, 0.0, -1L),          // first event: nothing prior
+      (2L, 1L, 1L, 0.0011, 0L),         // same-us quote IS prior (arrival order)
+      (3L, 1L, 1L, 0.0011, 100L),
+      (4L, 1L, 3L, 0.0022, 0L),         // the earlier same-us quote
+      (5L, 1L, 4L, 0.0033, 100L),       // tie resolved to the larger event_id
+      (6L, 2L, -1L, 0.0, -1L))          // user without right-side events
+    assert(got == want)
+  }
+
   test("turnContext: arithmetic neighbor ids, boundary -1/0, true char sizes") {
     val (q, k) = ("spark stream window", 10)
     val got = DocQueries.turnContext(spark, sf, q, k)
