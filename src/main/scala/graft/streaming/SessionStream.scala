@@ -61,6 +61,30 @@ object SessionStream {
           step(user, evs, state, gapUs))
   }
 
+  /** Watermarked streaming twin of [[graft.ops.EventOps.eventWindows]]:
+    * tumbling event-time windows per (window, event_type), emitted in
+    * append mode once the watermark passes window end (each window row is
+    * final — exactly-once per window, late data beyond `lateMinutes`
+    * dropped by the watermark operator). Uses Spark's native streaming
+    * window aggregation — state is one row per open (window, type), and
+    * the plan is the same partial-agg hash aggregate as the batch op with
+    * a state store behind it. Values are summed as floor(value·10⁴)
+    * integer units exactly like the batch twin, so a closed streaming
+    * window row equals the batch row for the same events — pinned by
+    * SessionStreamSpec. */
+  def windowedCounts(spark: SparkSession, events: DataFrame,
+                     windowMinutes: Int, lateMinutes: Int): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$lateMinutes minutes")
+      .groupBy(window($"ts", s"$windowMinutes minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor($"value" * 10000).cast("long")).cast("double") / 10000)
+          .as("sum_value"))
+      .select(unix_micros($"window.start").as("w_start"), $"event_type",
+        $"n_events", $"sum_value")
+  }
+
   /** Per-trigger transition: fold this batch's events (sorted — a
     * micro-batch has no intra-batch order guarantee) into the open
     * session, emitting every session that closes; arm the event-time

@@ -60,4 +60,37 @@ class SessionStreamSpec extends AnyFunSuite {
       assert(got.size == 3)
     } finally q.stop()
   }
+
+  test("streaming windowed counts: closed windows ≡ batch tumbling rollup") {
+    val base = 1700000000000000L
+    val WinMin = 5
+    val WinUs = WinMin * 60000000L
+    val evs = Seq( // (us offset, type, value): spans three 5-min windows
+      (0L, "a", 1.00011), (30000000L, "b", 2.5), (WinUs, "a", 0.77777),
+      (WinUs + 1, "a", 3.0), (2 * WinUs, "b", 1.25))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("us", "event_type", "value")
+      .selectExpr("timestamp_micros(us) AS ts", "event_type", "value")
+    val out = SessionStream.windowedCounts(spark, events, WinMin, lateMinutes = WinMin)
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.map { case (o, t, v) => (base + o, t, v) }: _*)
+      q.processAllAvailable()
+      // watermark flush: every real window closes
+      mem.addData((base + 10 * WinUs, "zz", 0.0)); q.processAllAvailable()
+      mem.addData((base + 11 * WinUs, "zz", 0.0)); q.processAllAvailable()
+
+      val got = spark.table("win_out")
+        .as[(Long, String, Long, Double)].collect().toSet
+      // driver recompute with the batch rule: w_start = us − us mod width,
+      // values as floor(v·1e4) units
+      val want = evs.map { case (o, t, v) =>
+        ((base + o) - (base + o) % WinUs, t, math.floor(v * 10000).toLong) }
+        .groupBy(e => (e._1, e._2)).map { case ((w, t), xs) =>
+          (w, t, xs.size.toLong, xs.map(_._3).sum.toDouble / 10000) }.toSet
+      assert(got == want, s"got $got\nwant $want")
+    } finally q.stop()
+  }
 }
