@@ -97,6 +97,19 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("empty inputs: sessionize/asOf on zero events, conv ops on a no-hit query") {
+    val emptyEv = Seq.empty[(Long, Long, Long)].toDF("user_id", "us", "event_id")
+    assert(EventOps.sessionizeOver(emptyEv, 10).count() == 0)
+    val emptyAsOf = Seq.empty[(Long, Long, Long, String, Long)]
+      .toDF("event_id", "user_id", "us", "event_type", "mv")
+    assert(EventOps.asOfOver(emptyAsOf, "q").count() == 0)
+    // a query of only out-of-vocabulary terms scores nothing anywhere
+    val noHit = "zzzzunseen qqqqabsent"
+    assert(DocQueries.convTopK(spark, sf, noHit, 3, 5).count() == 0)
+    assert(DocQueries.timeTopK(spark, sf, noHit, 10).count() == 0)
+    assert(DocQueries.turnContext(spark, sf, noHit, 10).count() == 0)
+  }
+
   test("turnContext: arithmetic neighbor ids, boundary -1/0, true char sizes") {
     val (q, k) = ("spark stream window", 10)
     val got = DocQueries.turnContext(spark, sf, q, k)
