@@ -125,6 +125,9 @@ object SparkEntry {
     "q_event_windows" -> ((s, d) => EventOps.eventWindows(s, d, 1440)),
     // as-of join: attach each user's most recent prior purchase to every event
     "q_asof" -> ((s, d) => EventOps.asOf(s, d, "purchase")),
+    // conversion funnel: users completing each ordered-step prefix
+    "q_funnel" -> ((s, d) => EventOps.funnel(s, d,
+      Seq("signup", "click", "purchase"))),
     // per-doc TF-IDF keyword extraction over the index tables
     "q_keywords" -> ((s, d) => DocQueries.keywords(s, d, 30L, 3)),
     // pseudo-relevance-feedback expansion terms from the top-10 pool
@@ -253,6 +256,7 @@ object SparkEntry {
     "q_sessionize" -> OracleSqlOps.sessionize(360),
     "q_event_windows" -> OracleSqlOps.eventWindows(1440),
     "q_asof" -> OracleSqlOps.asOf("purchase"),
+    "q_funnel" -> OracleSqlOps.funnel(Seq("signup", "click", "purchase")),
     "q_keywords" -> OracleSql.keywords(30L, 3),
     "q_expand" -> OracleSql.expandTerms(qt(Q_TOPK), P, 10, 10),
     "q_hybrid_rrf" -> OracleSqlOps.hybridTopK(qt(Q_SCORE), P, 0L, 20, 10),

@@ -102,6 +102,41 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Conversion FUNNEL: how many users complete each prefix of an ordered
+    * step sequence (e.g. signup → click → purchase), where step k+1 must
+    * occur STRICTLY AFTER the user's earliest completion of step k.
+    * Output one row per step: (step, event_type, n_users), n_users
+    * monotonically non-increasing.
+    *
+    * Scale shape: step k is a filter on one event_type (map-side,
+    * pushdown-friendly) + a user-keyed min-aggregate + an equi-join on
+    * user_id against the (users-sized, shrinking) step-(k−1) frontier —
+    * k fixed and small, so the whole funnel is k narrow shuffles on the
+    * same key and Catalyst reuses the partitioning. Never a per-user
+    * collect_list: state per user is ONE timestamp per step, regardless
+    * of event volume (the classic funnel trap is materializing each
+    * user's full event array). */
+  def funnel(spark: SparkSession, sfDir: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"))
+    // frontier(k): (user_id, t_k) = earliest completion time of step k
+    var frontier = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    var rows = List((1, steps.head, frontier.count()))
+    for ((s, i) <- steps.zipWithIndex.drop(1)) {
+      frontier = ev.filter(col("event_type") === s)
+        .join(frontier.select(col("user_id"), col("t").as("prev")), "user_id")
+        .filter(col("us") > col("prev"))
+        .groupBy("user_id").agg(min("us").as("t"))
+      rows = (i + 1, s, frontier.count()) :: rows
+    }
+    import spark.implicits._
+    rows.reverse.toDF("step", "event_type", "n_users")
+      .select(col("step"), col("event_type"), col("n_users"))
+  }
+
   /** Tumbling event-time windows: per (window, event_type) event count and
     * value sum over `windowMinutes`-wide buckets — the standing rollup
     * behind every event-volume dashboard. Window identity is integer

@@ -650,6 +650,31 @@ object OracleSqlOps {
        |  CAST(coalesce(us - p_us, -1) AS BIGINT) AS gap_us
        |FROM p ORDER BY event_id""".stripMargin
 
+  /** Mirror of EventOps.funnel: per-step frontier CTEs — step k joins the
+    * step-(k−1) frontier and keeps events strictly after its time. */
+  def funnel(steps: Seq[String]): String = {
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""f1 AS (
+           |  SELECT user_id, min(us) AS t FROM e
+           |  WHERE event_type = ${lit(s)} GROUP BY 1)"""
+      else
+        s"""f${i + 1} AS (
+           |  SELECT e.user_id, min(e.us) AS t FROM e
+           |  JOIN f$i USING (user_id)
+           |  WHERE e.event_type = ${lit(s)} AND e.us > f$i.t GROUP BY 1)"""
+    }.mkString(",\n")
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      s"""SELECT CAST(${i + 1} AS INTEGER) AS step, ${lit(s)} AS event_type,
+         |  CAST((SELECT count(*) FROM f${i + 1}) AS BIGINT) AS n_users"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+       |$ctes
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY step""".stripMargin
+  }
+
   /** Mirror of EventOps.eventWindows: tumbling µs windows, values summed
     * as floor(value·10⁴) integer units (floor of an identical IEEE double
     * is engine-identical — no round-half semantics in play). */

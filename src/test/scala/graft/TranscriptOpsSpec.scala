@@ -97,6 +97,33 @@ class TranscriptOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("funnel ≡ driver recompute: strictly-after step ordering, monotone counts") {
+    val steps = Seq("signup", "click", "purchase")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type").as[(Long, Long, String)].collect()
+    val byUser = ev.groupBy(_._1)
+    // frontier recompute: earliest time of step k strictly after frontier(k-1)
+    var want = List.empty[(Int, String, Long)]
+    var frontier: Map[Long, Long] =
+      byUser.flatMap { case (u, xs) =>
+        val ts = xs.collect { case (_, t, ty) if ty == steps.head => t }
+        if (ts.isEmpty) None else Some(u -> ts.min)
+      }.toMap
+    want ::= (1, steps.head, frontier.size.toLong)
+    for ((s, i) <- steps.zipWithIndex.drop(1)) {
+      frontier = frontier.flatMap { case (u, prev) =>
+        val ts = byUser(u).collect { case (_, t, ty) if ty == s && t > prev => t }
+        if (ts.isEmpty) None else Some(u -> ts.min)
+      }
+      want ::= (i + 1, s, frontier.size.toLong)
+    }
+    val got = EventOps.funnel(spark, sf, steps)
+      .as[(Int, String, Long)].collect().toList
+    assert(got == want.reverse)
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, "counts must be monotone")
+  }
+
   test("empty inputs: sessionize/asOf on zero events, conv ops on a no-hit query") {
     val emptyEv = Seq.empty[(Long, Long, Long)].toDF("user_id", "us", "event_id")
     assert(EventOps.sessionizeOver(emptyEv, 10).count() == 0)
