@@ -149,7 +149,13 @@ object Bench {
     var before = graft.cli.HostProbe.measure()
     regMax = before._1; memMax = before._2
     def goodCount = samples.count(s => s.probeMemX >= QuietMemX && plausible(s))
-    while (samples.size < MaxSamples && goodCount < 2) {
+    // Wall-clock budget: under heavy neighbor contention an executor fork
+    // (12g pre-touched heap) can stall minutes before registering, so a
+    // full 8-pair sweep could grind for an hour. Checked between pairs —
+    // the samples already collected are always reported.
+    val deadline = System.nanoTime() + 20L * 60 * 1000000000L
+    while (samples.size < MaxSamples && goodCount < 2 &&
+           (samples.isEmpty || System.nanoTime() < deadline)) {
       val tp8 = buildOnce(8, nTurns)
       val tp32 = buildOnce(32, nTurns)
       val after = graft.cli.HostProbe.measure()
