@@ -202,6 +202,9 @@ object SparkEntry {
     // similarity search over embeddings
     "q_cos_topk" -> ((s, d) => VectorOps.cosTopK(s, d, 0L, 10)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d, 0L, 10, 2)),
+    // IVF over the MATERIALIZED index: nprobe prunes at the partition
+    // (file) level — per-query IO ∝ probed clusters, never the corpus
+    "q_ann_ivf_idx" -> ((s, d) => VectorOps.annIvfIndexed(s, d, 0L, 10, 2)),
     "q_embed_pairs" -> ((s, d) => VectorOps.similarPairs(s, d, 20)),
     // NON-DEFAULT lshBits=48 (12 rows/band — the larger-corpus key-space
     // setting), oracle-mirrored like q_minhash_k16
@@ -293,6 +296,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),
     "q_ann_ivf" -> OracleSqlOps.annIvf(0L, 10, 2),
+    "q_ann_ivf_idx" -> OracleSqlOps.annIvf(0L, 10, 2),
     "q_embed_pairs" -> OracleSqlOps.similarPairs(20),
     "q_embed_pairs_w48" -> OracleSqlOps.similarPairs(20, CfgW48),
     "q_embed_cluster" -> OracleSqlOps.embedCluster(),

@@ -48,15 +48,19 @@ object Analyzer extends Serializable {
     * the non-English half of the lemmatizer seam. */
   val FrenchLightStem: Norm = LightStemmers.french
   val GermanLightStem: Norm = LightStemmers.german
+  val SpanishLightStem: Norm = LightStemmers.spanish
+  val ItalianLightStem: Norm = LightStemmers.italian
 
-  /** The shipped normalizer for a language code (the registry's language
-    * set, StopWords.forLang): en → Porter-style stemmer, fr/de → light
-    * stemmers, anything else → Identity (mirrors the reference's English
-    * fallback for unregistered languages, BM25Reranker.cs:514-562). */
+  /** The shipped normalizer for a language code: en → Porter-style
+    * stemmer, fr/de/es/it (the full langId vote set) → light stemmers,
+    * anything else → Identity (mirrors the reference's English fallback
+    * for unregistered languages, BM25Reranker.cs:514-562). */
   def stemFor(lang: String): Norm = lang match {
     case "en" => EnglishStem
     case "fr" => FrenchLightStem
     case "de" => GermanLightStem
+    case "es" => SpanishLightStem
+    case "it" => ItalianLightStem
     case _ => Identity
   }
 

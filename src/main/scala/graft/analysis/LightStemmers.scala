@@ -58,6 +58,44 @@ object LightStemmers extends Serializable {
     }
   }
 
+  /** Spanish light stemmer (plural / gender endings), same design rules
+    * as the French one — inflection only, step-local length guards so a
+    * plural and its singular land on the same stem:
+    *  - `-ces → -z` (luces→luz, veces→vez) — the orthographic c/z plural
+    *  - else drop a final `s` at length ≥ 5 (libros→libro, mujeres→mujere)
+    *  - then drop a final `o/a/e` at length ≥ 5 (libro→libr, mujere→mujer),
+    *    which also merges the masculine/feminine pair the way Savoy's
+    *    Spanish light rules do (libro/libra→libr). */
+  val spanish: Analyzer.Norm = (word: String) => {
+    if (word.length < 5 || !allLatinLower(word)) word
+    else {
+      var w = word
+      if (w.endsWith("ces")) w = w.dropRight(3) + "z"
+      else {
+        if (w.length >= 5 && w.endsWith("s")) w = w.dropRight(1)
+        if (w.length >= 5 && (w.endsWith("o") || w.endsWith("a") || w.endsWith("e")))
+          w = w.dropRight(1)
+      }
+      w
+    }
+  }
+
+  /** Italian light stemmer: plurals inflect by FINAL-VOWEL ALTERNATION
+    * (amico/amici, gatto/gatti, casa/case), so the light rule is one
+    * final-vowel strip with the `-he/-ie` orthographic plural handled
+    * first (amiche→amic like amico/amici; banche→banc):
+    *  - `-he`/`-ie` at length ≥ 6 → drop 2
+    *  - else drop a final `a/e/i/o` at length ≥ 5. */
+  val italian: Analyzer.Norm = (word: String) => {
+    if (word.length < 5 || !allLatinLower(word)) word
+    else {
+      var w = word
+      if (w.length >= 6 && (w.endsWith("he") || w.endsWith("ie"))) w = w.dropRight(2)
+      else if ("aeio".indexOf(w.charAt(w.length - 1)) >= 0) w = w.dropRight(1)
+      w
+    }
+  }
+
   /** German light stemmer (plural / case endings), with Savoy's length
     * guards so short stems are never over-stripped:
     *  - `-nen` at length > 6 (feminine plural), cascading into ONE more

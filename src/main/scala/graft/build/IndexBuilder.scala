@@ -74,6 +74,22 @@ object IndexBuilder {
         * deterministic, and the SAME function must be passed to the
         * Searcher so queries normalize identically. */
       normalizer: Analyzer.Norm = Analyzer.Identity,
+      /** Dictionary range count for posting assembly. 1 (default) =
+        * broadcast the whole per-build term dictionary — ~10 MB at 1M
+        * terms, ~1-2 GB at a 10^8-term web vocabulary, the only
+        * driver-resident structure that grows with corpus CONTENT. Past
+        * that, set R ≈ ⌈vocabulary / 10^8⌉: the term space is split into
+        * R equal-count ranges (boundaries from a distributed sort — never
+        * a driver-side vocabulary materialization) and postings are
+        * assembled range by range, each range broadcasting only its own
+        * dictionary slice. Cost: R column-pruned passes over the analyzed
+        * terms; trade: posting files per shard multiply by R, so the
+        * Searcher serves through its grouped (per-shard merge) path
+        * instead of the zero-exchange colocated kernel — unavoidable, a
+        * 10^8+-term shard's postings never fit one file anyway. The
+        * config is explicit rather than auto-detected because detection
+        * would charge every build a vocabulary count. */
+      dictRanges: Int = 1,
       /** Input columns indexed as facet posting lists (metadata filters —
         * see [[graft.model.Facets]]): each doc gets one synthetic term
         * `<col>=<value>` per column (null values skipped),
@@ -226,6 +242,10 @@ object IndexBuilder {
       if (f.getPath.getName.startsWith("postings_seg_")) fs.delete(f.getPath, true)
     }
     swapDir(spark, s"$indexDir/postings_tmp", s"$indexDir/postings")
+    // compact assembles with the broadcast dictionary (doc-complete
+    // files), so the rebuilt base restores the colocated-serving layout
+    // even if the original build was range-partitioned
+    Manifests.write(indexDir, StageManifest("postings_layout", 1, 0, "layout", 0))
   }
 
   // ---- generation-pointer path resolution ----------------------------------
@@ -466,7 +486,15 @@ object IndexBuilder {
     Future {
       stage(spark, indexDir, "postings") { () =>
         graft.sources.TableIO.write(
-          assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings")
+          assemblePostings(spark, analyzed, parts, pkeys, cfg.dictRanges).toDF(),
+          s"$indexDir/postings")
+        // Layout contract for the serving path: rows = dictRanges. 1 ⇒
+        // every postings file is DOC-complete (a doc's whole term set in
+        // one file), the precondition of the Searcher's zero-exchange
+        // colocated kernel; > 1 ⇒ a doc's terms span range files and the
+        // Searcher MUST serve through its grouped per-shard merge.
+        Manifests.write(indexDir,
+          StageManifest("postings_layout", cfg.dictRanges, 0, "layout", 0))
         graft.sources.TableIO.read(spark, s"$indexDir/postings").count()
       }
       stage(spark, indexDir, "df") { () =>
@@ -511,11 +539,66 @@ object IndexBuilder {
     * vocabulary — within executor budgets; past that, range-partition the
     * dictionary and assemble per range. */
   private def assemblePostings(spark: SparkSession, analyzed: DataFrame,
-                               parts: Int, pkeys: Array[Int]): Dataset[Posting] = {
+                               parts: Int, pkeys: Array[Int],
+                               dictRanges: Int = 1): Dataset[Posting] = {
+    if (dictRanges <= 1) {
+      val dict = termDict(spark, analyzed)
+      val bcv = spark.sparkContext.broadcast(dict)
+      assembleWithDict(spark, analyzed, parts, pkeys, bcv, null, null)
+    } else assembleRanged(spark, analyzed, parts, pkeys, dictRanges)
+  }
+
+  /** Range-partitioned assembly (Config.dictRanges > 1): the web-vocabulary
+    * path where no full dictionary may ever be driver-resident. Range
+    * boundaries come from a DISTRIBUTED sort + zipWithIndex over the
+    * distinct terms (equal-count ranges, exact — no sampling skew), in
+    * JAVA string order (`Ordering.String` = `String.compareTo`, the same
+    * comparator the chunk kernel's binary search uses — NOT Spark's UTF-8
+    * binary order, which disagrees on supplementary characters; all
+    * comparisons against the boundaries below therefore run in typed
+    * closures, never as Catalyst string predicates). Each range then
+    * assembles independently with only its own ~vocab/R dictionary slice
+    * broadcast. Identical postings content to the broadcast path (pinned
+    * by DictRangeSpec); only file layout differs (R file sets per shard). */
+  private def assembleRanged(spark: SparkSession, analyzed: DataFrame,
+                             parts: Int, pkeys: Array[Int],
+                             nRanges: Int): Dataset[Posting] = {
     import spark.implicits._
-    val dict = termDict(spark, analyzed)
-    val bcv = spark.sparkContext.broadcast(dict)
-    val chunks = chunkRows(spark, analyzed, bcv)
+    val termsDs = analyzed.select(explode(col("terms")).as("term"))
+      .distinct().as[String]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sorted = termsDs.rdd.sortBy(identity).zipWithIndex()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v = sorted.count()
+      val step = math.max(1L, (v + nRanges - 1) / nRanges)
+      val bounds = sorted.filter { case (_, i) => i > 0 && i % step == 0 }
+        .map(_._1).collect().sorted // ≤ R-1 boundary strings on the driver
+      sorted.unpersist(false)
+      val ranges = (null +: bounds.toSeq).zip(bounds.toSeq :+ null)
+      ranges.map { case (lo, hi) =>
+        val slice = termsDs.filter { t =>
+          (lo == null || t.compareTo(lo) >= 0) && (hi == null || t.compareTo(hi) < 0)
+        }.collect() // one range's slice: ≈ vocab / R by construction
+        java.util.Arrays.sort(slice.asInstanceOf[Array[AnyRef]])
+        val bcv = spark.sparkContext.broadcast(slice)
+        assembleWithDict(spark, analyzed, parts, pkeys, bcv, lo, hi)
+      }.reduce(_ union _)
+      // the union plan no longer references termsDs (slices are collected
+      // eagerly above), so unpersisting in the finally is safe before the
+      // caller's write evaluates it
+    } finally termsDs.unpersist(false)
+  }
+
+  /** Chunk → exchange → sort-merge-encode over one dictionary (the whole
+    * vocabulary, or one range's slice with [lo, hi) bounds in Java string
+    * order; null = unbounded). */
+  private def assembleWithDict(spark: SparkSession, analyzed: DataFrame,
+                               parts: Int, pkeys: Array[Int],
+                               bcv: org.apache.spark.broadcast.Broadcast[Array[String]],
+                               lo: String, hi: String): Dataset[Posting] = {
+    import spark.implicits._
+    val chunks = chunkRows(spark, analyzed, bcv, lo, hi)
     chunks
       .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
       .repartition(parts, $"pkey")
@@ -629,7 +712,8 @@ object IndexBuilder {
     * the postings shuffle. Exposed package-private so profiling tools can
     * measure the exchange's exact byte composition. */
   private[graft] def chunkRows(spark: SparkSession, analyzed: DataFrame,
-      bcv: org.apache.spark.broadcast.Broadcast[Array[String]]): DataFrame = {
+      bcv: org.apache.spark.broadcast.Broadcast[Array[String]],
+      lo: String = null, hi: String = null): DataFrame = {
     import spark.implicits._
     analyzed
       .select(col("shard"), col("docId"), col("len"), col("terms"), col("tfs"))
@@ -701,6 +785,14 @@ object IndexBuilder {
               val dl = r.getInt(2)
               val terms = r.getSeq[String](3)
               val tfs = r.getSeq[Int](4)
+              // range-sliced assembly (dictRanges > 1): only in-[lo,hi)
+              // terms chunk in this pass; the lens sidecar rides with the
+              // doc's FIRST in-range term (once per doc per range that
+              // has any of its terms — the reduce side of a range never
+              // needs lengths of docs it emits no postings for)
+              @inline def inRange(t: String): Boolean =
+                (lo == null || t.compareTo(lo) >= 0) &&
+                  (hi == null || t.compareTo(hi) < 0)
               // Seal-on-regression: arrival order restarts when a read
               // partition packs several small files of the SAME shard
               // (base + appended analyzed files): each file is
@@ -717,14 +809,19 @@ object IndexBuilder {
                 }
                 c
               }
-              if (terms.nonEmpty) { // zero-term docs never appear in postings
-                chunkFor(LensTid).add(docId, dl)
-                entries += 1
-              }
+              var anyInRange = false // zero-term docs never appear in postings
               var i = 0
               while (i < terms.length) {
-                chunkFor(tidOf(terms(i))).add(docId, tfs(i))
-                entries += 1
+                val t = terms(i)
+                if (inRange(t)) {
+                  if (!anyInRange) {
+                    chunkFor(LensTid).add(docId, dl)
+                    entries += 1
+                    anyInRange = true
+                  }
+                  chunkFor(tidOf(t)).add(docId, tfs(i))
+                  entries += 1
+                }
                 i += 1
               }
             }

@@ -10,11 +10,12 @@ import graft.Bench
 object ScaleOnly {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(8000000L)
-    println(s"[scale] lcAvailable=${Bench.lcAvailable}")
-    val (tp8, tp32, samples, reg, mem) = Bench.buildThroughputs(n)
+    println(s"[scale] lcAvailable=${Bench.lcAvailable} execHeapMb=${Bench.execHeapMb()}")
+    val (tpN, tp4N, samples, reg, mem, proto) = Bench.buildThroughputs(n)
     samples.foreach(s => println(
-      f"[scale] sample tp8=${s.tp8}%.0f tp32=${s.tp32}%.0f probe_mem_x=${s.probeMemX}%.2f"))
-    println(f"[scale] host probes: register ${reg}%.2fx, memory ${mem}%.2fx")
-    println(f"""SCALE_JSON {"tp8":$tp8%.0f,"tp32":$tp32%.0f,"eff":${(tp32 / tp8) / 4.0}%.3f}""")
+      f"[scale] sample tp_n=${s.tp8}%.0f tp_4n=${s.tp32}%.0f probe_mem_x=${s.probeMemX}%.2f " +
+        s"proto_n=${s.proto8} proto_4n=${s.proto32}"))
+    println(f"[scale] host probes: register ${reg}%.2fx, memory ${mem}%.2fx; protocol=$proto")
+    println(f"""SCALE_JSON {"tp_n":$tpN%.0f,"tp_4n":$tp4N%.0f,"eff":${(tp4N / tpN) / 4.0}%.3f,"protocol":"$proto"}""")
   }
 }

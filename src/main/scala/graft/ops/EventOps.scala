@@ -151,9 +151,21 @@ object EventOps {
     *
     * Scale shape: ONE partial-agg hash aggregate — map-side combine
     * shrinks each task to (#windows × #types) rows before the only
-    * shuffle; output is bounded by time range, not event volume. */
+    * shuffle; output is bounded by time range, not event volume.
+    *
+    * ZONE SENSITIVITY (unlike sessionize, which only ever compares
+    * DIFFERENCES): `w_start = us − us mod width` is an ABSOLUTE boundary,
+    * and the NTZ→timestamp cast reinterprets the wall-clock in the
+    * session zone — a non-UTC session would silently shift every bucket
+    * vs the DuckDB oracle (epoch_us = UTC semantics) and the streaming
+    * twin. The op asserts the UTC pin every entry point (Verify/Bench/
+    * tests) already sets, instead of producing shifted windows. */
   def eventWindows(spark: SparkSession, sfDir: String,
                    windowMinutes: Int): DataFrame = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      "eventWindows needs spark.sql.session.timeZone=UTC: absolute " +
+        s"tumbling-window boundaries are zone-dependent (session zone '$tz')")
     val wUs = windowMinutes * 60000000L
     spark.read.parquet(s"$sfDir/events.parquet")
       .select(unix_micros(col("ts").cast("timestamp")).as("us"),

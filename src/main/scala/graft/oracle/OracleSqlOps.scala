@@ -627,7 +627,10 @@ object OracleSqlOps {
     * user in strict (us, event_id) arrival order, via the same
     * ignore-nulls window — DuckDB's native ASOF JOIN is deliberately NOT
     * used here because it cannot express the event_id tiebreak on equal
-    * timestamps. */
+    * timestamps. All three prior-event fields come from ONE windowed
+    * struct (like Spark's atomic struct-valued last(...)): three
+    * independent last_value(CASE...) windows would silently desynchronize
+    * if a right-type event ever carried a NULL field. */
   def asOf(rightType: String): String =
     s"""WITH e AS (
        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
@@ -635,19 +638,17 @@ object OracleSqlOps {
        |  FROM events),
        |p AS (
        |  SELECT event_id, user_id, us,
-       |    last_value(CASE WHEN event_type = '$rightType' THEN event_id END IGNORE NULLS)
-       |      OVER w AS p_eid,
-       |    last_value(CASE WHEN event_type = '$rightType' THEN mv END IGNORE NULLS)
-       |      OVER w AS p_mv,
-       |    last_value(CASE WHEN event_type = '$rightType' THEN us END IGNORE NULLS)
-       |      OVER w AS p_us
+       |    last_value(CASE WHEN event_type = ${lit(rightType)}
+       |                    THEN struct_pack(eid := event_id, mv := mv, pus := us)
+       |               END IGNORE NULLS)
+       |      OVER w AS pr
        |  FROM e
        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
        |SELECT event_id, user_id,
-       |  CAST(coalesce(p_eid, -1) AS BIGINT) AS prior_event_id,
-       |  CAST(coalesce(p_mv, 0) AS DOUBLE) / 10000 AS prior_value,
-       |  CAST(coalesce(us - p_us, -1) AS BIGINT) AS gap_us
+       |  CAST(coalesce(struct_extract(pr, 'eid'), -1) AS BIGINT) AS prior_event_id,
+       |  CAST(coalesce(struct_extract(pr, 'mv'), 0) AS DOUBLE) / 10000 AS prior_value,
+       |  CAST(coalesce(us - struct_extract(pr, 'pus'), -1) AS BIGINT) AS gap_us
        |FROM p ORDER BY event_id""".stripMargin
 
   /** Mirror of EventOps.funnel: per-step frontier CTEs — step k joins the

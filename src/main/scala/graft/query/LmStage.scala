@@ -90,6 +90,66 @@ object LmStage {
     scored.withColumn(idCol, col(idCol).cast(df.schema(idCol).dataType))
   }
 
+  /** HTTP batch scorer for [[scoreBatched]] — the REAL-client shape of
+    * the reference's LM service calls (LMRanker.cs:211-268, service
+    * fallback chain LMRankerPerformanceTests.cs:367-421), built on the
+    * JDK's own HttpClient so the engine stays dependency-free:
+    *
+    *  - ONE client per executor task (the `@transient lazy` field is
+    *    re-initialized after deserialization on each partition) —
+    *    connection reuse across the partition's batches;
+    *  - one POST per batch: `{"requests":[{"query":...,"doc":...}]}` →
+    *    `{"scores":[...]}` (scores parsed positionally; count must match);
+    *  - a per-request deadline (`timeoutMs`) — a hung service surfaces as
+    *    an exception, which [[scoreBatched]] turns into retry → zero,
+    *    never a stuck task.
+    *
+    * Any non-200, malformed body, wrong score count, connect failure or
+    * timeout throws — deliberately: the CONTRACT layer (clamp, retry,
+    * error→0) lives in scoreBatched, not here, so every transport ever
+    * used gets the same guarantees. Exercised end-to-end against a live
+    * localhost server (timeout, flaky-then-recover, 5xx, clamp) in
+    * LmHttpSpec. */
+  final class HttpBatchScorer(endpoint: String, timeoutMs: Long = 2000)
+      extends (Seq[(String, String)] => Seq[Double]) with Serializable {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+
+    private def jstr(s: String): String = {
+      val b = new java.lang.StringBuilder("\"")
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append('"').toString
+    }
+
+    def apply(batch: Seq[(String, String)]): Seq[Double] = {
+      val body = batch.map { case (q, d) =>
+        s"""{"query":${jstr(q)},"doc":${jstr(d)}}"""
+      }.mkString("""{"requests":[""", ",", "]}")
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"scorer service HTTP ${resp.statusCode()}")
+      val m = """"scores"\s*:\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(resp.body())
+        .getOrElse(throw new IllegalStateException(
+          s"malformed scorer response: ${resp.body().take(200)}"))
+      val scores = m.group(1).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      require(scores.length == batch.length,
+        s"scorer returned ${scores.length} scores for ${batch.length} docs")
+      scores
+    }
+  }
+
   /** Deterministic mock "LM": query-term overlap ratio + a length prior.
     * Deliberately exceeds 1.0 on long docs (exercises the clamp) and
     * throws on docs containing the token `slow` (exercises error→0). */

@@ -135,7 +135,17 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * mutable session state (IndexBuilder.build temporarily lowers
     * maxPartitionBytes on the same session), and a stale construction-time
     * answer would let a split file be scored as two half-shards. */
-  def colocated: Boolean = maxPostingsFileLen >= 0 && {
+  /** Whether every postings file is DOC-complete (a doc's whole term set
+    * in one file) — true for broadcast-dictionary builds and all refresh
+    * segments; false for range-partitioned builds (Config.dictRanges > 1),
+    * whose files each hold one TERM range of a shard. The colocated
+    * kernel scores each partition independently, which is only sound when
+    * a doc's full term set is visible in one partition. Legacy indexes
+    * (no layout manifest) predate the ranged path and are doc-complete. */
+  private val docCompleteFiles: Boolean =
+    graft.build.Manifests.read(indexDir, "postings_layout").forall(_.rows <= 1L)
+
+  def colocated: Boolean = maxPostingsFileLen >= 0 && docCompleteFiles && {
     val conf = spark.sessionState.conf
     maxPostingsFileLen <= math.min(conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
   }

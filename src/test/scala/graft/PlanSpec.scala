@@ -236,6 +236,30 @@ class PlanSpec extends AnyFunSuite {
       "final cut must be a bounded heap")
   }
 
+  test("annIvfIndexed prunes to the probed k= partitions and matches annIvf") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.ops.VectorOps.annIvfIndexed(spark, sf, 0L, 10, 2)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the serving scan is the partitioned vectors table (the centroid read
+    // and target point read were driver-side collects before the plan)
+    assert(scans.nonEmpty, "no file scan in annIvfIndexed plan")
+    val vecScan = scans.find(_.output.exists(_.name == "k"))
+      .getOrElse(fail("no scan of the k-partitioned vectors table"))
+    assert(vecScan.partitionFilters.nonEmpty,
+      "k filter must prune partitions, not filter rows")
+    assert(vecScan.selectedPartitions.partitionCount <= 2,
+      s"nprobe=2 must read ≤ 2 of ${graft.ops.SimilarityConfig.Default.kmeansK} " +
+        s"cluster partitions, read ${vecScan.selectedPartitions.partitionCount}")
+    // physical layout changes nothing semantically: identical to the
+    // per-query-assignment path
+    val a = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.ops.VectorOps.annIvf(spark, sf, 0L, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, s"indexed IVF diverged from annIvf:\n$a\nvs\n$b")
+  }
+
   test("timeTopK adds NO shuffle — broadcast stats row + bounded heap") {
     val sf = "/root/testdata/sf0.001"
     val base = hashExchanges(graft.ops.DocQueries.scoreAll(spark, sf, "fast query join"))

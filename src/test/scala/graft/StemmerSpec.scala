@@ -99,7 +99,39 @@ class StemmerSpec extends AnyFunSuite {
     assert(Analyzer.stemFor("en")("running") == "run")
     assert(Analyzer.stemFor("fr")("maisons") == "maison")
     assert(Analyzer.stemFor("de")("kinder") == "kind")
+    assert(Analyzer.stemFor("es")("libros") == "libr")
+    assert(Analyzer.stemFor("it")("amici") == "amic")
     assert(Analyzer.stemFor("xx")("maisons") == "maisons")
+  }
+
+  test("Spanish light stemmer conflates plural/gender endings") {
+    val es = Analyzer.SpanishLightStem
+    Seq(
+      Seq("libros", "libro", "libras", "libra"), // plural + gender → libr
+      Seq("luces", "luz"),                       // orthographic c/z plural
+      Seq("veces", "vez"),
+      Seq("mujeres", "mujer"),
+      Seq("planes", "plan")).foreach { g =>
+      val stems = g.map(es).distinct
+      assert(stems.size == 1, s"$g stemmed to $stems")
+    }
+    // short words, non-Latin tokens and consonant-final stems pass through
+    assert(es("los") == "los")
+    assert(es("x123") == "x123")
+    assert(es("mujer") == "mujer")
+  }
+
+  test("Italian light stemmer conflates vowel-alternation plurals") {
+    val it = Analyzer.ItalianLightStem
+    Seq(
+      Seq("amico", "amici", "amica", "amiche"), // -he orthographic plural too
+      Seq("gatto", "gatti", "gatta"),
+      Seq("libri", "libro")).foreach { g =>
+      val stems = g.map(it).distinct
+      assert(stems.size == 1, s"$g stemmed to $stems")
+    }
+    assert(it("con") == "con")
+    assert(it("x123") == "x123")
   }
 
   test("French stemmed build+query end-to-end: 'fenêtres' retrieves 'fenêtre'") {
