@@ -45,6 +45,13 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      // zstd shuffle/broadcast codec: measured 2.6x less shuffle byte
+      // traffic than lz4 at IDENTICAL wall time on this pipeline at both 8
+      // and 32 cores (BENCH/BASELINE.md exchange table) -- at cluster scale
+      // that is 2.6x less network+spill IO for free. Must be set at session
+      // creation: SparkEnv reads it once at context start.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", "zstd"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -118,11 +125,26 @@ object Bench {
       // Xms=Xmx + pre-touch: commit and zero each executor heap once at
       // fork — a growing heap triggers kernel page-zeroing storms
       // mid-build (ScalingBench measured +15-25%). Safe only because the
-      // heap is sized from MemAvailable above.
-      .config("spark.executor.extraJavaOptions", s"-Xms${heapMb}m -XX:+AlwaysPreTouch")
+      // heap is sized from MemAvailable above. MEASURED COST on this box:
+      // 4 concurrent 12g pre-touched forks can take MINUTES to reach
+      // main() under a populated page cache (48 GiB of faults against
+      // kernel reclaim), stalling each 4N sample before its (untimed)
+      // warmup — GRAFT_BENCH_PRETOUCH=0 trades pre-touch for lazy
+      // first-touch zeroing absorbed by the warm build.
+      .config("spark.executor.extraJavaOptions",
+        s"-Xms${heapMb}m" +
+          (if (sys.env.get("GRAFT_BENCH_PRETOUCH").contains("0")) ""
+           else " -XX:+AlwaysPreTouch"))
       .config("spark.executor.extraClassPath",
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       .config("spark.sql.shuffle.partitions", executors * 8)
+      // zstd shuffle/broadcast codec: measured 2.6x less shuffle byte
+      // traffic than lz4 at IDENTICAL wall time on this pipeline at both 8
+      // and 32 cores (BENCH/BASELINE.md exchange table) -- at cluster scale
+      // that is 2.6x less network+spill IO for free. Must be set at session
+      // creation: SparkEnv reads it once at context start.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", "zstd"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -196,7 +218,10 @@ object Bench {
     * under the same watchdog as the real samples. */
   private[graft] lazy val lcAvailable: Boolean = {
     val ok =
-      if (execHeapMb() < MinExecHeapMb) {
+      if (sys.env.get("GRAFT_BENCH_FORCE_THREADS").contains("1")) {
+        System.err.println("[bench] GRAFT_BENCH_FORCE_THREADS=1: thread-level protocol forced")
+        false
+      } else if (execHeapMb() < MinExecHeapMb) {
         System.err.println(s"[bench] local-cluster skipped: " +
           s"MemAvailable=${memAvailableMb}M leaves <${MinExecHeapMb}M per executor")
         false
@@ -234,7 +259,10 @@ object Bench {
     // JIT/codegen warmup on a small corpus so the timed run measures
     // steady-state throughput, not first-job compilation
     val warmDir = java.nio.file.Files.createTempDirectory(s"graft_warm$cpus").toString
-    IndexBuilder.build(spark, Transcripts.synth(spark, 100000, parallelism = cpus).toDF(),
+    // warmup capped at the timed size so a small smoke run (BenchSmoke)
+    // is not dominated by a warmup larger than its measurement
+    IndexBuilder.build(spark,
+      Transcripts.synth(spark, math.min(100000L, nTurns), parallelism = cpus).toDF(),
       warmDir, IndexBuilder.Config(shards = 64))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_idx$cpus").toString
@@ -266,7 +294,7 @@ object Bench {
         System.err.println(s"[bench] sample at $cpus cores: transient memory " +
           s"pressure (heap would be ${heap}M) — thread-level this sample")
         (threadBuild(cpus, nTurns), ThreadProtocol)
-      } else withDeadline(600, s"lc-build-$cpus") {
+      } else withDeadline(720, s"lc-build-$cpus") {
         val spark = lcSession(cpus / 8, heap)
         try timedBuild(spark, cpus, nTurns, corpus) finally spark.stop()
       } match {
@@ -306,7 +334,9 @@ object Bench {
     * a genuine DRAM-bound ratio is always ≥ 1. */
   private def plausible(s: ScaleSample): Boolean = s.tp32 > s.tp8
   private[graft] def buildThroughputs(nTurns: Long): (Double, Double, Seq[ScaleSample], Double, Double, String) = {
-    val MaxSamples = 8
+    // GRAFT_BENCH_MAX_SAMPLES: smoke-test knob (BenchSmoke runs the whole
+    // main with 1 sample); the driver run keeps the default budget.
+    val MaxSamples = sys.env.getOrElse("GRAFT_BENCH_MAX_SAMPLES", "8").toInt
     val samples = scala.collection.mutable.ArrayBuffer.empty[ScaleSample]
     var regMax = 0.0
     var memMax = 0.0
@@ -365,13 +395,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
 
+    // GRAFT_BENCH_QUERIES: smoke-test knob — comma-separated subset of the
+    // query surface (BenchSmoke exercises the full main with 3 queries);
+    // the driver run times every query.
+    val queries = sys.env.get("GRAFT_BENCH_QUERIES") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
+
     val spark = session(cpus)
     // warm up: index build + one pass of every query (JIT, codegen, IO
     // cache); failures surface on stderr here and as status below — never
     // silently (a swallowed failure once let a broken query's
     // time-to-failure pass as a measurement)
     graft.ops.DocQueries.indexDir(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
       }
@@ -382,7 +422,7 @@ object Bench {
     // the interleaved best-of build samples below. A query that throws is
     // recorded failed (sec = -1 in the JSON, excluded from the total).
     def timedPass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }

@@ -192,6 +192,10 @@ object SparkEntry {
     "q_dedup_incr" -> ((s, d) => TextOps.dedupIncremental(s, d, 10L, 3L)),
     // near-dup clustering: connected components over the LSH pair graph
     "q_dup_clusters" -> ((s, d) => TextOps.dupClusters(s, d)),
+    // same clusters through the alternating large-star/small-star finder
+    // (O(log n) rounds on any diameter — the adversarial-chain path);
+    // shares q_dup_clusters' oracle because the output contract is identical
+    "q_dup_clusters_ls" -> ((s, d) => TextOps.dupClustersStar(s, d)),
     // dedup end product: the corpus minus non-canonical cluster members
     "q_dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d)),
     // NON-DEFAULT SimilarityConfig, oracle-mirrored: 16 permutations =
@@ -291,6 +295,7 @@ object SparkEntry {
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),
     "q_minhash_pairs" -> OracleSqlOps.minHashPairs(),
     "q_dup_clusters" -> OracleSqlOps.dupClusters(),
+    "q_dup_clusters_ls" -> OracleSqlOps.dupClusters(),
     "q_dedup_apply" -> OracleSqlOps.dedupApply(),
     "q_minhash_k16" -> OracleSqlOps.minHashPairs(CfgK16),
     "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),

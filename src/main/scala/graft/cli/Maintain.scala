@@ -19,6 +19,12 @@ object Maintain {
     val builder = SparkSession.builder()
       .appName(s"graft-maintain-$cmd")
       .config("spark.sql.shuffle.partitions", cpus)
+      // zstd shuffle/broadcast codec: measured 2.6x less shuffle byte
+      // traffic than lz4 at IDENTICAL wall time on this pipeline at both 8
+      // and 32 cores (BENCH/BASELINE.md exchange table) -- at cluster scale
+      // that is 2.6x less network+spill IO for free. Must be set at session
+      // creation: SparkEnv reads it once at context start.
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     if (!sys.props.contains("spark.master")) builder.master(s"local[$cpus]")

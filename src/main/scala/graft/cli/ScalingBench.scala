@@ -61,6 +61,12 @@ object ScalingBench {
     locally {
       val gen = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
+        // zstd shuffle/broadcast codec: measured 2.6x less shuffle byte
+        // traffic than lz4 at IDENTICAL wall time on this pipeline at both 8
+        // and 32 cores (BENCH/BASELINE.md exchange table) -- at cluster scale
+        // that is 2.6x less network+spill IO for free. Must be set at session
+        // creation: SparkEnv reads it once at context start.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false").getOrCreate()
       gen.sparkContext.setLogLevel("WARN")
       graft.sources.Transcripts.synth(gen, n, parallelism = 128).toDF()
@@ -123,6 +129,12 @@ object ScalingBench {
     // colocated WAND path sound for this index size (Searcher.colocated).
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // zstd shuffle/broadcast codec: measured 2.6x less shuffle byte
+      // traffic than lz4 at IDENTICAL wall time on this pipeline at both 8
+      // and 32 cores (BENCH/BASELINE.md exchange table) -- at cluster scale
+      // that is 2.6x less network+spill IO for free. Must be set at session
+      // creation: SparkEnv reads it once at context start.
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.files.openCostInBytes", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

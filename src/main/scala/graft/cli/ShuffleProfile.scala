@@ -27,6 +27,9 @@ object ShuffleProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // A/B knob for the shuffle/broadcast codec experiments behind
+      // BENCH/BASELINE.md's exchange table (GRAFT_IO_CODEC=zstd|lz4)
+      .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -609,21 +609,116 @@ object TextOps {
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "connected components did not converge in 64 rounds")
+      // localCheckpoint, not persist: the round plan references `labels`
+      // TWICE (join input + union input), so without cutting lineage the
+      // logical plan DOUBLES per round — exponential Catalyst analysis
+      // by round ~20 (measured on a diameter-20 random graph; clique
+      // unions converge too fast to hit it). Executor-local blocks are
+      // fine here; a flaky cluster swaps in reliable checkpoint().
       val next = edges
         .join(labels.select(col("id").as("v"), col("lbl")), "v")
         .select(col("u").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val newSum = lblSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
-      labels.unpersist()
       labels = next
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
       (col("id") === col("lbl")).as("keep"))
+  }
+
+  /** [[dupClusters]] through the alternating-star component finder — the
+    * adversarial-diameter path (identical output, pinned by StarCcSpec
+    * and the shared driver oracle). */
+  def dupClustersStar(spark: SparkSession, sfDir: String,
+                      cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
+    connectedComponentsStar(minHashCandidates(docs(spark, sfDir), cfg))
+      .orderBy("doc_id")
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * documented upgrade of [[connectedComponents]]'s min-label loop for
+    * graphs whose DIAMETER, not size, is the enemy: label propagation
+    * needs O(diameter) rounds (fine for LSH dup graphs — unions of
+    * per-bucket cliques — but a chain-of-near-dups corpus can stitch
+    * buckets into long paths), this converges in O(log n) alternations
+    * on any graph. Each phase is one shuffle on the node id (partial-agg
+    * min) plus a distinct; nothing graph-sized ever reaches the driver.
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its closed neighborhood (keeps the graph connected,
+    *    strictly decreases the edge potential);
+    *  - small-star: every node connects its smaller-or-self closure to
+    *    that minimum — after orienting each edge toward its larger
+    *    endpoint, so a node's grouped neighborhood is exactly its
+    *    smaller neighbors.
+    *
+    * Fixpoint = the edge set is a union of stars rooted at each
+    * component's minimum id; checked EXACTLY (two set differences per
+    * alternation — O(log n) of them, vs the label-sum scalar the
+    * propagation loop can afford per round because its rounds carry no
+    * distinct()). Same output contract as [[connectedComponents]]:
+    * (doc_id, cluster, keep) over every node of the pair graph. */
+  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    connectedComponentsStarRounds(pairs)._1
+
+  private[graft] def connectedComponentsStarRounds(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    // canonical undirected edge set: (u < v), self-loops dropped
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // nodes of the ORIGINAL graph: singletons whose every neighbor folded
+    // away still owe an output row (they are their own cluster root)
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lineage MUST be cut each alternation: persist alone leaves the
+    // logical plan in place, and large∘small + two excepts DOUBLE it per
+    // round — Catalyst analysis goes exponential by round ~8 (measured:
+    // a 301-node chain never finished). localCheckpoint materializes the
+    // round's edges and restarts the plan from a LogicalRDD; on a
+    // long-lived cluster job prefer reliable checkpoint() (node loss
+    // discards executor-local blocks), same one-line seam.
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min("y").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      canon(sym.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("a"), col("m").as("b")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient toward the larger endpoint: x's grouped neighborhood is
+      // exactly its smaller neighbors, so m = min(N(x)) < x always
+      val oriented = e.select(col("v").as("x"), col("u").as("y"))
+      val mins = oriented.groupBy("x").agg(min("y").as("m"))
+      canon(oriented.join(mins, "x").select(col("y").as("a"), col("m").as("b"))
+        .union(mins.select(col("x").as("a"), col("m").as("b"))))
+    }
+
+    var edges = cut(canon(pairs.select(col("a"), col("b"))))
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 40, "alternating-star components did not converge in 40 rounds")
+      val next = cut(smallStar(largeStar(edges)))
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+    }
+    // fixpoint edges are (root=u < member=v) stars; roots and folded-away
+    // singletons label themselves
+    val labels = nodes
+      .join(edges.select(col("v").as("id"), col("u").as("lbl")), Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), coalesce(col("lbl"), col("id")).as("cluster"))
+    (labels.withColumn("keep", col("doc_id") === col("cluster")), rounds)
   }
 
   /** (doc_id, n_tokens, surprisal) — mean unigram surprisal per doc, the
