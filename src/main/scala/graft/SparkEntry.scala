@@ -209,6 +209,12 @@ object SparkEntry {
     // IVF over the MATERIALIZED index: nprobe prunes at the partition
     // (file) level — per-query IO ∝ probed clusters, never the corpus
     "q_ann_ivf_idx" -> ((s, d) => VectorOps.annIvfIndexed(s, d, 0L, 10, 2)),
+    // product quantization: ADC over pqM sub-codes per vector (64× less
+    // scan IO than raw vectors) + exact-cosine refine of pqRefine cands
+    "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d, 0L, 10)),
+    // IVF-PQ over the MATERIALIZED index: probed partitions of the codes
+    // table only, then a bounded point-read refine — the 100-TB ANN shape
+    "q_ann_ivfpq" -> ((s, d) => VectorOps.annIvfPqIndexed(s, d, 0L, 10, 2)),
     "q_embed_pairs" -> ((s, d) => VectorOps.similarPairs(s, d, 20)),
     // NON-DEFAULT lshBits=48 (12 rows/band — the larger-corpus key-space
     // setting), oracle-mirrored like q_minhash_k16
@@ -302,6 +308,8 @@ object SparkEntry {
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),
     "q_ann_ivf" -> OracleSqlOps.annIvf(0L, 10, 2),
     "q_ann_ivf_idx" -> OracleSqlOps.annIvf(0L, 10, 2),
+    "q_ann_pq" -> OracleSqlOps.annPq(0L, 10),
+    "q_ann_ivfpq" -> OracleSqlOps.annIvfPq(0L, 10, 2),
     "q_embed_pairs" -> OracleSqlOps.similarPairs(20),
     "q_embed_pairs_w48" -> OracleSqlOps.similarPairs(20, CfgW48),
     "q_embed_cluster" -> OracleSqlOps.embedCluster(),

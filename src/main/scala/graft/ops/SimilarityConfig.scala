@@ -56,12 +56,29 @@ final case class SimilarityConfig(
       * key space is misconfigured for the corpus (or a huge exact-dup
       * cluster needs dedupExact first) — raise the rows/bits knobs rather
       * than this cap. */
-    bucketCap: Int = 4096) {
+    bucketCap: Int = 4096,
+    /** Product-quantization subspaces (must divide the embedding dim 64).
+      * Each vector compresses to pqM sub-codes — the corpus-sized ANN
+      * structure shrinks from dim doubles to pqM small ints per vector. */
+    pqM: Int = 8,
+    /** Codes per subspace codebook (≤ 256 keeps a code byte-sized at
+      * scale; the ADC lookup table is pqM × pqK integers). */
+    pqK: Int = 16,
+    /** Per-subspace Lloyd iterations for PQ codebook training. */
+    pqIters: Int = 3,
+    /** ADC candidate pool re-ranked with exact cosine (the refine step);
+      * recall@k is governed by pqRefine/k, IO by pqRefine point reads. */
+    pqRefine: Int = 50) {
   require(minHashK >= 2 && minHashK % 2 == 0, s"minHashK even >= 2 (got $minHashK)")
   require(lshBits % lshBands == 0, s"lshBands must divide lshBits ($lshBits/$lshBands)")
   /** Hyperplane bits per band — the embedding band key space is 2^lshRows. */
   def lshRows: Int = lshBits / lshBands
   require(lshRows <= 62, s"band key must fit a positive Long (rows=$lshRows)")
+  require(pqM > 0 && 64 % pqM == 0, s"pqM must divide dim 64 (got $pqM)")
+  require(pqK >= 2 && pqK <= 256, s"pqK in [2, 256] (got $pqK)")
+  require(pqRefine > 0, s"pqRefine must be positive (got $pqRefine)")
+  /** Dims per PQ subspace. */
+  def pqSub: Int = 64 / pqM
 }
 
 object SimilarityConfig {

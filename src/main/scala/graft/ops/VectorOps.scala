@@ -458,4 +458,285 @@ object VectorOps {
       .orderBy(desc("cos"), asc("a"), asc("b"))
       .limit(n)
   }
+
+  // ---- product quantization (PQ) ANN ----------------------------------------
+  //
+  // The vector-compression scale path (Jégou et al., "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011): split each Dim-vector into
+  // pqM subspaces of pqSub dims, train a pqK-entry codebook per subspace
+  // (per-subspace Lloyd over the milli-unit subvectors — integer
+  // arithmetic, so assignment decisions are bit-identical in Spark and the
+  // DuckDB oracle), and store each vector as pqM sub-codes. A query builds
+  // one pqM × pqK lookup table of integer subspace distances (ADC,
+  // asymmetric distance computation), scans CODES ONLY — pqM small ints
+  // per vector instead of Dim doubles, a 64× IO cut at Dim=64/pqM=8 —
+  // takes the pqRefine best candidates by (approx d², vec_id), and
+  // re-ranks just those with exact cosine against the full vectors.
+  //
+  // At 100 TB: the corpus-sized scan touches only the codes table, the
+  // LUT is pqM·pqK longs broadcast with the job, and the exact-refine
+  // step reads pqRefine full vectors by key — never the corpus.
+  // [[annIvfPq]] additionally coarse-partitions the codes by the IVF
+  // centroids so a query scans only the probed clusters' codes
+  // (materialized twin [[annIvfPqIndexed]] makes that partition pruning
+  // physical, like [[annIvfIndexed]]).
+
+  /** Per-subspace codebooks `cb(m)(k)(j)` in milli-units. Seeds: the
+    * subvector slices of the pqK smallest vec_ids (the oracle-expressible
+    * seed, same choice as [[trainCentroids]]); then `pqIters` Lloyd rounds
+    * of integer-L2 sub-assignment + round(avg) update (an empty cell
+    * keeps its previous entry). Only pqM·pqK·pqSub values ever reach the
+    * driver. */
+  private[graft] def trainPqCodebooks(vq: DataFrame,
+      cfg: SimilarityConfig = SimilarityConfig.Default): Array[Array[Array[Long]]] = {
+    val (m0, k0, sub) = (cfg.pqM, cfg.pqK, cfg.pqSub)
+    var cb: Array[Array[Array[Long]]] = {
+      val seeds = vq.orderBy("vec_id").limit(k0).select("qv").collect()
+        .map(_.getSeq[Long](0).toArray)
+      Array.tabulate(m0, seeds.length, sub)((m, k, j) => seeds(k)(m * sub + j))
+    }
+    if (cb.exists(_.isEmpty)) return cb // empty corpus: nothing to train
+    for (_ <- 1 to cfg.pqIters) {
+      val codes = pqCodesUdf(cb, cfg)
+      val updated = vq
+        .select(codes(col("qv")).as("codes"), posexplode(col("qv")).as(Seq("j0", "x")))
+        .select(floor(col("j0") / lit(sub)).cast("int").as("m"),
+          col("j0"), col("x"), col("codes"))
+        .select(col("m"), element_at(col("codes"), col("m") + 1).as("k"),
+          (col("j0") % lit(sub)).cast("int").as("j"), col("x"))
+        .groupBy("m", "k", "j").agg(round(avg("x"), 0).cast("long").as("c"))
+        .collect()
+        .map(r => (r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("j")) -> r.getAs[Long]("c"))
+        .toMap
+      cb = Array.tabulate(m0, cb(0).length, sub)((m, k, j) =>
+        updated.getOrElse((m, k, j), cb(m)(k)(j)))
+    }
+    cb
+  }
+
+  /** PQ sub-code assignment kernel: per subspace, the nearest codebook
+    * entry by integer L2 (ties → smaller code) — one tight loop over the
+    * broadcast pqM × pqK × pqSub matrix, same one-node-plan trade as
+    * [[nearestIdxUdf]]. */
+  private def pqCodesUdf(cb: Array[Array[Array[Long]]], cfg: SimilarityConfig) = {
+    val (m0, sub) = (cfg.pqM, cfg.pqSub)
+    udf { (qv: Seq[Long]) =>
+      Array.tabulate(m0) { m =>
+        val cbm = cb(m)
+        var best = Long.MaxValue
+        var bi = 0
+        var k = 0
+        while (k < cbm.length) {
+          val c = cbm(k)
+          var d = 0L
+          var j = 0
+          while (j < sub) { val g = qv(m * sub + j) - c(j); d += g * g; j += 1 }
+          if (d < best) { best = d; bi = k }
+          k += 1
+        }
+        bi
+      }
+    }
+  }
+
+  /** ADC score kernel: approx d² = Σ_m lut(m)(code_m) over the broadcast
+    * pqM × pqK lookup table. */
+  private def adcUdf(lut: Array[Array[Long]]) = udf { (codes: Seq[Int]) =>
+    var s = 0L
+    var m = 0
+    while (m < lut.length) { s += lut(m)(codes(m)); m += 1 }
+    s
+  }
+
+  /** ADC lookup table for a quantized query: integer L2 between each query
+    * subvector and each codebook entry (pqM·pqK values, driver-side). */
+  private def pqLut(tq: Array[Long], cb: Array[Array[Array[Long]]],
+                    cfg: SimilarityConfig): Array[Array[Long]] = {
+    val sub = cfg.pqSub
+    Array.tabulate(cb.length, cb(0).length) { (m, k) =>
+      var d = 0L
+      var j = 0
+      while (j < sub) { val g = tq(m * sub + j) - cb(m)(k)(j); d += g * g; j += 1 }
+      d
+    }
+  }
+
+  /** Trained-PQ cache: (quantized vectors, codebooks, codes) per dataset —
+    * codebooks are an index, trained once and served many times, like
+    * [[trained]]. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Array[Array[Array[Long]]], DataFrame)]()
+  private def pqTrained(spark: SparkSession, sfDir: String,
+      cfg: SimilarityConfig): (DataFrame, Array[Array[Array[Long]]], DataFrame) = {
+    val key = s"$sfDir#pq${cfg.pqM}x${cfg.pqK}x${cfg.pqIters}"
+    Option(pqCache.get(key)).foreach { case (cached, _, _) =>
+      if (cached.sparkSession.sparkContext.isStopped) pqCache.remove(key)
+    }
+    pqCache.computeIfAbsent(key, _ => {
+      val q = emb(spark, sfDir).withColumn("qv", quantize(col("e")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = trainPqCodebooks(q, cfg)
+      val codes = q.select(col("vec_id"), pqCodesUdf(cb, cfg)(col("qv")).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (q, cb, codes)
+    })
+  }
+
+  /** Flat PQ ANN: ADC scan over the codes table → pqRefine best candidates
+    * by (approx d², vec_id) → exact-cosine re-rank of just those. Output
+    * shape matches [[cosTopK]]; recall@k is tuned by cfg.pqRefine. */
+  def annPq(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
+            cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+    val (vq, cb, codes) = pqTrained(spark, sfDir, cfg)
+    val tqRow = vq.filter(col("vec_id") === targetId).select("qv").collect()
+    if (tqRow.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
+    val lut = pqLut(tqRow.head.getSeq[Long](0).toArray, cb, cfg)
+    val cand = codes
+      .select(col("vec_id"), adcUdf(lut)(col("codes")).as("d2"))
+      .orderBy(asc("d2"), asc("vec_id")).limit(cfg.pqRefine)
+      .select("vec_id")
+    val q = emb(spark, sfDir).filter(col("vec_id") === targetId)
+      .select(col("e").as("qe"))
+    emb(spark, sfDir).join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineSim(col("e"), col("qe")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ ANN: the coarse IVF assignment ([[embedCluster]]'s centroids)
+    * prunes to the `nprobe` nearest clusters, the ADC scan runs over only
+    * the probed clusters' codes, and the exact refine re-ranks the
+    * pqRefine survivors. Codebooks are global (no residual encoding —
+    * documented simplification; residual PQ would break the SQL-oracle
+    * parity that pins this op). */
+  def annIvfPq(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
+               nprobe: Int,
+               cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+    val (vq, cents) = trained(spark, sfDir, cfg)
+    val (_, cb, codes) = pqTrained(spark, sfDir, cfg)
+    val tqRow = vq.filter(col("vec_id") === targetId).select("qv").collect()
+    if (tqRow.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
+    val tq = tqRow.head.getSeq[Long](0).toArray
+    val probed = cents.zipWithIndex.map { case (c, kk) =>
+      val d = (0 until Dim).map(j => { val g = tq(j) - c(j); g * g }).sum
+      (d, kk)
+    }.sorted.take(nprobe).map(_._2).toSeq
+    val lut = pqLut(tq, cb, cfg)
+    val cand = vq.withColumn("kc", assignK(col("qv"), cents))
+      .filter(col("kc").isin(probed: _*))
+      .join(codes, Seq("vec_id"))
+      .select(col("vec_id"), adcUdf(lut)(col("codes")).as("d2"))
+      .orderBy(asc("d2"), asc("vec_id")).limit(cfg.pqRefine)
+      .select("vec_id")
+    val q = emb(spark, sfDir).filter(col("vec_id") === targetId)
+      .select(col("e").as("qe"))
+    emb(spark, sfDir).join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineSim(col("e"), col("qe")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Build the MATERIALIZED IVF-PQ index under `dir`:
+    *
+    *   codebooks/  (m, k, c: array<bigint>)      — pqM·pqK sub-centroids
+    *   codes/      (vec_id, codes: array<int>)   — Hive-partitioned by
+    *               `kc=<coarse cluster>`, vec_id-sorted within files
+    *
+    * plus the [[buildIvf]] layout (centroids/ + full vectors/ partitioned
+    * by k) that the refine step point-reads. The ADC scan of a query
+    * reads ONLY the probed `kc=` code partitions — partition pruning over
+    * a table already 64× smaller than the vectors. */
+  def buildPq(spark: SparkSession, sfDir: String, dir: String,
+              cfg: SimilarityConfig = SimilarityConfig.Default): Unit = {
+    import spark.implicits._
+    val (vq, cents) = trained(spark, sfDir, cfg)
+    val (_, cb, codes) = pqTrained(spark, sfDir, cfg)
+    cb.zipWithIndex.flatMap { case (cbm, m) =>
+      cbm.zipWithIndex.map { case (c, k) => (m, k, c.toSeq) }
+    }.toSeq.toDF("m", "k", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    vq.withColumn("kc", assignK(col("qv"), cents))
+      .join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("kc"))
+      .repartition(col("kc"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("kc").parquet(s"$dir/codes")
+  }
+
+  /** Built-PQ cache, like [[ivfDirs]]. */
+  private val pqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqDir(spark: SparkSession, sfDir: String,
+                    cfg: SimilarityConfig): String = {
+    val key = s"$sfDir#pqidx${cfg.pqM}x${cfg.pqK}x${cfg.pqIters}" +
+      s"#ivf${cfg.kmeansK}x${cfg.kmeansIters}"
+    pqDirs.computeIfAbsent(key, _ => {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_pq_${Integer.toHexString(key.hashCode)}"
+      buildPq(spark, sfDir, dir, cfg)
+      dir
+    })
+  }
+
+  /** IVF-PQ over the MATERIALIZED index: centroids + codebooks are point
+    * reads (K·Dim and pqM·pqK·pqSub values), the ADC scan reads only the
+    * probed `kc=` code partitions (partition pruning, pinned by PlanSpec),
+    * and the refine reads the pqRefine candidate vectors from the probed
+    * `k=` vector partitions. Results are identical to [[annIvfPq]] (same
+    * centroids, codebooks, assignments and tie-breaks); only the physical
+    * plan differs. Per-query IO: probed-codes + pqRefine full vectors —
+    * at no point does anything corpus-sized move. */
+  def annIvfPqIndexed(spark: SparkSession, sfDir: String, targetId: Long,
+                      k: Int, nprobe: Int,
+                      cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
+    val vdir = ivfDir(spark, sfDir, cfg) // centroids + full vectors (refine)
+    val cdir = pqDir(spark, sfDir, cfg) // codebooks + coarse-partitioned codes
+    val cents: Array[Array[Long]] = spark.read.parquet(s"$vdir/centroids")
+      .orderBy("k").collect().map(_.getSeq[Long](1).toArray)
+    val cb: Array[Array[Array[Long]]] = {
+      val rows = spark.read.parquet(s"$cdir/codebooks")
+        .orderBy("m", "k").collect()
+      val m0 = rows.iterator.map(_.getAs[Int]("m")).max + 1
+      val k0 = rows.length / m0
+      val a = Array.ofDim[Array[Long]](m0, k0)
+      rows.foreach(r => a(r.getAs[Int]("m"))(r.getAs[Int]("k")) =
+        r.getSeq[Long](2).toArray)
+      a
+    }
+    val vecs = spark.read.parquet(s"$vdir/vectors")
+    val tRow = vecs.filter(col("vec_id") === targetId).select("e").collect()
+    if (tRow.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
+    val te = tRow.head.getSeq[Double](0).toArray
+    val tq = te.map(x => BigDecimal(x * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val probed = cents.zipWithIndex.map { case (c, kk) =>
+      val d = (0 until Dim).map(j => { val g = tq(j) - c(j); g * g }).sum
+      (d, kk)
+    }.sorted.take(nprobe).map(_._2).toSeq
+    val lut = pqLut(tq, cb, cfg)
+    // ADC candidates stay a (tiny, ≤ pqRefine) DataFrame broadcast into
+    // the refine join — no driver roundtrip, and the one returned plan
+    // carries BOTH pruned scans (codes + vectors) for the PlanSpec pins
+    val cand = spark.read.parquet(s"$cdir/codes")
+      .filter(col("kc").isin(probed: _*)) // partition pruning: probed codes only
+      .select(col("vec_id"), adcUdf(lut)(col("codes")).as("d2"))
+      .orderBy(asc("d2"), asc("vec_id")).limit(cfg.pqRefine)
+      .select("vec_id")
+    vecs.filter(col("k").isin(probed: _*)) // partition pruning: probed vectors only
+      .join(broadcast(cand), Seq("vec_id"))
+      .select(col("vec_id"),
+        round(cosineSim(col("e"), typedLit(te.toSeq)), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
 }

@@ -574,6 +574,105 @@ object OracleSqlOps {
        |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** Product-quantization CTE chain mirroring VectorOps.trainPqCodebooks +
+    * the final code assignment: seed codebook entry (m, k) = subspace-m
+    * slice of the k-th smallest vec_id; `pqIters` Lloyd rounds of
+    * integer-L2 sub-assignment (ties → smaller code) + round(avg) update
+    * (empty cell keeps its entry); `pcfin` = final codebooks (long format
+    * (m, k, j, cj)), `pafin` = final sub-codes (vec_id, m, k). */
+  private def pqCtes(cfg: graft.ops.SimilarityConfig): String = {
+    val (m0, k0, sub, iters) = (cfg.pqM, cfg.pqK, cfg.pqSub, cfg.pqIters)
+    val sb = new StringBuilder
+    sb.append(
+      s"""pc0 AS (
+         |  SELECT m.m AS m, s.rn - 1 AS k, j.j AS j, s.q[m.m * $sub + j.j] AS cj
+         |  FROM (SELECT q, row_number() OVER (ORDER BY vec_id) AS rn FROM qv) s
+         |  CROSS JOIN range(0, $m0) m(m) CROSS JOIN range(1, ${sub + 1}) j(j)
+         |  WHERE s.rn <= $k0)""".stripMargin)
+    def distAssign(n: Int, cPrev: String): String =
+      s""",
+         |pd$n AS (SELECT v.vec_id, c.m, c.k,
+         |    sum((v.q[c.m * $sub + c.j] - c.cj) * (v.q[c.m * $sub + c.j] - c.cj)) AS d
+         |  FROM qv v CROSS JOIN $cPrev c GROUP BY 1, 2, 3),
+         |pa$n AS (SELECT vec_id, m, k FROM (
+         |  SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+         |  FROM pd$n) WHERE rn = 1)""".stripMargin
+    for (it <- 1 to iters) {
+      sb.append(distAssign(it, s"pc${it - 1}"))
+      sb.append(
+        s""",
+           |pu$it AS (SELECT a.m, a.k, j.j AS j,
+           |    CAST(round(avg(v.q[a.m * $sub + j.j])) AS BIGINT) AS cj
+           |  FROM pa$it a JOIN qv v ON v.vec_id = a.vec_id
+           |  CROSS JOIN range(1, ${sub + 1}) j(j) GROUP BY 1, 2, 3),
+           |pc$it AS (SELECT cp.m, cp.k, cp.j, coalesce(nu.cj, cp.cj) AS cj
+           |  FROM pc${it - 1} cp LEFT JOIN pu$it nu
+           |    ON nu.m = cp.m AND nu.k = cp.k AND nu.j = cp.j)""".stripMargin)
+    }
+    sb.append(distAssign(iters + 1, s"pc$iters"))
+    sb.append(s",\npcfin AS (SELECT * FROM pc$iters),\npafin AS (SELECT * FROM pa${iters + 1})")
+    sb.toString
+  }
+
+  /** ADC + exact-refine tail shared by [[annPq]] and [[annIvfPq]]:
+    * `padc` must exist as (vec_id, d2). */
+  private def pqRefineTail(targetId: Long, k: Int, refine: Int): String =
+    s"""pcand AS (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn FROM padc)
+       |  WHERE rn <= $refine),
+       |pqe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
+       |pcx AS (
+       |  SELECT v.vec_id,
+       |    ${cosAgg("v.embedding[i.i]", "t.qe[i.i]")}
+       |  FROM embeddings v JOIN pcand p ON p.vec_id = v.vec_id
+       |  CROSS JOIN pqe t CROSS JOIN range(1, 65) i(i)
+       |  GROUP BY v.vec_id)
+       |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM pcx
+       |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
+
+  /** Mirror of VectorOps.annPq: flat PQ — ADC over all codes against the
+    * query LUT, pqRefine candidates by (d2, vec_id), exact-cosine refine. */
+  def annPq(targetId: Long, k: Int,
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String = {
+    val sub = cfg.pqSub
+    s"""WITH $quantCte,
+       |${pqCtes(cfg)},
+       |ptq AS (SELECT q FROM qv WHERE vec_id = $targetId),
+       |plut AS (SELECT c.m, c.k,
+       |    sum((t.q[c.m * $sub + c.j] - c.cj) * (t.q[c.m * $sub + c.j] - c.cj)) AS d
+       |  FROM pcfin c CROSS JOIN ptq t GROUP BY 1, 2),
+       |padc AS (SELECT a.vec_id, sum(l.d) AS d2
+       |  FROM pafin a JOIN plut l ON l.m = a.m AND l.k = a.k GROUP BY 1),
+       |${pqRefineTail(targetId, k, cfg.pqRefine)}""".stripMargin
+  }
+
+  /** Mirror of VectorOps.annIvfPq / annIvfPqIndexed: the coarse k-means
+    * assignment (kmeansCtes) prunes to the nprobe nearest clusters, ADC
+    * runs over only the probed clusters' codes, exact refine re-ranks. */
+  def annIvfPq(targetId: Long, k: Int, nprobe: Int,
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String = {
+    require(!cfg.kmeansParSeeding,
+      "oracle SQL mirrors the naive vec_id seed only (k-means‖ is spec-verified, not SQL-expressible)")
+    val sub = cfg.pqSub
+    s"""WITH $quantCte,
+       |${kmeansCtes(cfg.kmeansK, cfg.kmeansIters)},
+       |${pqCtes(cfg)},
+       |ptq AS (SELECT q FROM qv WHERE vec_id = $targetId),
+       |cpd AS (SELECT c.k, sum((t.q[i.i] - c.c[i.i]) * (t.q[i.i] - c.c[i.i])) AS d
+       |  FROM cfin c CROSS JOIN ptq t CROSS JOIN range(1, 65) i(i) GROUP BY 1),
+       |probed AS (SELECT k FROM (
+       |  SELECT k, row_number() OVER (ORDER BY d, k) AS rn FROM cpd) WHERE rn <= $nprobe),
+       |plut AS (SELECT c.m, c.k,
+       |    sum((t.q[c.m * $sub + c.j] - c.cj) * (t.q[c.m * $sub + c.j] - c.cj)) AS d
+       |  FROM pcfin c CROSS JOIN ptq t GROUP BY 1, 2),
+       |padc AS (SELECT a.vec_id, sum(l.d) AS d2
+       |  FROM pafin a
+       |  JOIN afin f ON f.vec_id = a.vec_id
+       |  JOIN probed p ON p.k = f.k
+       |  JOIN plut l ON l.m = a.m AND l.k = a.k GROUP BY 1),
+       |${pqRefineTail(targetId, k, cfg.pqRefine)}""".stripMargin
+  }
+
   /** Random-hyperplane LSH candidates + exact-cosine verify; the ±1
     * hyperplane family is the same closed-form LCG as VectorOps.hpSign. */
   def similarPairs(n: Int,

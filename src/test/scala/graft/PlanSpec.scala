@@ -260,6 +260,39 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b, s"indexed IVF diverged from annIvf:\n$a\nvs\n$b")
   }
 
+  test("annIvfPqIndexed prunes BOTH scans (codes + vectors) to probed partitions") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.ops.VectorOps.annIvfPqIndexed(spark, sf, 0L, 10, 2)
+    // the broadcast side sits under an AdaptiveSparkPlanExec / QueryStage
+    // wrapper whose children are Nil — recurse through the wrappers
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    val scans = scansOf(df.queryExecution.executedPlan)
+    // identify scans by their data columns: the partition column (kc/k)
+    // is consumed by the pruning and absent from the scan output
+    val codesScan = scans.find(_.output.exists(_.name == "codes"))
+      .getOrElse(fail("no scan of the kc-partitioned codes table"))
+    val vecScan = scans.find(_.output.exists(_.name == "e"))
+      .getOrElse(fail("no scan of the k-partitioned vectors table"))
+    for ((scan, label) <- Seq((codesScan, "codes"), (vecScan, "vectors"))) {
+      assert(scan.partitionFilters.nonEmpty,
+        s"$label: probe filter must prune partitions, not filter rows")
+      assert(scan.selectedPartitions.partitionCount <= 2,
+        s"$label: nprobe=2 must read ≤ 2 cluster partitions, " +
+          s"read ${scan.selectedPartitions.partitionCount}")
+    }
+    // the ADC candidate set enters the refine as a broadcast, never a shuffle
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "refine join must broadcast the ≤ pqRefine candidate ids")
+  }
+
   test("timeTopK adds NO shuffle — broadcast stats row + bounded heap") {
     val sf = "/root/testdata/sf0.001"
     val base = hashExchanges(graft.ops.DocQueries.scoreAll(spark, sf, "fast query join"))
