@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.analysis.Analyzer
-import graft.ops.{DocQueries, TextOps, VectorOps, Multimodal, EventOps}
+import graft.ops.{BpeOps, DocQueries, TextOps, VectorOps, Multimodal, EventOps}
 import graft.oracle.{OracleSql, OracleSqlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -157,6 +157,12 @@ object SparkEntry {
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_token_pieces" -> ((s, d) => TextOps.tokenPieces(s, d)),
+    // learned-subword token budget: BPE merges trained on THIS corpus
+    // (one corpus pass + vocab-sized merge rounds), then applied per doc.
+    // No SQL oracle — iterative argmax training is not SQL-expressible;
+    // the merge semantics are pinned by BpeSpec's from-scratch reference
+    // (driver records the rows-only check, like q_mmr/q_stem_topk)
+    "q_bpe_pieces" -> ((s, d) => BpeOps.bpePieceCount(s, d, 30, 2L)),
     "q_langid" -> ((s, d) => TextOps.langId(s, d)),
     "q_quality" -> ((s, d) => TextOps.quality(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
@@ -181,6 +187,10 @@ object SparkEntry {
     "q_pack" -> ((s, d) => TextOps.packChunks(s, d, 64, 48, 256L)),
     // deduplication family
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    // exact-substring dedup: maximal repeated ≥8-token spans (shingle
+    // approximation of suffix-array substring dedup — two shingle-keyed
+    // shuffles + one doc-keyed window, never all-pairs)
+    "q_substr_dup" -> ((s, d) => TextOps.substrDupSpans(s, d, 8)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
     "q_simhash_pairs" -> ((s, d) => TextOps.simHashPairs(s, d, 3)),
     // precision stage after banded recall: true edit distance ≤ 32 on
@@ -297,6 +307,7 @@ object SparkEntry {
     "q_near_edit" -> OracleSqlOps.nearDupEdit(3, 32),
     "q_dedup_incr" -> OracleSqlOps.dedupIncremental(10L, 3L),
     "q_dedup_exact" -> OracleSqlOps.dedupExact,
+    "q_substr_dup" -> OracleSqlOps.substrDupSpans(8),
     "q_simhash" -> OracleSqlOps.simHash,
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),
     "q_minhash_pairs" -> OracleSqlOps.minHashPairs(),

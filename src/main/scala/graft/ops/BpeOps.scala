@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge learning and application — the
+  * subword-tokenizer-training step of an LLM data pipeline (Sennrich et
+  * al. 2016's algorithm, re-shaped for Spark).
+  *
+  * Scale shape: the CORPUS is touched exactly once (one hash-partitioned
+  * groupBy producing the (word, count) vocabulary); every merge round
+  * after that runs over the VOCABULARY, which is Heaps'-law bounded
+  * (~10^7-10^8 distinct words at 100 TB — a few GB as symbol arrays,
+  * comfortably distributed, never driver-resident). Each round is one
+  * map-side pair explode + partial-agg count + a 1-ROW TakeOrdered to the
+  * driver (the argmax pair — the same bounded-scalar round-trip as the
+  * connected-components label sums), then a map applying the merge.
+  * Lineage is cut every round with an eager localCheckpoint exactly like
+  * [[TextOps.connectedComponentsStar]], so the iterate's plan stays O(1)
+  * deep regardless of merge count.
+  *
+  * Semantics (pinned by BpeSpec against a from-scratch driver-side
+  * reference): symbols start as single characters of each raw token (no
+  * end-of-word marker); each round merges the pair with the highest
+  * corpus-weighted adjacent-occurrence count (overlaps included — "aaa"
+  * contributes 2 to (a,a)), ties broken by UTF-8 byte order on
+  * (left, right); replacement is greedy left-to-right within each word;
+  * training stops early when the best pair's count drops below
+  * `minCount`. Output: one row per learned merge,
+  * (rank, left, right, cnt), ordered by rank.
+  */
+object BpeOps {
+
+  private val rawToksUdf = udf((t: String) => Analyzer.tokenizeRaw(t))
+
+  /** (word, n) corpus word counts — the single corpus-scale pass. */
+  private def wordCounts(source: DataFrame): DataFrame =
+    source
+      .select(explode(rawToksUdf(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Replace every greedy left-to-right occurrence of (l, r) in `syms`. */
+  private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn up to `numMerges` BPE merges over the documents table. Pair
+    * counting includes overlaps (a run "aaaa" contributes 3 to (a,a) even
+    * though only 2 slots can merge) — exactly the classic implementation's
+    * accounting, matched by the BpeSpec reference; replacement stays
+    * greedy left-to-right. */
+  def bpeTrain(spark: SparkSession, sfDir: String,
+               numMerges: Int = 30, minCount: Long = 2L): DataFrame =
+    bpeTrainOver(spark.read.parquet(s"$sfDir/documents.parquet"), numMerges, minCount)
+
+  private[graft] def bpeTrainOver(source: DataFrame, numMerges: Int,
+                                  minCount: Long): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    // vocabulary as (symbols, weight); lineage cut immediately so merge
+    // rounds never re-read the corpus
+    var vocab: Dataset[(Array[String], Long)] = wordCounts(source)
+      .as[(String, Long)]
+      .map { case (w, n) => (w.toCharArray.map(_.toString), n) }
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // one vocab-sized round: explode adjacent pairs (map-side), count
+      // (partial agg), take the 1-row argmax — UTF-8 tie-break matches the
+      // engine's sort order (Spark compares strings as UTF-8 bytes)
+      val top = vocab.flatMap { case (syms, n) =>
+          var i = 0
+          val out = new scala.collection.mutable.ArrayBuffer[((String, String), Long)](
+            math.max(0, syms.length - 1))
+          while (i < syms.length - 1) { out += (((syms(i), syms(i + 1)), n)); i += 1 }
+          out
+        }
+        .toDF("p", "n")
+        .groupBy(col("p._1").as("l"), col("p._2").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case Some((l, r, cnt)) if cnt >= minCount =>
+          merges += ((rank, l, r, cnt))
+          rank += 1
+          vocab = vocab
+            .map { case (syms, n) => (applyMerge(syms, l, r), n) }
+            .localCheckpoint(true) // eager: cut the per-round lineage
+        case _ => done = true
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "cnt").orderBy("rank")
+  }
+
+  /** Segment a word with a learned merge table: apply merges in rank
+    * order (the classic greedy decoder). `ranked` = (left, right) in
+    * rank order. */
+  private[graft] def segmentWord(word: String, ranked: Seq[(String, String)]): Array[String] = {
+    var syms = word.toCharArray.map(_.toString)
+    ranked.foreach { case (l, r) => if (syms.length > 1) syms = applyMerge(syms, l, r) }
+    syms
+  }
+
+  /** (doc_id, n_bpe) — corpus token-budget measurement under the learned
+    * subword vocabulary: per-doc piece count after applying `merges`
+    * (from [[bpeTrain]]) to every raw token. The merge table is
+    * rank-bounded and broadcast inside the UDF closure — the corpus side
+    * is one map-side pass, no shuffle beyond the output ordering. */
+  def bpePieceCount(spark: SparkSession, sfDir: String,
+                    numMerges: Int = 30, minCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val ranked = bpeTrain(spark, sfDir, numMerges, minCount)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val nUdf = udf((t: String) =>
+      Analyzer.tokenizeRaw(t).map(w => segmentWord(w, ranked).length.toLong).sum)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), nUdf(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+}

@@ -812,4 +812,69 @@ object TextOps {
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
   }
+
+  /** Exact-substring duplicate spans — the token-level dedup primitive of
+    * the training-data literature (remove every substring of ≥ n tokens
+    * that appears more than once in the corpus), re-expressed for Spark
+    * without the canonical suffix array: each doc's n-token shingles are
+    * keyed by a fixed-width MD5 (an O(n·token)-byte string key would
+    * dominate the shuffle at scale — same rationale as [[dedupExact]]),
+    * duplicated keys are found by ONE hash-partitioned count and the
+    * occurrences restricted by a semi-join that REUSES that same
+    * partitioning (co-partitioned on `key`: Catalyst plans the agg and the
+    * join on one Exchange), and a doc_id-partitioned gaps-and-islands
+    * window merges overlapping-or-adjacent duplicated shingle intervals
+    * [pos, pos+n) into maximal spans. Nothing is all-pairs, no global
+    * sort, no driver-side state: at 100 TB this is two shingle-keyed
+    * shuffles plus one doc-keyed window — the same shape as the
+    * MinHash-LSH family above.
+    *
+    * Semantics: a span is the maximal union of overlapping-or-touching
+    * duplicated n-shingle intervals (the standard shingle approximation
+    * of suffix-array exact-substring dedup: every emitted span starts and
+    * ends with corpus-repeated n-grams; a repeat shorter than n tokens is
+    * below the dedup threshold by definition). Within-doc repeats count —
+    * "more than once in the corpus" includes twice in one document.
+    * Output: (doc_id, span_start, span_end, span_len) in token units,
+    * span_end exclusive, ordered (doc_id, span_start).
+    */
+  def substrDupSpans(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
+    substrDupSpansOver(docs(spark, sfDir), n)
+
+  private[graft] def substrDupSpansOver(source: DataFrame, n: Int): DataFrame = {
+    // shingle key: md5 over tokens joined by 0x1F (unit separator — cannot
+    // appear inside a [letter/digit]+ token, so joins are unambiguous)
+    val sh = source
+      .select(col("doc_id"), rawToksUdf(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - n),
+        i => struct(
+          i.cast("long").as("pos"),
+          md5(encode(concat_ws("\u001f", slice(col("ts"), i + 1, lit(n))), "UTF-8")).as("key"))
+      )).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.key").as("key"))
+    val dupKeys = sh.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("key")
+    val occ = sh.join(dupKeys, Seq("key"), "left_semi")
+    // gaps-and-islands: intervals all have length n and arrive sorted by
+    // pos within each doc, so "overlaps or touches the running span" is
+    // exactly pos ≤ lag(pos) + n
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    occ
+      .withColumn("nf",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byDoc) + n,
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("nf")).over(run))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -789,4 +789,33 @@ object OracleSqlOps {
        |  CAST(sum(mv) AS DOUBLE) / 10000 AS sum_value
        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Mirror of TextOps.substrDupSpans: n-token shingles keyed by md5 over
+    * chr(31)-joined tokens, duplicated keys (count > 1 corpus-wide,
+    * within-doc repeats included), gaps-and-islands merge of the
+    * overlapping-or-touching [pos, pos+n) intervals per doc. The lag
+    * coalesce sentinel is Long.MinValue so the first occurrence in a doc
+    * always opens a span (pos ≥ 0 > MinValue is vacuously true). */
+  def substrDupSpans(n: Int): String =
+    s"""WITH arrs AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+       |      i -> {'pos': i - 1, 'key': md5(array_to_string(a[i:i+$n-1], chr(31)))})) AS s
+       |  FROM arrs WHERE len(a) >= $n),
+       |sh AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.key AS key FROM sh0),
+       |dup AS (SELECT key FROM sh GROUP BY key HAVING count(*) > 1),
+       |occ AS (SELECT doc_id, pos FROM sh WHERE key IN (SELECT key FROM dup)),
+       |fl AS (SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $n,
+       |                                  -9223372036854775808) THEN 1 ELSE 0 END AS nf
+       |       FROM occ),
+       |g AS (SELECT doc_id, pos,
+       |        sum(nf) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+       |      FROM fl)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $n AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $n - min(pos) AS BIGINT) AS span_len
+       |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
 }

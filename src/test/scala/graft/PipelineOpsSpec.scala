@@ -372,4 +372,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture corpus should have cross-batch collisions")
     assert(got == want)
   }
+
+  test("substrDupSpans: cross-doc repeat, within-doc repeat, interval merge, sub-threshold miss") {
+    // tokens t0..t29 are all distinct; the repeated phrase is p0..p9
+    def toks(xs: Seq[String]) = xs.mkString(" ")
+    val phrase = (0 until 10).map(i => s"p$i") // 10 tokens ≥ n=8
+    val uniq = (i: Int, k: Int) => (i until i + k).map(j => s"u${j}x")
+    val docs = Seq(
+      // doc 0: phrase at positions 5..15 (cross-doc repeat with doc 1)
+      (0L, toks(uniq(0, 5) ++ phrase ++ uniq(5, 5))),
+      // doc 1: the same phrase TWICE, back to back at 3..13 and 13..23 —
+      // the two repeats' shingle intervals touch, must merge to one span
+      (1L, toks(uniq(100, 3) ++ phrase ++ phrase ++ uniq(103, 4))),
+      // doc 2: a 7-token repeat of doc 0's tail — below n=8, no span
+      (2L, toks(uniq(200, 6) ++ phrase.take(7) ++ uniq(206, 6))),
+      // doc 3: all unique — no span
+      (3L, toks(uniq(300, 20)))
+    ).toDF("doc_id", "text")
+    val got = TextOps.substrDupSpansOver(docs, 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 0: shingles at pos 5,6,7 are repeated (phrase windows fully
+    // inside p0..p9) → span [5, 15)
+    // doc 1: phrase×2 = p0..p9 p0..p9 at 3..23; every 8-window inside the
+    // 20-token repeated block occurs elsewhere (doc 0 or the other copy);
+    // the mixed windows spanning the seam (…p9 p0…) occur ONCE in the
+    // corpus — but their intervals overlap the pure windows' intervals
+    // only if duplicated, which they are not, so the span is the union of
+    // duplicated windows: pos 3..15 → [3, 23)
+    val d0 = got.filter(_._1 == 0L)
+    assert(d0 == Seq((0L, 5L, 15L, 10L)), s"doc0 got $d0")
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.size == 1 && d1.head._2 == 3L && d1.head._3 == 23L, s"doc1 got $d1")
+    assert(!got.exists(_._1 == 2L), s"doc2 span below threshold: $got")
+    assert(!got.exists(_._1 == 3L), s"doc3 has no repeats: $got")
+  }
 }

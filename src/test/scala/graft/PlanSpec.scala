@@ -200,6 +200,25 @@ class PlanSpec extends AnyFunSuite {
       s"non-sort Exchange in chunks plan: $shuffles")
   }
 
+  test("substrDupSpans: shingle-keyed shuffles + doc-partitioned window, never all-pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.ops.TextOps.substrDupSpans(spark, sf, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs operator in substrDupSpans plan:\n${plan.take(3000)}")
+    // every hash shuffle is on the shingle key or the doc id — nothing
+    // shuffles the corpus on a surprise column
+    val hashEx = "(?m)^.*Exchange hashpartitioning\\(([a-zA-Z_]+)#.*$".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(hashEx.nonEmpty && hashEx.forall(k => k == "key" || k == "doc_id"),
+      s"unexpected shuffle keys $hashEx in:\n${plan.take(3000)}")
+    // the span merge is a doc_id-PARTITIONED window (scale-safe), never
+    // the unbounded single-partition form
+    assert("(?m)Window .*\\[doc_id#".r.findFirstIn(plan).isDefined ||
+      "windowspecdefinition\\(doc_id#".r.findFirstIn(plan).isDefined,
+      s"window not partitioned by doc_id in:\n${plan.take(3000)}")
+  }
+
   test("asOf: ONE user-keyed shuffle + window sweep — never a quadratic range join") {
     val plan = graft.ops.EventOps.asOf(spark, "/root/testdata/sf0.001", "purchase")
       .queryExecution.executedPlan.toString
