@@ -191,6 +191,9 @@ object SparkEntry {
     // approximation of suffix-array substring dedup — two shingle-keyed
     // shuffles + one doc-keyed window, never all-pairs)
     "q_substr_dup" -> ((s, d) => TextOps.substrDupSpans(s, d, 8)),
+    // its end product: the corpus with duplicated spans removed (fully-
+    // duplicated docs drop out entirely)
+    "q_substr_apply" -> ((s, d) => TextOps.substrDedupApply(s, d, 8)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
     "q_simhash_pairs" -> ((s, d) => TextOps.simHashPairs(s, d, 3)),
     // precision stage after banded recall: true edit distance ≤ 32 on
@@ -308,6 +311,7 @@ object SparkEntry {
     "q_dedup_incr" -> OracleSqlOps.dedupIncremental(10L, 3L),
     "q_dedup_exact" -> OracleSqlOps.dedupExact,
     "q_substr_dup" -> OracleSqlOps.substrDupSpans(8),
+    "q_substr_apply" -> OracleSqlOps.substrDedupApply(8),
     "q_simhash" -> OracleSqlOps.simHash,
     "q_simhash_pairs" -> OracleSqlOps.simHashPairs(3),
     "q_minhash_pairs" -> OracleSqlOps.minHashPairs(),

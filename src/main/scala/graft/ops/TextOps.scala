@@ -877,4 +877,42 @@ object TextOps {
         (col("span_end") - col("span_start")).as("span_len"))
       .orderBy("doc_id", "span_start")
   }
+
+  /** Exact-substring dedup END PRODUCT: the corpus with every duplicated
+    * span (from [[substrDupSpans]]) removed, as
+    * (doc_id, clean_text, n_kept) — clean_text = the surviving raw tokens
+    * joined by single spaces, n_kept their count. Docs that analyze to
+    * zero tokens vanish (nothing to keep or drop), and so do docs whose
+    * EVERY token sits inside a duplicated span — the degenerate whole-doc
+    * duplicate drops out entirely (the SQL mirror's unnest + group-by
+    * behaves identically).
+    *
+    * Scale shape: tokens explode map-side; the span filter is a LEFT ANTI
+    * join on the doc_id EQUI key with the bounded [start, end) range as a
+    * residual condition — spans per doc are few, so the per-doc merge is
+    * linear — and the per-doc reassembly groupBy REUSES the join's
+    * doc_id partitioning (no extra Exchange). Total: one doc-keyed
+    * shuffle per side of the anti join, nothing all-pairs, nothing
+    * driver-side. */
+  def substrDedupApply(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
+    substrDedupApplyOver(docs(spark, sfDir), n)
+
+  private[graft] def substrDedupApplyOver(source: DataFrame, n: Int): DataFrame = {
+    val toks = source
+      .select(col("doc_id"), posexplode(rawToksUdf(col("text"))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
+    val spans = substrDupSpansOver(source, n)
+      .select(col("doc_id").as("s_doc_id"), col("span_start"), col("span_end"))
+    val kept = toks.join(spans,
+      col("doc_id") === col("s_doc_id") &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"),
+      "left_anti")
+    kept
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term")))).as("ts"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("ts"), t => t.getField("term"))).as("clean_text"),
+        size(col("ts")).cast("long").as("n_kept"))
+      .orderBy("doc_id")
+  }
 }

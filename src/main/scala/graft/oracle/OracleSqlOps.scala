@@ -818,4 +818,40 @@ object OracleSqlOps {
        |  CAST(max(pos) + $n AS BIGINT) AS span_end,
        |  CAST(max(pos) + $n - min(pos) AS BIGINT) AS span_len
        |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+
+  /** Mirror of TextOps.substrDedupApply: the substrDupSpans CTEs, then
+    * positions NOT covered by any span reassemble into clean_text
+    * (space-joined, position order). Token-less and fully-duplicated docs
+    * drop out of the group-by exactly like the Spark side. */
+  def substrDedupApply(n: Int): String =
+    s"""WITH arrs AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(a) - $n + 2),
+       |      i -> {'pos': i - 1, 'key': md5(array_to_string(a[i:i+$n-1], chr(31)))})) AS s
+       |  FROM arrs WHERE len(a) >= $n),
+       |sh AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.key AS key FROM sh0),
+       |dup AS (SELECT key FROM sh GROUP BY key HAVING count(*) > 1),
+       |occ AS (SELECT doc_id, pos FROM sh WHERE key IN (SELECT key FROM dup)),
+       |fl AS (SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $n,
+       |                                  -9223372036854775808) THEN 1 ELSE 0 END AS nf
+       |       FROM occ),
+       |g AS (SELECT doc_id, pos,
+       |        sum(nf) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+       |      FROM fl),
+       |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + $n AS span_end
+       |          FROM g GROUP BY doc_id, grp),
+       |t0 AS (SELECT doc_id, unnest(list_transform(range(1, len(a) + 1),
+       |         i -> {'pos': i - 1, 'term': a[i]})) AS t
+       |       FROM arrs WHERE len(a) >= 1),
+       |toks AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.term AS term FROM t0),
+       |kept AS (SELECT tk.doc_id, tk.pos, tk.term FROM toks tk
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |                           WHERE s.doc_id = tk.doc_id
+       |                             AND tk.pos >= s.span_start AND tk.pos < s.span_end))
+       |SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+       |  CAST(count(*) AS BIGINT) AS n_kept
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -406,4 +406,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 2L), s"doc2 span below threshold: $got")
     assert(!got.exists(_._1 == 3L), s"doc3 has no repeats: $got")
   }
+
+  test("substrDedupApply removes exactly the span tokens; whole-doc duplicates vanish") {
+    def toks(xs: Seq[String]) = xs.mkString(" ")
+    val phrase = (0 until 10).map(i => s"p$i")
+    val uniq = (i: Int, k: Int) => (i until i + k).map(j => s"u${j}x")
+    val docs = Seq(
+      (0L, toks(uniq(0, 5) ++ phrase ++ uniq(5, 5))),  // span [5,15) removed
+      (1L, toks(phrase)),                              // whole doc duplicated → vanishes
+      (2L, toks(phrase)),                              // its twin → vanishes
+      (3L, toks(uniq(300, 12)))                        // untouched
+    ).toDF("doc_id", "text")
+    val got = TextOps.substrDedupApplyOver(docs, 8)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(0L, 3L), s"got ids ${got.map(_._1)}")
+    assert(got.head == ((0L, toks(uniq(0, 5) ++ uniq(5, 5)), 10L)), s"doc0 got ${got.head}")
+    assert(got(1) == ((3L, toks(uniq(300, 12)), 12L)), s"doc3 got ${got(1)}")
+  }
 }
