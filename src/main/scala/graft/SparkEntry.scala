@@ -216,6 +216,9 @@ object SparkEntry {
     // real and parity survives a constant change
     "q_minhash_k16" -> ((s, d) => TextOps.minHashPairs(s, d, CfgK16)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d, 0.5)),
+    // asymmetric Broder containment over the same banded candidates —
+    // catches the quote/subset near-dup shape Jaccard dilutes away
+    "q_containment" -> ((s, d) => TextOps.containment(s, d, 0.8)),
     // similarity search over embeddings
     "q_cos_topk" -> ((s, d) => VectorOps.cosTopK(s, d, 0L, 10)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d, 0L, 10, 2)),
@@ -320,6 +323,7 @@ object SparkEntry {
     "q_dedup_apply" -> OracleSqlOps.dedupApply(),
     "q_minhash_k16" -> OracleSqlOps.minHashPairs(CfgK16),
     "q_ngram_jaccard" -> OracleSqlOps.ngramJaccard(0.5),
+    "q_containment" -> OracleSqlOps.containment(0.8),
     "q_cos_topk" -> OracleSqlOps.cosTopK(0L, 10),
     "q_ann_ivf" -> OracleSqlOps.annIvf(0L, 10, 2),
     "q_ann_ivf_idx" -> OracleSqlOps.annIvf(0L, 10, 2),

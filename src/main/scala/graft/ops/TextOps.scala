@@ -775,7 +775,14 @@ object TextOps {
                    cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
     ngramJaccardOver(docs(spark, sfDir), minJ, cfg)
 
-  private[graft] def ngramJaccardOver(source: DataFrame, minJ: Double,
+  /** Shared recall+verify kernel for the exact-overlap family
+    * ([[ngramJaccard]], [[containment]]): MinHash-banded candidate pairs
+    * with EXACT shingle-set sizes and intersection counts, as
+    * (a, b, na, nb, i). Recall is the banded-candidate family's — pairs
+    * whose MinHash signatures never band-collide are not scored (the
+    * documented LSH trade; the same family gates minHashPairs and
+    * dupClusters, so the whole dedup stack shares one recall contract). */
+  private[graft] def shingleOverlapOver(source: DataFrame,
       cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val shUdf = udf((t: String) => TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct)
     val dsh = source
@@ -797,21 +804,54 @@ object TextOps {
       .join(broadcast(na), "a")
       .join(broadcast(nb), "b")
       .select("a", "b", "na", "nb")
-    val inter = broadcast(cand)
+    broadcast(cand)
       .join(dshA, "a")
       .join(dshB, Seq("b", "s"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
+  }
+
+  private[graft] def ngramJaccardOver(source: DataFrame, minJ: Double,
+      cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
     // output rounding via the tie-free integer formula (`div` truncates
     // toward zero = floor for these non-negative operands — same as
     // DuckDB's `//`); the ≥ minJ cut compares the exact double quotient
     // (one IEEE division of two integers — deterministic in both engines)
-    inter
+    shingleOverlapOver(source, cfg)
       .withColumn("jaccard",
         expr("CAST((i * 20000 + (na + nb - i)) div (2 * (na + nb - i)) AS DOUBLE) / 10000"))
       .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= minJ)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
-  }
+
+  /** ASYMMETRIC near-dup: shingle containment in both directions —
+    * cont_ab = |Sa∩Sb| / |Sa| (how much of doc a sits inside doc b),
+    * cont_ba the reverse — for banded candidate pairs where EITHER
+    * direction reaches `minC`. Jaccard misses the quote/subset shape
+    * (a short doc wholly copied into a long one scores i/(na+nb-i) ≈
+    * na/nb → arbitrarily low); containment is the standard detector for
+    * it (Broder's containment measure). Candidates come from the same
+    * MinHash band family as [[ngramJaccard]] — the documented recall
+    * contract: extreme size-ratio pairs may not band-collide, so this op
+    * targets the mostly-contained near-dup regime, not arbitrary
+    * substring inclusion (that is [[substrDupSpans]]' job). Scale shape
+    * identical to ngramJaccard: bucket-banded recall, semi-joined
+    * shingle tables, broadcast candidate set — never all-pairs. */
+  def containment(spark: SparkSession, sfDir: String, minC: Double,
+                  cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
+    containmentOver(docs(spark, sfDir), minC, cfg)
+
+  private[graft] def containmentOver(source: DataFrame, minC: Double,
+      cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame =
+    shingleOverlapOver(source, cfg)
+      .withColumn("cont_ab",
+        expr("CAST((i * 20000 + na) div (2 * na) AS DOUBLE) / 10000"))
+      .withColumn("cont_ba",
+        expr("CAST((i * 20000 + nb) div (2 * nb) AS DOUBLE) / 10000"))
+      .filter(greatest(
+        col("i").cast("double") / col("na"),
+        col("i").cast("double") / col("nb")) >= minC)
+      .select("a", "b", "cont_ab", "cont_ba")
+      .orderBy("a", "b")
 
   /** Exact-substring duplicate spans — the token-level dedup primitive of
     * the training-data literature (remove every substring of ≥ n tokens

@@ -373,6 +373,28 @@ object OracleSqlOps {
        |FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= $minJ
        |ORDER BY a, b""".stripMargin
 
+  /** Mirror of TextOps.containment: the ngramJaccard CTEs, but the
+    * asymmetric Broder containment in both directions, kept when either
+    * direction reaches minC. */
+  def containment(minC: Double,
+      cfg: graft.ops.SimilarityConfig = graft.ops.SimilarityConfig.Default): String =
+    s"""WITH $shingleCtes,
+       |${minHashCandCtes(cfg)},
+       |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+       |cand AS (
+       |  SELECT c.a, c.b, x.n AS na, y.n AS nb
+       |  FROM mhcand c JOIN m x ON x.doc_id = c.a JOIN m y ON y.doc_id = c.b),
+       |inter AS (
+       |  SELECT c.a, c.b, c.na, c.nb, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN dsh da ON da.doc_id = c.a
+       |  JOIN dsh db ON db.doc_id = c.b AND db.s = da.s
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT a, b, ${r4Sql("i", "na")} AS cont_ab, ${r4Sql("i", "nb")} AS cont_ba
+       |FROM inter
+       |WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= $minC
+       |ORDER BY a, b""".stripMargin
+
   /** Multimodal metadata: the closed-form synth formulas (Multimodal
     * imageDims/audioParams/videoDims + header byte counts) recomputed from
     * doc_id — the Spark side must recover the same values by PARSING the

@@ -407,6 +407,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L), s"doc3 has no repeats: $got")
   }
 
+  test("containment flags the subset pair Jaccard dilutes; symmetric dups score 1/1") {
+    val core = (0 until 30).map(i => s"w$i").mkString(" ")
+    val extra = (0 until 6).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, core),                  // contained in 1 (cont_ab = 1.0)
+      (1L, s"$core $extra"),       // superset of 0
+      (2L, core),                  // exact twin of 0 → both directions 1.0
+      (3L, "totally unrelated words about ships and rivers flowing north")
+    ).toDF("doc_id", "text")
+    val got = TextOps.containmentOver(docs, 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val m = got.map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    assert(m.get((0L, 1L)).exists { case (ab, ba) => ab == 1.0 && ba < 0.9 },
+      s"subset pair (0,1) wrong: $got")
+    assert(m.get((0L, 2L)).contains((1.0, 1.0)), s"twin pair (0,2) wrong: $got")
+    assert(!m.contains((0L, 3L)) && !m.contains((1L, 3L)), s"unrelated doc flagged: $got")
+  }
+
   test("substrDedupApply removes exactly the span tokens; whole-doc duplicates vanish") {
     def toks(xs: Seq[String]) = xs.mkString(" ")
     val phrase = (0 until 10).map(i => s"p$i")
