@@ -26,6 +26,11 @@ object SparkEntry {
   private val Q_TOPK_REL = "sort merge join"
   private val Q_CASCADE = "data filter merge"
   private val Q_AND = "sort merge join"
+  // NOT-mode query: rank Q_TOPK matches but exclude docs containing the
+  // exclude term (Q_EVAL_LABELS proves the overlap is non-empty, so the
+  // exclusion genuinely reshapes the top-k)
+  private val Q_NOT = "spark stream window"
+  private val E_NOT = "customer"
   private val Q_PHRASE = "merge batch"
   // rank-eval relevance labels: conjunctive matches of a query STRICTER
   // than Q_TOPK, so MRR/nDCG land strictly inside (0, 1)
@@ -69,6 +74,8 @@ object SparkEntry {
     "q_bm25_topk_rel" -> ((s, d) => DocQueries.topK(s, d, Q_TOPK_REL, 10, relational = true)),
     // conjunctive (AND-mode) top-k: leapfrog intersection kernel
     "q_bm25_and" -> ((s, d) => DocQueries.topKAnd(s, d, Q_AND, 10)),
+    // negated (MUST_NOT) top-k: forward-leapfrog exclusion inside WAND
+    "q_bm25_not" -> ((s, d) => DocQueries.topKNot(s, d, Q_NOT, E_NOT, 10)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
     // phrase top-k over the POSITIONAL sidecar (stopword inside the phrase)
@@ -253,6 +260,9 @@ object SparkEntry {
     "q_bm25_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
     "q_bm25_topk_rel" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_bm25_and" -> OracleSql.topKAnd(qt(Q_AND), P, 10),
+    "q_bm25_not" -> OracleSql.topKNot(
+      qt(Q_NOT).filterNot(t => qt(E_NOT).exists(_._1 == t._1)),
+      qt(E_NOT).map(_._1), P, 10),
     "q_phrase" -> OracleSql.phraseTopK(qt(Q_PHRASE),
       Analyzer.tokenizeRaw(Q_PHRASE).toSeq, P, 10),
     "q_phrase_pos" -> OracleSql.phraseTopK(qt(Q_PHRASE_POS),

@@ -396,6 +396,19 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** NOT-mode top-k: OR-mode BM25 over the query terms (exclude-overlaps
+    * already dropped by the caller — Searcher.topKNot drops them too),
+    * restricted to docs containing no exclude term. */
+  def topKNot(terms: Seq[(String, Int)], excludes: Seq[String],
+              p: Bm25.Params, k: Int): String = {
+    val elist = excludes.map(lit).mkString(",")
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ($elist))
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def topKAnd(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
     s"""WITH $baseCtes,
        |${scoredAndCte(terms, p)}

@@ -281,6 +281,53 @@ final class Searcher(spark: SparkSession, indexDir: String,
     resolveHits(perShard, k)
   }
 
+  /** Negated (NOT-mode) top-k: OR-mode BM25 over the query terms,
+    * excluding every document containing ANY analyzed `exclude` term
+    * (Lucene's MUST_NOT shape). A query term that is also excluded can
+    * never contribute — any doc containing it is excluded — so it is
+    * dropped from the scoring inputs; survivors' scores equal their plain
+    * OR-mode BM25. Same zero-exchange plan shape as [[topK]]: the exclude
+    * lists ride the same term-pruned postings scan and exclusion is a
+    * forward-only leapfrog inside the kernel ([[Wand.topKNot]]) — never an
+    * anti-join of the corpus. Exclusion is per-shard-sound because a doc's
+    * query and exclude postings live in the same doc-sharded partition. */
+  def topKNot(query: String, exclude: String, k: Int): DataFrame = {
+    val eset = analyzeQuery(exclude).keySet
+    val qtf = analyzeQuery(query).filterNot { case (t, _) => eset.contains(t) }
+    if (qtf.isEmpty) return emptyHits()
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return emptyHits()
+    val eterms = eset.toSeq.sorted
+    val all = (dfm.keys.toSeq ++ eterms).distinct.sorted
+    val postings = postingsDF.where(col("term").isin(all: _*)).as[Posting]
+    val qterms = qtf
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val ex = eterms.flatMap(byTerm.get)
+      val inputs = qterms.toSeq.collect {
+        case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
+          Wand.TermInput(byTerm(t), f, dfm(t))
+      }
+      Wand.topKNot(inputs, ex, nn, ad, k, p).iterator.map(s => (s.docId, s.score))
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    resolveHits(out.toDF("docId", "score"), k)
+  }
+
   /** Filtered (faceted) top-k: rank only documents whose facet posting
     * lists contain them for EVERY (column, value) in `facets` — the filter
     * IS a posting list ([[graft.model.Facets]]; the index must have been

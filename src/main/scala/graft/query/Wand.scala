@@ -160,6 +160,122 @@ object Wand {
     topk.drainDescending()
   }
 
+  /** NOT-mode top-k over one shard: OR-mode WAND top-k, excluding every
+    * document present in ANY of the `excludes` posting lists (Lucene's
+    * MUST_NOT / ReqExclScorer shape). The exclusion cursors leapfrog
+    * forward only — valid because WAND fully scores candidates in strictly
+    * increasing docId order (after a candidate is scored, every cursor
+    * sitting on it advances past it) — so the extra cost is the excluded
+    * lists' block skips, never a second pass. Threshold pruning stays
+    * sound: exclusion only ever REMOVES candidates, and the heap
+    * threshold is a lower bound on the final k-th score either way. */
+  def topKNot(terms: Seq[TermInput], excludes: Seq[Posting], n: Long,
+              avgdl: Double, k: Int, p: Bm25.Params): Array[Scored] = {
+    val liveE = excludes.filter(_.count > 0)
+    if (liveE.isEmpty) return topK(terms, n, avgdl, k, p)
+    val ec = liveE.map { e =>
+      val c = new Postings.Cursor(e); c.next(); c
+    }.toArray
+    def excluded(doc: Long): Boolean = {
+      var j = 0
+      while (j < ec.length) {
+        val c = ec(j)
+        if (!c.exhausted && c.docId < doc) c.advanceTo(doc)
+        if (!c.exhausted && c.docId == doc) return true
+        j += 1
+      }
+      false
+    }
+
+    val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
+    val topk = new TopK(k)
+    if (live.isEmpty || n == 0 || avgdl == 0.0) return topk.drainDescending()
+    val m = live.size
+    val cursors = new Array[Postings.Cursor](m)
+    val ubs = new Array[Double](m)
+    val idfQtf = new Array[Double](m)
+    var i = 0
+    live.foreach { t =>
+      cursors(i) = new Postings.Cursor(t.posting)
+      cursors(i).next()
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      ubs(i) = idfQtf(i) * Bm25.tfSatUpper(t.posting.maxTf, p)
+      i += 1
+    }
+    val order = Array.range(0, m)
+    def sortOrder(): Unit = {
+      var a = 1
+      while (a < m) {
+        val x = order(a); var b = a - 1
+        while (b >= 0 && cursors(order(b)).docId > cursors(x).docId) {
+          order(b + 1) = order(b); b -= 1
+        }
+        order(b + 1) = x
+        a += 1
+      }
+    }
+    var liveCount = m
+    while (liveCount > 0) {
+      sortOrder()
+      while (liveCount > 0 && cursors(order(liveCount - 1)).exhausted) liveCount -= 1
+      if (liveCount == 0) return topk.drainDescending()
+      val theta = topk.threshold
+      var acc = 0.0
+      var pivotPos = -1
+      var j = 0
+      while (j < liveCount && pivotPos < 0) {
+        acc += ubs(order(j))
+        if (acc > theta) pivotPos = j
+        j += 1
+      }
+      if (pivotPos < 0) return topk.drainDescending()
+      val pivotDoc = cursors(order(pivotPos)).docId
+      if (cursors(order(0)).docId == pivotDoc) {
+        // exclusion check FIRST: an excluded doc skips the block-max
+        // recheck and the full scoring entirely
+        if (!excluded(pivotDoc)) {
+          var blockUb = 0.0
+          var jj = 0
+          while (jj < liveCount) {
+            val ci = order(jj)
+            val c = cursors(ci)
+            if (!c.exhausted) {
+              if (c.docId < pivotDoc) c.advanceTo(pivotDoc)
+              if (!c.exhausted && c.docId == pivotDoc)
+                blockUb += idfQtf(ci) * Bm25.tfSatUpper(c.currentBlockMaxTf, p)
+            }
+            jj += 1
+          }
+          if (blockUb > theta) {
+            var s = 0.0
+            var jk = 0
+            while (jk < liveCount) {
+              val ci = order(jk)
+              val c = cursors(ci)
+              if (!c.exhausted && c.docId == pivotDoc)
+                s += idfQtf(ci) * Bm25.tfSat(c.tf, c.dl, avgdl, p)
+              jk += 1
+            }
+            if (s > 0.0) topk.offer(pivotDoc, s)
+          }
+        }
+        var ja = 0
+        while (ja < liveCount) {
+          val c = cursors(order(ja))
+          if (!c.exhausted && c.docId == pivotDoc) c.next()
+          ja += 1
+        }
+      } else {
+        var ja = 0
+        while (ja < pivotPos && cursors(order(ja)).docId < pivotDoc) {
+          cursors(order(ja)).advanceTo(pivotDoc)
+          ja += 1
+        }
+      }
+    }
+    topk.drainDescending()
+  }
+
   /** Conjunctive (AND-mode) top-k over one shard: only documents containing
     * EVERY query term score. `required` is the number of distinct analyzed
     * query terms — when this shard's inputs cover fewer (a term has no

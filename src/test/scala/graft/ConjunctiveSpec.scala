@@ -61,6 +61,44 @@ class ConjunctiveSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: NOT-mode top-k ≡ brute-force exclusion oracle") {
+    val rnd = new Random(20260820L)
+    val vocab = (Array("the", "a", "of", "and") ++
+      (0 until 30).map(i => s"w$i")).toIndexedSeq
+    for (trial <- 0 until 2) {
+      val texts = Seq.fill(150 + rnd.nextInt(80)) {
+        Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val dir = TestSpark.tmpDir(s"notfuzz$trial")
+      IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", texts).toDF(), dir,
+        IndexBuilder.Config(shards = 4))
+      val s = new Searcher(spark, dir, Bm25.RefDefaults)
+      for (qi <- 0 until 6) {
+        val q = Seq.fill(2 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val e = Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val k = 1 + rnd.nextInt(10)
+        val eterms = Analyzer.tokenizeEn(e).toSet
+        // the engine drops query terms that are also excluded; mirror that
+        // by scoring only the kept raw tokens (vocab words analyze to
+        // themselves or to nothing, so token-level removal is exact)
+        val qKept = q.split(" ").filterNot(w => eterms.contains(w)).mkString(" ")
+        val got = s.topKNot(q, e, k).select("turn_idx", "score").as[(Int, Double)].collect()
+        val want = OracleBm25.scoreAll(qKept, texts, StopWords.english)
+          .filter { case (i, sc) =>
+            sc > 0.0 && Analyzer.tokenizeEn(texts(i)).toSet.intersect(eterms).isEmpty
+          }.sortBy { case (i, sc) => (-sc, i) }.take(k)
+        assert(got.length == want.length,
+          s"[$trial/$qi] size for '$q' NOT '$e' k=$k: ${got.length} vs ${want.length}")
+        got.zip(want).foreach { case ((gi, gs), (oi, os)) =>
+          assert(math.abs(gs - os) <= 1e-12 * math.max(1.0, math.abs(os)),
+            s"[$trial/$qi] score $gs vs $os for '$q' NOT '$e'")
+          if (gi != oi) assert(math.abs(gs - os) <= 1e-12,
+            s"[$trial/$qi] doc $gi vs $oi for '$q' NOT '$e' (non-tie permutation)")
+        }
+      }
+    }
+  }
+
   test("matchAllDocs enumerates exactly the all-terms docs with OR-identical scores") {
     val dir = TestSpark.tmpDir("matchall")
     IndexBuilder.build(spark, Transcripts.fixture(spark, "c0", Transcripts.F3).toDF(),

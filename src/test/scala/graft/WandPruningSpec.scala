@@ -37,4 +37,37 @@ class WandPruningSpec extends AnyFunSuite {
     assert(scored < candidates / 5,
       s"WAND scored $scored of $candidates candidate postings — no real pruning")
   }
+
+  test("NOT-mode WAND ≡ exhaustive-minus-excluded, threshold pruning intact") {
+    val rnd = new Random(11)
+    val nDocs = 50000
+    val lens = Array.fill(nDocs)(20 + rnd.nextInt(100))
+    def mk(name: String, docs: Array[Long], tfs: Array[Int]) =
+      Postings.encode(0, name, docs, tfs, docs.map(d => lens(d.toInt)))
+    val aDocs = (0 until nDocs by 3).map(_.toLong).toArray
+    val bDocs = (0 until 300).map(i => (i * 991L) % nDocs).distinct.sorted.toArray
+    val terms = Seq(
+      Wand.TermInput(mk("a", aDocs, aDocs.map(_ => 1 + rnd.nextInt(2))),
+        1, aDocs.length.toLong),
+      Wand.TermInput(mk("b", bDocs, bDocs.map(_ => 4 + rnd.nextInt(4))),
+        1, bDocs.length.toLong))
+    // exclusion list overlaps both: every 5th doc
+    val exDocs = (0 until nDocs by 5).map(_.toLong).toArray
+    val ex = mk("x", exDocs, exDocs.map(_ => 1))
+    val n = nDocs.toLong
+    val avgdl = lens.map(_.toLong).sum.toDouble / nDocs
+
+    for (k <- Seq(1, 10, 50)) {
+      val got = Wand.topKNot(terms, Seq(ex), n, avgdl, k, Bm25.RefDefaults)
+      val want = Wand.topKExhaustive(terms, n, avgdl, nDocs, Bm25.RefDefaults)
+        .filterNot(s => s.docId % 5 == 0).take(k)
+      assert(got.map(_.docId).sameElements(want.map(_.docId)),
+        s"k=$k: ${got.map(_.docId).toSeq} vs ${want.map(_.docId).toSeq}")
+      got.zip(want).foreach { case (a, b) => assert(math.abs(a.score - b.score) < 1e-9) }
+    }
+    // empty exclusion delegates to plain OR-mode WAND
+    val plain = Wand.topKNot(terms, Seq.empty, n, avgdl, 10, Bm25.RefDefaults)
+    val or = Wand.topK(terms, n, avgdl, 10, Bm25.RefDefaults)
+    assert(plain.map(_.docId).sameElements(or.map(_.docId)))
+  }
 }
