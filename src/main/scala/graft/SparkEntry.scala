@@ -102,6 +102,11 @@ object SparkEntry {
     "q_bm25_empty" -> ((s, d) => DocQueries.emptyQuery(s, d)),
     // incremental maintenance: base build + append + refresh ≡ full index
     "q_refresh_topk" -> ((s, d) => DocQueries.refreshTopK(s, d, Q_TOPK_REL, 10)),
+    // tombstone delete: 20% of the corpus deleted; survivors must score as
+    // a from-scratch build without them (exact stats/df decrement + kernel
+    // tombstone exclusion)
+    "q_delete_topk" -> ((s, d) => DocQueries.deleteTopK(s, d, Q_TOPK, 10)),
+    "q_delete_stats" -> ((s, d) => DocQueries.deleteStats(s, d)),
     // snapshot (time-travel) read: the SAME index as of generation 0 must
     // equal the oracle over the base 80% subset (stats included)
     "q_snapshot_topk" -> ((s, d) => DocQueries.snapshotTopK(s, d, Q_TOPK_REL, 10)),
@@ -279,6 +284,9 @@ object SparkEntry {
     "q_facet_range" -> OracleSql.facetCountsRange(qt(Q_SCORE), "n_chars", NCharBounds),
     "q_bm25_empty" -> OracleSql.emptyQuery,
     "q_refresh_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
+    "q_delete_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10,
+      where = "(d.doc_id % 5) <> 2"),
+    "q_delete_stats" -> OracleSql.corpusStatsWhere("(d.doc_id % 5) <> 2"),
     "q_snapshot_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10,
       where = "d.doc_id % 5 <> 0"),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),

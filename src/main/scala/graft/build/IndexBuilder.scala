@@ -129,6 +129,102 @@ object IndexBuilder {
     Hwm.write(indexDir, hwm)
   }
 
+  /** Tombstone-delete every COVERED (searchable) document matching
+    * `predicate` (a Column over the analyzed table: conv_id, turn_idx,
+    * len, shard…). Lucene's delete model re-expressed for the segment
+    * index: postings are immutable, so a delete never rewrites them — it
+    * commits a new generation whose tombstone table lists the doomed
+    * docIds, with stats (n, avgdl) and per-term df decremented EXACTLY
+    * from the doomed docs' analyzed rows. Survivors' BM25 scores therefore
+    * equal a from-scratch build without the deleted docs (the invariant
+    * the DuckDB oracle checks); the Searcher excludes tombstoned docs
+    * inside every kernel via the same forward-leapfrog cursor as MUST_NOT
+    * ([[graft.query.Wand.Excl]]) — never an anti-join of the corpus.
+    * [[compact]] reclaims the space physically.
+    *
+    * Only covered rows are deletable: an appended-but-unrefreshed doc is
+    * not yet in stats/df/postings, so decrementing for it would corrupt
+    * the invariant — delete after its refresh instead. Generation staging
+    * and commit are identical to [[refresh]]: everything is written under
+    * gen-suffixed names (tombstones_g<g>, stats_g<g>, df_g<g>, copied-
+    * forward cover manifests) and the atomic `postings_gen` pointer write
+    * is the single commit point. Each tombstones_g<g> holds the FULL
+    * accumulated docId set (not a delta), so one pruned read serves any
+    * generation; the table is tiny (8 bytes/deleted doc in Parquet).
+    *
+    * Returns the number of documents newly tombstoned; 0 ⇒ nothing
+    * matched and NO generation was committed. */
+  def delete(spark: SparkSession, indexDir: String,
+             predicate: org.apache.spark.sql.Column): Long = withBuildConf(spark) {
+    import spark.implicits._
+    val shards = metaShards(indexDir).getOrElse(
+      throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
+    val gen0 = committedGen(indexDir)
+    val cover = readCoverAsOf(spark, indexDir, shards, gen0)
+    val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+    val rankCol = expr(s"docId & ${Ids.RankMask}")
+    val priorPath = tombstonePathAsOf(indexDir, gen0)
+    val prior = priorPath.map(p => graft.sources.TableIO.read(spark, p)
+      .select($"shard", $"docId"))
+    val doomed0 = analyzed
+      .where(rankCol < element_at(lit(cover), col("shard") + 1))
+      .where(predicate)
+      .select($"shard", $"docId", $"len", $"terms")
+    val doomed = prior.fold(doomed0)(p =>
+      doomed0.join(p.select($"docId"), Seq("docId"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = doomed.agg(count(lit(1)).as("dn"),
+        coalesce(sum($"len".cast("long")), lit(0L)).as("dsum")).head()
+      val dn = agg.getAs[Long]("dn")
+      val dsum = agg.getAs[Long]("dsum")
+      if (dn == 0L) 0L else {
+
+      // ---- staging (nothing visible until the pointer commit) -----------
+      val gen = gen0 + 1L
+      val tombs = doomed.select($"shard", $"docId")
+      graft.sources.TableIO.write(
+        prior.fold(tombs)(p => p.unionByName(tombs))
+          .repartition(1).sortWithinPartitions($"shard", $"docId"),
+        s"$indexDir/tombstones_g$gen")
+
+      val st = graft.sources.TableIO.read(spark, statsPathAsOf(indexDir, gen0)).head()
+      val oldN = st.getAs[Long]("n")
+      val oldSum =
+        if (st.schema.fieldNames.contains("sumlen")) st.getAs[Long]("sumlen")
+        else math.round(oldN * st.getAs[Double]("avgdl"))
+      val n2 = oldN - dn
+      val sum2 = oldSum - dsum
+      Seq((n2, if (n2 > 0) sum2.toDouble / n2 else 0.0, sum2))
+        .toDF("n", "avgdl", "sumlen")
+        .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/stats_g$gen"))
+
+      // df: decrement one per (doomed doc, distinct term) — vocabulary-
+      // sized union-merge, the exact mirror of refresh's increment
+      val deltaDf = doomed.select(explode($"terms").as("term"))
+        .groupBy($"term").agg((-count(lit(1))).cast("long").as("df"))
+      graft.sources.TableIO.read(spark, dfPathAsOf(indexDir, gen0))
+        .unionByName(deltaDf)
+        .groupBy($"term").agg(sum($"df").cast("long").as("df"))
+        .where($"df" > 0L)
+        .pipe(df => graft.sources.TableIO.write(df, s"$indexDir/df_g$gen"))
+
+      // coverage is unchanged by a delete — copy the manifests forward so
+      // readCoverAsOf(gen) resolves
+      cover.zipWithIndex.foreach { case (v, s) =>
+        Manifests.write(indexDir, StageManifest(s"postings_cover_g${gen}_$s", v, 0, "cover", 0))
+      }
+      // tombstone presence marker (part of the staged state; readers only
+      // look at generations ≤ the committed pointer)
+      Manifests.write(indexDir, StageManifest(s"tombstones_g$gen", dn, 0, "tombstones", 0))
+
+      // ---- commit (atomic manifest rename) ------------------------------
+      Manifests.write(indexDir, StageManifest("postings_gen", gen, 0, "gen", 0))
+      dn
+      }
+    } finally doomed.unpersist()
+  }
+
   /** Make appended/streamed documents searchable WITHOUT touching the
     * existing postings: build a delta posting segment over exactly the
     * analyzed rows not yet covered by any segment, and advance stats/df
@@ -226,8 +322,18 @@ object IndexBuilder {
     val parts = shards
     val pkeys = ShardKeys.keys(shards, parts)
     val cover = readCover(spark, indexDir, shards)
-    val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+    val analyzed0 = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
       .where(expr(s"docId & ${Ids.RankMask}") < element_at(lit(cover), col("shard") + 1))
+    // space reclamation for deletes: tombstoned docs are dropped from the
+    // rebuilt base (one broadcast anti-join — the tombstone table is tiny).
+    // The tombstone table itself stays: analyzed/ still holds the doomed
+    // rows (rewriting the corpus-sized analyzed table is a separate vacuum
+    // cadence), and serving-side exclusion over already-absent docIds is
+    // free (the exclusion cursors never match).
+    val analyzed = tombstonePathAsOf(indexDir, committedGen(indexDir)).fold(analyzed0)(p =>
+      analyzed0.join(
+        broadcast(graft.sources.TableIO.read(spark, p).select(col("docId"))),
+        Seq("docId"), "left_anti"))
     graft.sources.TableIO.write(
       assemblePostings(spark, analyzed, parts, pkeys).toDF(), s"$indexDir/postings_tmp")
     // Segments are deleted BEFORE the base swap: a crash in between leaves
@@ -246,6 +352,9 @@ object IndexBuilder {
     // files), so the rebuilt base restores the colocated-serving layout
     // even if the original build was range-partitioned
     Manifests.write(indexDir, StageManifest("postings_layout", 1, 0, "layout", 0))
+    // the base rewrite invalidates every older snapshot (pre-delete
+    // snapshots now miss physically-dropped docs) — record the fold point
+    Manifests.write(indexDir, StageManifest("compact_floor", committedGen(indexDir), 0, "floor", 0))
   }
 
   // ---- generation-pointer path resolution ----------------------------------
@@ -253,6 +362,20 @@ object IndexBuilder {
   /** Committed refresh generation (0 = base build only). */
   def committedGen(indexDir: String): Long =
     Manifests.read(indexDir, "postings_gen").map(_.rows).getOrElse(0L)
+
+  /** Tombstone table as of generation `gen`: each [[delete]] writes the
+    * FULL accumulated set, so the latest committed table at or before
+    * `gen` is complete — walk the (small-integer) generations down to the
+    * most recent delete. None ⇔ no delete had committed by `gen`. */
+  def tombstonePathAsOf(indexDir: String, gen: Long): Option[String] = {
+    var g = gen
+    while (g >= 1L) {
+      if (Manifests.read(indexDir, s"tombstones_g$g").isDefined)
+        return Some(s"$indexDir/tombstones_g$g")
+      g -= 1L
+    }
+    None
+  }
 
   /** Stats table location as of generation `gen` (gen-suffixed after a
     * refresh; generation 0 is the base build). */
@@ -292,22 +415,31 @@ object IndexBuilder {
     * snapshot stays readable until maintenance reclaims its inputs:
     *  - refresh retention deletes stats/df copies of generations ≤ g-2,
     *    so only the last two generations keep their global stats;
-    *  - compact folds ALL segments into the base table, which collapses
-    *    every snapshot older than the fold point (the base then over-covers
-    *    them) — detected here as a missing segment in (gen, committed].
-    * Production retention would be time-based (SURVEY §7.5); the protocol
-    * is the same. */
+    *  - compact rewrites the base table (folding segments in, tombstoned
+    *    docs OUT), which collapses every snapshot older than the fold
+    *    point: the base then over-covers pre-refresh snapshots and is
+    *    physically missing docs a pre-delete snapshot must serve. Compact
+    *    records the fold point in the `compact_floor` manifest; a
+    *    refresh-generation below it is ALSO detected by its reclaimed
+    *    segment dir (legacy indexes predate the floor manifest).
+    * A delete generation has no segment — its tombstones_g manifest is its
+    * existence proof. Production retention would be time-based (SURVEY
+    * §7.5); the protocol is the same. */
   def validateSnapshot(spark: SparkSession, indexDir: String, gen: Long): Unit = {
     val committed = committedGen(indexDir)
     require(gen >= 0L && gen <= committed,
       s"generation $gen does not exist (committed generation is $committed)")
+    val floor = Manifests.read(indexDir, "compact_floor").map(_.rows).getOrElse(0L)
+    require(gen >= floor,
+      s"snapshot $gen expired: compact rewrote the base at generation $floor")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     require(exists(statsPathAsOf(indexDir, gen)) && exists(dfPathAsOf(indexDir, gen)),
       s"snapshot $gen expired: stats/df retention keeps only generations ${committed - 1}..$committed")
     ((gen + 1) to committed).foreach { i =>
-      require(exists(s"$indexDir/postings_seg_$i"),
+      require(exists(s"$indexDir/postings_seg_$i") ||
+          Manifests.read(indexDir, s"tombstones_g$i").isDefined,
         s"snapshot $gen expired: segment $i was folded into the base by compact")
     }
   }

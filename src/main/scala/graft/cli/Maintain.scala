@@ -7,8 +7,12 @@ import org.apache.spark.sql.SparkSession
   *
   *   Maintain append  <indexDir> <parquetPath|nTurns>   — land new turns
   *   Maintain refresh <indexDir>                        — make them searchable
-  *   Maintain compact <indexDir>                        — fold delta segments
+  *   Maintain delete  <indexDir> <sqlPredicate>         — tombstone matching docs
+  *   Maintain compact <indexDir>                        — fold delta segments, drop tombstoned docs
   *   Maintain status  <indexDir>                        — generation + manifests
+  *
+  * The delete predicate is SQL over the analyzed table's columns
+  * (conv_id, turn_idx, len, shard), e.g. "conv_id LIKE 'c00%'".
   */
 object Maintain {
   def main(args: Array[String]): Unit = {
@@ -49,6 +53,11 @@ object Maintain {
           println(s"[maintain] nothing to refresh (generation $before)")
         else
           println(f"[maintain] committed generation $after in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      case "delete" =>
+        val dn = IndexBuilder.delete(spark, indexDir,
+          org.apache.spark.sql.functions.expr(args(2)))
+        println(f"[maintain] tombstoned $dn doc(s) in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(generation ${IndexBuilder.committedGen(indexDir)}; compact reclaims the space)")
       case "compact" =>
         IndexBuilder.compact(spark, indexDir)
         println(f"[maintain] compacted in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
@@ -60,7 +69,7 @@ object Maintain {
         println(s"[maintain] generation $gen; ${segs.size} live segment(s); " +
           s"n=${st.getAs[Long]("n")} avgdl=${st.getAs[Double]("avgdl")}")
         segs.foreach(p => println(s"  segment: $p"))
-      case other => sys.error(s"unknown command '$other' (append|refresh|compact|status)")
+      case other => sys.error(s"unknown command '$other' (append|refresh|delete|compact|status)")
     }
     spark.stop()
   }

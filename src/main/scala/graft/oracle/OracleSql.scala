@@ -61,11 +61,16 @@ object OracleSql {
   def scoredCte(terms: Seq[(String, Int)], p: Bm25.Params): String =
     scoredCteFrom(s"(VALUES ${queryValues(terms)}) AS qt(term, qtf)", p)
 
-  def corpusStats: String =
-    s"""WITH $baseCtes
+  def corpusStats: String = corpusStatsWhere("TRUE")
+
+  /** Corpus stats over a restricted subset — the oracle of a tombstone
+    * delete's exact (n, avgdl) decrement (predicate over alias `d` selects
+    * the SURVIVORS). */
+  def corpusStatsWhere(where: String): String =
+    s"""WITH ${baseCtesFor(where)}
        |SELECT CAST(count(*) AS BIGINT) AS n,
        |       round(CAST(sum(coalesce(dl.len, 0)) AS DOUBLE) / count(*), 4) AS avgdl
-       |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id""".stripMargin
+       |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id WHERE ($where)""".stripMargin
 
   def termDf(limit: Int): String =
     s"""WITH $baseCtes

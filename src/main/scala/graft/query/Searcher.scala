@@ -109,8 +109,39 @@ final class Searcher(spark: SparkSession, indexDir: String,
       expr(s"docId & ${graft.model.Ids.RankMask}")
         .lt(element_at(lit(cover), col("shard") + 1))
     }
-  private def covered(df: DataFrame): DataFrame =
-    coveredOnly.fold(df)(df.where)
+  /** Delete tombstones as of this Searcher's generation
+    * ([[graft.build.IndexBuilder.delete]]): per-shard docId sets, encoded
+    * once at construction into the same VByte posting form the MUST_NOT
+    * path uses and broadcast — every kernel excludes them with a
+    * forward-only leapfrog cursor ([[Wand.Excl]]), never an anti-join of
+    * the corpus. Driver/broadcast residency is bounded by DELETED docs
+    * (VByte ≈ 1-2 bytes/doc after delta encoding); the growth path past
+    * ~10^9 accumulated deletes is per-shard tombstone sidecar files
+    * colocated with the postings shards — at that point [[compact]] (which
+    * folds tombstones away physically) is overdue anyway. Usually None. */
+  private val tombstonePath: Option[String] =
+    graft.build.IndexBuilder.tombstonePathAsOf(indexDir, generation)
+  private val tombBc: org.apache.spark.broadcast.Broadcast[Map[Int, Posting]] = {
+    val m: Map[Int, Posting] = tombstonePath.fold(Map.empty[Int, Posting]) { path =>
+      graft.sources.TableIO.read(spark, path)
+        .select(col("shard"), col("docId")).as[(Int, Long)].collect()
+        .groupBy(_._1).map { case (s, arr) =>
+          val docs = arr.map(_._2).sorted
+          s -> graft.codec.Postings.encode(s, "\u0000tombstone", docs,
+            Array.fill(docs.length)(1), Array.fill(docs.length)(1))
+        }
+    }
+    spark.sparkContext.broadcast(m)
+  }
+
+  private def covered(df: DataFrame): DataFrame = {
+    val c = coveredOnly.fold(df)(df.where)
+    // relational paths (scoreAll, doc meta) hide tombstoned docs with one
+    // broadcast anti-join against the (tiny) tombstone table
+    tombstonePath.fold(c)(p => c.join(
+      broadcast(graft.sources.TableIO.read(spark, p).select(col("docId"))),
+      Seq("docId"), "left_anti"))
+  }
   val n: Long = statsRow.getAs[Long]("n")
   val avgdl: Double = statsRow.getAs[Double]("avgdl")
 
@@ -180,6 +211,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
                         conjunctiveRequired: Int = 0): DataFrame = {
     val p = params
     val (nn, ad) = (n, avgdl)
+    val tb = tombBc
     def kernel(group: Seq[Posting]): Iterator[(String, Long, Double)] = {
       // A term can appear once per SEGMENT (base + refresh deltas) when a
       // partition holds both; merge on the fly — segment docId ranges are
@@ -188,14 +220,17 @@ final class Searcher(spark: SparkSession, indexDir: String,
         t -> (if (ps.lengthCompare(1) == 0) ps.head
               else graft.codec.Postings.merge(ps))
       }
+      val tomb = tb.value.get(group.head.shard).toSeq
       qs.iterator.flatMap { case (qid, qtf) =>
         val inputs = qtf.toSeq.collect {
           case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
             Wand.TermInput(byTerm(t), f, dfm(t))
         }
         val scored =
-          if (conjunctiveRequired > 0) Wand.topKAnd(inputs, conjunctiveRequired, nn, ad, k, p)
-          else if (exhaustive) Wand.topKExhaustive(inputs, nn, ad, k, p)
+          if (conjunctiveRequired > 0)
+            Wand.topKAnd(inputs, conjunctiveRequired, nn, ad, k, p, excludes = tomb)
+          else if (exhaustive) Wand.topKExhaustive(inputs, nn, ad, k, p, excludes = tomb)
+          else if (tomb.nonEmpty) Wand.topKNot(inputs, tomb, nn, ad, k, p)
           else Wand.topK(inputs, nn, ad, k, p)
         scored.iterator.map(s => (qid, s.docId, s.score))
       }
@@ -303,12 +338,13 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val qterms = qtf
     val p = params
     val (nn, ad) = (n, avgdl)
+    val tb = tombBc
     def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
       val byTerm = group.groupBy(_.term).map { case (t, ps) =>
         t -> (if (ps.lengthCompare(1) == 0) ps.head
               else graft.codec.Postings.merge(ps))
       }
-      val ex = eterms.flatMap(byTerm.get)
+      val ex = eterms.flatMap(byTerm.get) ++ tb.value.get(group.head.shard)
       val inputs = qterms.toSeq.collect {
         case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
           Wand.TermInput(byTerm(t), f, dfm(t))
@@ -350,6 +386,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val fset = fterms.toSet
     val p = params
     val (nn, ad) = (n, avgdl)
+    val tb = tombBc
     def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
       val byTerm = group.groupBy(_.term).map { case (t, ps) =>
         t -> (if (ps.lengthCompare(1) == 0) ps.head
@@ -360,7 +397,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
         case (t, f) if !fset.contains(t) && byTerm.contains(t) && dfm.contains(t) =>
           Wand.TermInput(byTerm(t), f, dfm(t))
       }
-      Wand.topKFiltered(inputs, filterPs, required, nn, ad, k, p)
+      Wand.topKFiltered(inputs, filterPs, required, nn, ad, k, p,
+          excludes = tb.value.get(group.head.shard).toSeq)
         .iterator.map(s => (s.docId, s.score))
     }
     val out =
@@ -399,13 +437,15 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val postings = postingsDF
       .where(col("term").isin(qterms: _*) || col("term").startsWith(prefix))
       .as[Posting]
+    val tb = tombBc
     def kernel(group: Seq[Posting]): Iterator[(String, Long)] = {
       val byTerm = group.groupBy(_.term).map { case (t, ps) =>
         t -> (if (ps.lengthCompare(1) == 0) ps.head
               else graft.codec.Postings.merge(ps))
       }
       val (fac, rest) = byTerm.partition(_._1.startsWith(prefix))
-      Wand.facetCounts(qterms.flatMap(rest.get), fac.values.toSeq)
+      Wand.facetCounts(qterms.flatMap(rest.get), fac.values.toSeq,
+          excludes = tb.value.get(group.head.shard).toSeq)
         .map { case (t, c) => (t.substring(prefixLen), c) }
     }
     val out =
@@ -446,13 +486,15 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .where(col("term").isin(qterms: _*) ||
         prefixes.map(p => col("term").startsWith(p)).reduce(_ || _))
       .as[Posting]
+    val tb = tombBc
     def kernel(group: Seq[Posting]): Iterator[(String, String, Long)] = {
       val byTerm = group.groupBy(_.term).map { case (t, ps) =>
         t -> (if (ps.lengthCompare(1) == 0) ps.head
               else graft.codec.Postings.merge(ps))
       }
       val (fac, rest) = byTerm.partition(_._1.startsWith(P))
-      Wand.facetCounts(qterms.flatMap(rest.get), fac.values.toSeq)
+      Wand.facetCounts(qterms.flatMap(rest.get), fac.values.toSeq,
+          excludes = tb.value.get(group.head.shard).toSeq)
         .map { case (t, c) =>
           val sep = t.indexOf(P, 1)
           (t.substring(1, sep), t.substring(sep + 1), c)
@@ -522,6 +564,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val qterms = qtf // local for closure
     val p = params
     val (nn, ad) = (n, avgdl)
+    val tb = tombBc
     def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
       val byTerm = group.groupBy(_.term).map { case (t, ps) =>
         t -> (if (ps.lengthCompare(1) == 0) ps.head
@@ -531,7 +574,9 @@ final class Searcher(spark: SparkSession, indexDir: String,
         case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
           Wand.TermInput(byTerm(t), f, dfm(t))
       }
-      Wand.matchAll(inputs, required, nn, ad, p).iterator.map(s => (s.docId, s.score))
+      Wand.matchAll(inputs, required, nn, ad, p,
+          excludes = tb.value.get(group.head.shard).toSeq)
+        .iterator.map(s => (s.docId, s.score))
     }
     val out =
       if (colocated)

@@ -54,6 +54,29 @@ object Wand {
     * THREAD — instrumentation for pruning-effectiveness tests only. */
   val lastScoredCount = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
 
+  /** Forward-only exclusion check over posting lists (MUST_NOT terms,
+    * delete tombstones). Sound only when probed with NON-DECREASING docIds
+    * — which every kernel here guarantees, because candidates are
+    * enumerated in strictly ascending docId order. Each probe leapfrogs the
+    * exclusion cursors forward, so total cost over a kernel run is one
+    * block-skipping pass per exclusion list, never a pass per candidate. */
+  final class Excl(lists: Seq[Posting]) {
+    private val cs = lists.filter(_.count > 0).map { e =>
+      val c = new Postings.Cursor(e); c.next(); c
+    }.toArray
+    def isEmpty: Boolean = cs.isEmpty
+    def excluded(doc: Long): Boolean = {
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        if (!c.exhausted && c.docId < doc) c.advanceTo(doc)
+        if (!c.exhausted && c.docId == doc) return true
+        j += 1
+      }
+      false
+    }
+  }
+
   /** Top-k over one shard. Doc lengths come inline from the posting blobs
     * (Cursor.dl); stats are GLOBAL (n, avgdl, per-term global df). */
   def topK(terms: Seq[TermInput], n: Long, avgdl: Double,
@@ -171,21 +194,9 @@ object Wand {
     * threshold is a lower bound on the final k-th score either way. */
   def topKNot(terms: Seq[TermInput], excludes: Seq[Posting], n: Long,
               avgdl: Double, k: Int, p: Bm25.Params): Array[Scored] = {
-    val liveE = excludes.filter(_.count > 0)
-    if (liveE.isEmpty) return topK(terms, n, avgdl, k, p)
-    val ec = liveE.map { e =>
-      val c = new Postings.Cursor(e); c.next(); c
-    }.toArray
-    def excluded(doc: Long): Boolean = {
-      var j = 0
-      while (j < ec.length) {
-        val c = ec(j)
-        if (!c.exhausted && c.docId < doc) c.advanceTo(doc)
-        if (!c.exhausted && c.docId == doc) return true
-        j += 1
-      }
-      false
-    }
+    val ex = new Excl(excludes)
+    if (ex.isEmpty) return topK(terms, n, avgdl, k, p)
+    def excluded(doc: Long): Boolean = ex.excluded(doc)
 
     val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
     val topk = new TopK(k)
@@ -290,7 +301,11 @@ object Wand {
     * rank-consistent across modes). Cost is O(shortest list · block
     * skips), never O(union). */
   def topKAnd(terms: Seq[TermInput], required: Int, n: Long, avgdl: Double,
-              k: Int, p: Bm25.Params): Array[Scored] = {
+              k: Int, p: Bm25.Params,
+              /** Docs present in any of these lists never match (delete
+                * tombstones); same forward-leapfrog as [[topKNot]]. */
+              excludes: Seq[Posting] = Nil): Array[Scored] = {
+    val ex = new Excl(excludes)
     val topk = new TopK(k)
     val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
     if (live.size < required || live.isEmpty || n == 0 || avgdl == 0.0)
@@ -320,13 +335,15 @@ object Wand {
         jj += 1
       }
       if (!done && matched) {
-        var s = 0.0
-        var jk = 0
-        while (jk < m) {
-          s += idfQtf(jk) * Bm25.tfSat(cursors(jk).tf, cursors(jk).dl, avgdl, p)
-          jk += 1
+        if (!ex.excluded(target)) {
+          var s = 0.0
+          var jk = 0
+          while (jk < m) {
+            s += idfQtf(jk) * Bm25.tfSat(cursors(jk).tf, cursors(jk).dl, avgdl, p)
+            jk += 1
+          }
+          topk.offer(target, s)
         }
-        topk.offer(target, s)
         if (cursors(0).next()) target = cursors(0).docId else done = true
       }
     }
@@ -351,7 +368,9 @@ object Wand {
     * degrades to one extra always-matching cursor on an OR-mode scan, so
     * driving from the filter is the right default at any selectivity. */
   def topKFiltered(query: Seq[TermInput], filters: Seq[Posting], required: Int,
-                   n: Long, avgdl: Double, k: Int, p: Bm25.Params): Array[Scored] = {
+                   n: Long, avgdl: Double, k: Int, p: Bm25.Params,
+                   excludes: Seq[Posting] = Nil): Array[Scored] = {
+    val ex = new Excl(excludes)
     val topk = new TopK(k)
     val liveF = filters.filter(_.count > 0)
     if (liveF.size < required || liveF.isEmpty || n == 0 || avgdl == 0.0)
@@ -403,7 +422,7 @@ object Wand {
           }
           jk += 1
         }
-        if (s > 0.0) topk.offer(target, s)
+        if (s > 0.0 && !ex.excluded(target)) topk.offer(target, s)
         if (!liveQ) done = true // every query list exhausted: nothing can score
         else if (fc(0).next()) target = fc(0).docId
         else done = true
@@ -418,7 +437,9 @@ object Wand {
     * bounded by the SHORTEST posting list, which is what makes
     * verify-on-candidates a scale-safe plan for selective phrases. */
   def matchAll(terms: Seq[TermInput], required: Int, n: Long,
-               avgdl: Double, p: Bm25.Params): Array[Scored] = {
+               avgdl: Double, p: Bm25.Params,
+               excludes: Seq[Posting] = Nil): Array[Scored] = {
+    val ex = new Excl(excludes)
     val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
     if (live.size < required || live.isEmpty || n == 0 || avgdl == 0.0)
       return Array.empty[Scored]
@@ -448,13 +469,15 @@ object Wand {
         jj += 1
       }
       if (!done && matched) {
-        var s = 0.0
-        var jk = 0
-        while (jk < m) {
-          s += idfQtf(jk) * Bm25.tfSat(cursors(jk).tf, cursors(jk).dl, avgdl, p)
-          jk += 1
+        if (!ex.excluded(target)) {
+          var s = 0.0
+          var jk = 0
+          while (jk < m) {
+            s += idfQtf(jk) * Bm25.tfSat(cursors(jk).tf, cursors(jk).dl, avgdl, p)
+            jk += 1
+          }
+          out += Scored(target, s)
         }
-        out += Scored(target, s)
         if (cursors(0).next()) target = cursors(0).docId else done = true
       }
     }
@@ -492,12 +515,28 @@ object Wand {
     * Cost: one pass over the query postings + one over the facet lists; no
     * per-doc state beyond the bitmap (8 MB per 64M docs touched). */
   def facetCounts(queryPostings: Seq[Posting],
-                  facetPostings: Seq[Posting]): Iterator[(String, Long)] = {
+                  facetPostings: Seq[Posting],
+                  excludes: Seq[Posting] = Nil): Iterator[(String, Long)] = {
     if (queryPostings.isEmpty || facetPostings.isEmpty) return Iterator.empty
+    // the matched bitmap is probed in FACET-list order (not ascending
+    // docIds), so exclusion must land while MARKING: pre-decode the
+    // exclusion lists into their own bitmap (one pass, O(1) probes in any
+    // order) and never mark an excluded doc
+    val exMap = if (excludes.isEmpty) null else {
+      val b = new RankBitmap
+      excludes.foreach { e =>
+        val c = new Postings.Cursor(e)
+        while (c.next()) b.set(graft.model.Ids.rankOf(c.docId))
+      }
+      b
+    }
     val matched = new RankBitmap
     queryPostings.foreach { qp =>
       val c = new Postings.Cursor(qp)
-      while (c.next()) matched.set(graft.model.Ids.rankOf(c.docId))
+      while (c.next()) {
+        val r = graft.model.Ids.rankOf(c.docId)
+        if (exMap == null || !exMap.get(r)) matched.set(r)
+      }
     }
     facetPostings.iterator.flatMap { fp =>
       val c = new Postings.Cursor(fp)
@@ -510,9 +549,18 @@ object Wand {
   /** Exhaustive (no pruning) scorer over the same inputs — the correctness
     * twin of topK; WAND ≡ this on every corpus (tested). */
   def topKExhaustive(terms: Seq[TermInput], n: Long,
-                     avgdl: Double, k: Int, p: Bm25.Params): Array[Scored] = {
+                     avgdl: Double, k: Int, p: Bm25.Params,
+                     excludes: Seq[Posting] = Nil): Array[Scored] = {
     val topk = new TopK(k)
     if (n == 0 || avgdl == 0.0) return topk.drainDescending()
+    // the accumulator is drained in hash order, so forward-only exclusion
+    // cursors don't apply — decode the exclusion lists into a set (this
+    // kernel is the correctness twin, not the scale path)
+    val exSet = new java.util.HashSet[java.lang.Long]()
+    excludes.foreach { e =>
+      val c = new Postings.Cursor(e)
+      while (c.next()) exSet.add(c.docId)
+    }
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     terms.foreach { t =>
       if (t.globalDf > 0) {
@@ -527,7 +575,7 @@ object Wand {
         }
       }
     }
-    acc.forEach((d, s) => if (s > 0.0) topk.offer(d, s))
+    acc.forEach((d, s) => if (s > 0.0 && !exSet.contains(d)) topk.offer(d, s))
     topk.drainDescending()
   }
 }
