@@ -31,6 +31,15 @@ object SparkEntry {
   // exclusion genuinely reshapes the top-k)
   private val Q_NOT = "spark stream window"
   private val E_NOT = "customer"
+  // update (upsert) query: the marker token exists ONLY in the replaced
+  // text, so ranking on it proves the new versions are live
+  private val Q_UPD = "zzupdated stream window"
+  // the update oracle's corpus: documents with the SAME text transform the
+  // Spark side applied before IndexBuilder.update (doc_id ≡ 2 mod 5 rows
+  // get the marker suffix)
+  private val UpdatedRel =
+    "(SELECT doc_id, CASE WHEN (doc_id % 5) = 2 THEN text || ' zzupdated marker' " +
+      "ELSE text END AS text FROM documents)"
   private val Q_PHRASE = "merge batch"
   // rank-eval relevance labels: conjunctive matches of a query STRICTER
   // than Q_TOPK, so MRR/nDCG land strictly inside (0, 1)
@@ -107,6 +116,12 @@ object SparkEntry {
     // tombstone exclusion)
     "q_delete_topk" -> ((s, d) => DocQueries.deleteTopK(s, d, Q_TOPK, 10)),
     "q_delete_stats" -> ((s, d) => DocQueries.deleteStats(s, d)),
+    // upsert (updateDocument): 20% of the corpus re-indexed with REPLACED
+    // text; the query carries the replacement's marker token, so ranking
+    // proves the new text is live, the old text is gone, and stats/df
+    // recomposed exactly (oracle: same transform applied in SQL)
+    "q_update_topk" -> ((s, d) => DocQueries.updateTopK(s, d, Q_UPD, 10)),
+    "q_update_stats" -> ((s, d) => DocQueries.updateStats(s, d)),
     // snapshot (time-travel) read: the SAME index as of generation 0 must
     // equal the oracle over the base 80% subset (stats included)
     "q_snapshot_topk" -> ((s, d) => DocQueries.snapshotTopK(s, d, Q_TOPK_REL, 10)),
@@ -287,6 +302,8 @@ object SparkEntry {
     "q_delete_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10,
       where = "(d.doc_id % 5) <> 2"),
     "q_delete_stats" -> OracleSql.corpusStatsWhere("(d.doc_id % 5) <> 2"),
+    "q_update_topk" -> OracleSql.topK(qt(Q_UPD), P, 10, rel = UpdatedRel),
+    "q_update_stats" -> OracleSql.corpusStatsWhere("TRUE", rel = UpdatedRel),
     "q_snapshot_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10,
       where = "d.doc_id % 5 <> 0"),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),

@@ -155,7 +155,42 @@ object IndexBuilder {
     * Returns the number of documents newly tombstoned; 0 ⇒ nothing
     * matched and NO generation was committed. */
   def delete(spark: SparkSession, indexDir: String,
-             predicate: org.apache.spark.sql.Column): Long = withBuildConf(spark) {
+             predicate: org.apache.spark.sql.Column): Long =
+    deleteCore(spark, indexDir, _.where(predicate))
+
+  /** Tombstone-delete the covered docs whose (conv_id, turn_idx) appears
+    * in `keys` — the doom selection of [[update]]. Key-shuffle semi-join,
+    * so a batch of ANY size works (never an isin list or a driver
+    * collect); AQE broadcasts when the batch is small. */
+  def deleteByKeys(spark: SparkSession, indexDir: String,
+                   keys: DataFrame): Long =
+    deleteCore(spark, indexDir, a => a.join(
+      keys.select(col("conv_id"), col("turn_idx")).distinct(),
+      Seq("conv_id", "turn_idx"), "left_semi"))
+
+  /** Upsert by (conv_id, turn_idx) — Lucene's updateDocument on the
+    * segment index: tombstone any covered doc carrying an incoming key
+    * (exact stats/df decrement, [[delete]] semantics), land the
+    * replacement rows ([[append]]), and [[refresh]] so they are
+    * searchable. Net effect ≡ a from-scratch build in which the incoming
+    * keys carry the NEW text (UpdateSpec pins this; `q_update_topk` /
+    * `q_update_stats` oracle-check it). Commits up to 2 generations: the
+    * delete (skipped when no key matched — then this is a plain insert)
+    * and the refresh. Same contract as [[delete]]: only covered rows are
+    * replaceable, so refresh any pending append touching these keys
+    * first. Returns the number of REPLACED (tombstoned) docs; the
+    * appended count is `input.count()`. */
+  def update(spark: SparkSession, input: DataFrame, indexDir: String,
+             cfg: Config = Config()): Long = {
+    val replaced = deleteByKeys(spark, indexDir,
+      input.select(col("conv_id"), col("turn_idx")))
+    append(spark, input, indexDir, cfg)
+    refresh(spark, indexDir)
+    replaced
+  }
+
+  private def deleteCore(spark: SparkSession, indexDir: String,
+                         doom: DataFrame => DataFrame): Long = withBuildConf(spark) {
     import spark.implicits._
     val shards = metaShards(indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
@@ -166,9 +201,8 @@ object IndexBuilder {
     val priorPath = tombstonePathAsOf(indexDir, gen0)
     val prior = priorPath.map(p => graft.sources.TableIO.read(spark, p)
       .select($"shard", $"docId"))
-    val doomed0 = analyzed
-      .where(rankCol < element_at(lit(cover), col("shard") + 1))
-      .where(predicate)
+    val doomed0 = doom(analyzed
+      .where(rankCol < element_at(lit(cover), col("shard") + 1)))
       .select($"shard", $"docId", $"len", $"terms")
     val doomed = prior.fold(doomed0)(p =>
       doomed0.join(p.select($"docId"), Seq("docId"), "left_anti"))

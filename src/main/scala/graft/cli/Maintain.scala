@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   Maintain append  <indexDir> <parquetPath|nTurns>   — land new turns
   *   Maintain refresh <indexDir>                        — make them searchable
+  *   Maintain upsert  <indexDir> <parquetPath>          — replace-or-insert by (conv_id, turn_idx)
   *   Maintain delete  <indexDir> <sqlPredicate>         — tombstone matching docs
   *   Maintain compact <indexDir>                        — fold delta segments, drop tombstoned docs
   *   Maintain status  <indexDir>                        — generation + manifests
@@ -53,6 +54,10 @@ object Maintain {
           println(s"[maintain] nothing to refresh (generation $before)")
         else
           println(f"[maintain] committed generation $after in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      case "upsert" =>
+        val replaced = IndexBuilder.update(spark, spark.read.parquet(args(2)), indexDir)
+        println(f"[maintain] upserted in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"($replaced replaced; generation ${IndexBuilder.committedGen(indexDir)})")
       case "delete" =>
         val dn = IndexBuilder.delete(spark, indexDir,
           org.apache.spark.sql.functions.expr(args(2)))
@@ -69,7 +74,7 @@ object Maintain {
         println(s"[maintain] generation $gen; ${segs.size} live segment(s); " +
           s"n=${st.getAs[Long]("n")} avgdl=${st.getAs[Double]("avgdl")}")
         segs.foreach(p => println(s"  segment: $p"))
-      case other => sys.error(s"unknown command '$other' (append|refresh|delete|compact|status)")
+      case other => sys.error(s"unknown command '$other' (append|refresh|upsert|delete|compact|status)")
     }
     spark.stop()
   }

@@ -21,11 +21,14 @@ object OracleSql {
 
   /** Tokenization CTEs over the documents table restricted to `where`
     * (a predicate over alias `d`) — the corpus a snapshot/time-travel read
-    * serves is a strict subset of documents, stats included. */
-  def baseCtesFor(where: String): String =
+    * serves is a strict subset of documents, stats included. `rel` swaps
+    * the corpus relation itself (any parenthesized SELECT exposing doc_id
+    * and text) — the oracle of an UPDATE, whose corpus is documents with
+    * some rows' text replaced. */
+  def baseCtesFor(where: String, rel: String = "documents"): String =
     s"""toks AS (
        |  SELECT d.doc_id, t.term
-       |  FROM documents d, unnest(regexp_extract_all(lower(d.text), '[\\p{L}\\p{Nd}]+')) AS t(term)
+       |  FROM $rel d, unnest(regexp_extract_all(lower(d.text), '[\\p{L}\\p{Nd}]+')) AS t(term)
        |  WHERE t.term NOT IN ($stopListEn) AND ($where)),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1),
@@ -33,7 +36,7 @@ object OracleSql {
        |stats AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(coalesce(dl.len, 0)) AS DOUBLE) / count(*) AS avgdl
-       |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id WHERE ($where))""".stripMargin
+       |  FROM $rel d LEFT JOIN dl ON dl.doc_id = d.doc_id WHERE ($where))""".stripMargin
 
   /** Tokenization CTEs over the documents table — the SQL mirror of
     * Analyzer.tokenize(text, english) for ASCII input. */
@@ -65,12 +68,12 @@ object OracleSql {
 
   /** Corpus stats over a restricted subset — the oracle of a tombstone
     * delete's exact (n, avgdl) decrement (predicate over alias `d` selects
-    * the SURVIVORS). */
-  def corpusStatsWhere(where: String): String =
-    s"""WITH ${baseCtesFor(where)}
+    * the SURVIVORS); `rel` swaps the corpus relation (update oracle). */
+  def corpusStatsWhere(where: String, rel: String = "documents"): String =
+    s"""WITH ${baseCtesFor(where, rel)}
        |SELECT CAST(count(*) AS BIGINT) AS n,
        |       round(CAST(sum(coalesce(dl.len, 0)) AS DOUBLE) / count(*), 4) AS avgdl
-       |FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id WHERE ($where)""".stripMargin
+       |FROM $rel d LEFT JOIN dl ON dl.doc_id = d.doc_id WHERE ($where)""".stripMargin
 
   def termDf(limit: Int): String =
     s"""WITH $baseCtes
@@ -93,8 +96,10 @@ object OracleSql {
   def topK(terms: Seq[(String, Int)], p: Bm25.Params, k: Int,
            /** Corpus restriction (predicate over alias `d`) — the oracle of
              * a snapshot read: df/avgdl/N come from the subset only. */
-           where: String = "TRUE"): String =
-    s"""WITH ${baseCtesFor(where)},
+           where: String = "TRUE",
+           /** Corpus relation override — the oracle of an update. */
+           rel: String = "documents"): String =
+    s"""WITH ${baseCtesFor(where, rel)},
        |${scoredCte(terms, p)}
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
