@@ -391,6 +391,42 @@ object IndexBuilder {
     Manifests.write(indexDir, StageManifest("compact_floor", committedGen(indexDir), 0, "floor", 0))
   }
 
+  /** The heavyweight tail of the delete lifecycle. [[compact]] rebuilds the
+    * postings without the tombstoned docs but leaves their rows in the
+    * corpus-sized analyzed table (and so keeps the tombstone set for
+    * serving-side exclusion, by then a no-op). Vacuum finishes the job:
+    * compact first (folds segments, cleans postings, records the snapshot
+    * floor), then rewrite analyzed/ minus the doomed docIds — docIds are
+    * KEPT, never re-assigned, so covers and allocation HWMs stay valid —
+    * and finally retire the tombstone tables + manifests. Retirement is
+    * safe because every structure any servable generation reads is now
+    * physically clean: generations below the delete were expired by
+    * compact's floor, and generations at/above it never see the doomed
+    * docs anyway. Crash order: the manifest clear is LAST, so an
+    * interrupted vacuum leaves only harmless no-op exclusion cursors and a
+    * re-run completes the retirement. No generation is committed — the
+    * logical corpus (survivors) is unchanged. */
+  def vacuum(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
+    compact(spark, indexDir)
+    val gen = committedGen(indexDir)
+    tombstonePathAsOf(indexDir, gen).foreach { p =>
+      val tomb = broadcast(
+        graft.sources.TableIO.read(spark, p).select(col("docId")))
+      val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+      graft.sources.TableIO.write(
+        analyzed.join(tomb, Seq("docId"), "left_anti"), s"$indexDir/analyzed_tmp")
+      swapDir(spark, s"$indexDir/analyzed_tmp", s"$indexDir/analyzed")
+      val dir = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (1L to gen).foreach { g =>
+        if (Manifests.read(indexDir, s"tombstones_g$g").isDefined) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones_g$g"), true)
+          Manifests.clear(indexDir, s"tombstones_g$g")
+        }
+      }
+    }
+  }
+
   // ---- generation-pointer path resolution ----------------------------------
 
   /** Committed refresh generation (0 = base build only). */

@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *   Maintain upsert  <indexDir> <parquetPath>          — replace-or-insert by (conv_id, turn_idx)
   *   Maintain delete  <indexDir> <sqlPredicate>         — tombstone matching docs
   *   Maintain compact <indexDir>                        — fold delta segments, drop tombstoned docs
+  *   Maintain vacuum  <indexDir>                        — compact + purge tombstoned rows from analyzed/
   *   Maintain status  <indexDir>                        — generation + manifests
   *
   * The delete predicate is SQL over the analyzed table's columns
@@ -67,6 +68,10 @@ object Maintain {
         IndexBuilder.compact(spark, indexDir)
         println(f"[maintain] compacted in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
           s"(generation ${IndexBuilder.committedGen(indexDir)})")
+      case "vacuum" =>
+        IndexBuilder.vacuum(spark, indexDir)
+        println(f"[maintain] vacuumed in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(generation ${IndexBuilder.committedGen(indexDir)}; tombstones retired)")
       case "status" =>
         val gen = IndexBuilder.committedGen(indexDir)
         val segs = IndexBuilder.segmentPaths(spark, indexDir)
@@ -74,7 +79,7 @@ object Maintain {
         println(s"[maintain] generation $gen; ${segs.size} live segment(s); " +
           s"n=${st.getAs[Long]("n")} avgdl=${st.getAs[Double]("avgdl")}")
         segs.foreach(p => println(s"  segment: $p"))
-      case other => sys.error(s"unknown command '$other' (append|refresh|upsert|delete|compact|status)")
+      case other => sys.error(s"unknown command '$other' (append|refresh|upsert|delete|compact|vacuum|status)")
     }
     spark.stop()
   }

@@ -147,6 +147,36 @@ class DeleteSpec extends AnyFunSuite {
     assert(leaked == 0, s"$leaked tombstoned postings survived compact")
   }
 
+  test("vacuum purges analyzed rows, retires tombstones, results unchanged") {
+    val all = Transcripts.synth(spark, 1500, turnsPerConv = 5).toDF()
+    val dir = TestSpark.tmpDir("delvacuum")
+    IndexBuilder.build(spark, all, dir, IndexBuilder.Config(shards = 4))
+    val dn = IndexBuilder.delete(spark, dir, pmod(hash($"conv_id"), lit(4)) === 1)
+    assert(dn > 0)
+    val sBefore = new Searcher(spark, dir)
+    val nBefore = sBefore.n
+    val before = sBefore.topK("tok0", 10)
+      .select("conv_id", "turn_idx", "score").collect().toSeq
+
+    IndexBuilder.vacuum(spark, dir)
+    // tombstones fully retired: no table, no manifest, no exclusion path
+    assert(IndexBuilder.tombstonePathAsOf(dir, IndexBuilder.committedGen(dir)).isEmpty)
+    // analyzed physically holds survivors only (docIds unchanged)
+    assert(spark.read.parquet(s"$dir/analyzed").count() == nBefore)
+    val sAfter = new Searcher(spark, dir)
+    assert(sAfter.n == nBefore)
+    assert(sAfter.topK("tok0", 10)
+      .select("conv_id", "turn_idx", "score").collect().toSeq == before)
+    // lifecycle continues cleanly after a vacuum: append + refresh works
+    IndexBuilder.append(spark,
+      Transcripts.fixture(spark, "cPOSTVAC", Seq("tok0 after the vacuum")).toDF(),
+      dir, IndexBuilder.Config(shards = 4))
+    IndexBuilder.refresh(spark, dir)
+    val s2 = new Searcher(spark, dir)
+    assert(s2.n == nBefore + 1)
+    assert(s2.topK("vacuum", 5).select("conv_id").as[String].collect().contains("cPOSTVAC"))
+  }
+
   test("delete interoperates with append + refresh") {
     val all = Transcripts.synth(spark, 1200, turnsPerConv = 4).toDF()
     val doomedPred = pmod(hash($"conv_id"), lit(3)) === 0
