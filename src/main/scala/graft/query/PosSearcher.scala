@@ -28,6 +28,20 @@ final class PosSearcher(spark: SparkSession, indexDir: String) {
   private val posPath = PositionIndex.path(indexDir)
   private val posDF = graft.sources.TableIO.read(spark, posPath)
 
+  /** Delete tombstones of the CURRENT committed generation: the positional
+    * sidecar is immutable like the postings, so a tombstoned doc's
+    * positions stay on disk until the sidecar is rebuilt — hide its
+    * matches with one broadcast anti-join on the (match-sized) output.
+    * None (zero plan impact — PlanSpec's shuffle-free pin holds) unless a
+    * delete actually committed; vacuum retires it again. */
+  private val tombstonePath: Option[String] =
+    graft.build.IndexBuilder.tombstonePathAsOf(indexDir,
+      graft.build.IndexBuilder.committedGen(indexDir))
+  private def tombstoneFree(df: DataFrame): DataFrame =
+    tombstonePath.fold(df)(p => df.join(
+      broadcast(graft.sources.TableIO.read(spark, p).select(col("docId"))),
+      Seq("docId"), "left_anti"))
+
   /** Largest positions file (listed once at construction); -1 = unknown. */
   private val maxFileLen: Long = {
     try {
@@ -66,7 +80,7 @@ final class PosSearcher(spark: SparkSession, indexDir: String) {
       else
         pruned.groupByKey(_.shard)
           .flatMapGroups((_, ps) => PosSearcher.shardMatches(ps.toSeq, toks))
-    out.toDF("docId")
+    tombstoneFree(out.toDF("docId"))
   }
 
   /** (docId, span) of documents containing EVERY distinct raw token of
@@ -95,7 +109,7 @@ final class PosSearcher(spark: SparkSession, indexDir: String) {
       else
         pruned.groupByKey(_.shard)
           .flatMapGroups((_, ps) => PosSearcher.shardSpans(ps.toSeq, terms, window))
-    out.toDF("docId", "span")
+    tombstoneFree(out.toDF("docId", "span"))
   }
 }
 

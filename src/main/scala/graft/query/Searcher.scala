@@ -86,9 +86,20 @@ final class Searcher(spark: SparkSession, indexDir: String,
   private val postingsDF = maybeCache(graft.sources.TableIO.read(spark, postingsPaths))
   private val dfDF = maybeCache(graft.sources.TableIO.read(spark,
     graft.build.IndexBuilder.dfPathAsOf(indexDir, generation)))
-  private lazy val docMetaDF = maybeCache(
-    covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
-      .select(col("shard"), col("docId"), col("conv_id"), col("turn_idx"), col("len")))
+  /** Doc-meta projection for KERNEL-HIT resolution: coverage-filtered
+    * only. Kernel hits come from gen-pinned postings with tombstones
+    * already excluded in the kernel, so the tombstone anti-join would be
+    * pure redundancy — an extra tombstone-table scan + BroadcastExchange
+    * on every query's point read (PlanSpec pins its absence). */
+  private lazy val hitMetaDF = maybeCache {
+    val base = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+    coveredOnly.fold(base)(base.where)
+      .select(col("shard"), col("docId"), col("conv_id"), col("turn_idx"), col("len"))
+  }
+  /** Same projection for RELATIONAL paths (scoreAll keepZeros, doc scans),
+    * which surface docs without going through a kernel — tombstones hidden
+    * with the broadcast anti-join, layered over the shared cached frame. */
+  private lazy val docMetaDF = tombstoneFree(hitMetaDF)
 
   private val statsRow = graft.sources.TableIO.read(spark,
     graft.build.IndexBuilder.statsPathAsOf(indexDir, generation)).head()
@@ -134,14 +145,15 @@ final class Searcher(spark: SparkSession, indexDir: String,
     spark.sparkContext.broadcast(m)
   }
 
-  private def covered(df: DataFrame): DataFrame = {
-    val c = coveredOnly.fold(df)(df.where)
-    // relational paths (scoreAll, doc meta) hide tombstoned docs with one
-    // broadcast anti-join against the (tiny) tombstone table
-    tombstonePath.fold(c)(p => c.join(
+  /** Hide tombstoned docs from a relational frame with one broadcast
+    * anti-join against the (tiny) tombstone table. */
+  private def tombstoneFree(df: DataFrame): DataFrame =
+    tombstonePath.fold(df)(p => df.join(
       broadcast(graft.sources.TableIO.read(spark, p).select(col("docId"))),
       Seq("docId"), "left_anti"))
-  }
+
+  private def covered(df: DataFrame): DataFrame =
+    tombstoneFree(coveredOnly.fold(df)(df.where))
   val n: Long = statsRow.getAs[Long]("n")
   val avgdl: Double = statsRow.getAs[Double]("avgdl")
 
@@ -276,7 +288,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val hits = kernel.get.as[(Long, Double)].collect()
     if (hits.isEmpty) return emptyHits()
     val scoreMap = typedLit(hits.toMap)
-    docMetaDF
+    hitMetaDF
       .filter(col("docId").isin(hits.map(_._1): _*))
       .select($"conv_id", $"turn_idx", $"docId",
         element_at(scoreMap, $"docId").as("score"))
@@ -292,7 +304,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .as[(Long, Double)].collect()
     if (hits.isEmpty) return emptyHits()
     val scoreMap = typedLit(hits.toMap)
-    docMetaDF
+    hitMetaDF
       .filter(col("docId").isin(hits.map(_._1): _*))
       .select($"conv_id", $"turn_idx", $"docId",
         element_at(scoreMap, $"docId").as("score"))
@@ -629,14 +641,14 @@ final class Searcher(spark: SparkSession, indexDir: String,
         .as[(String, Long, Double)].collect()
       if (hits.isEmpty) return emptyBatchHits()
       val hitsDF = hits.toSeq.toDF("qid", "docId", "score")
-      docMetaDF
+      hitMetaDF
         .filter(col("docId").isin(hits.map(_._2).distinct.toSeq: _*))
         .select($"conv_id", $"turn_idx", $"docId")
         .join(broadcast(hitsDF), "docId")
         .select($"qid", $"conv_id", $"turn_idx", $"docId", $"score")
         .orderBy(asc("qid"), desc("score"), asc("docId"))
     } else
-      docMetaDF
+      hitMetaDF
         .join(broadcast(top), "docId")
         .select($"qid", $"conv_id", $"turn_idx", $"docId", $"score")
         .orderBy(asc("qid"), desc("score"), asc("docId"))

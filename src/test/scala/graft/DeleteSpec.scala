@@ -101,6 +101,29 @@ class DeleteSpec extends AnyFunSuite {
     assert(snap.topK("zzdel shared", 10).count() == 2)
   }
 
+  test("positional sidecar hides tombstoned docs (phrase + span)") {
+    val dir = TestSpark.tmpDir("delpos")
+    IndexBuilder.build(spark,
+      Transcripts.fixture(spark, "cP", Seq(
+        "zzph alpha beta gamma tail",   // turn 0 — doomed
+        "zzph alpha beta gamma other",  // turn 1 — survives
+        "unrelated filler text")).toDF(),
+      dir, IndexBuilder.Config(shards = 2))
+    graft.build.PositionIndex.build(spark,
+      Transcripts.fixture(spark, "cP", Seq(
+        "zzph alpha beta gamma tail",
+        "zzph alpha beta gamma other",
+        "unrelated filler text")).toDF(), dir)
+    val ps0 = new graft.query.PosSearcher(spark, dir)
+    assert(ps0.matchDocs(Seq("alpha", "beta", "gamma")).count() == 2)
+
+    assert(IndexBuilder.delete(spark, dir, $"turn_idx" === 0) == 1L)
+    // a NEW PosSearcher (generation pinned at construction) hides the doc
+    val ps = new graft.query.PosSearcher(spark, dir)
+    assert(ps.matchDocs(Seq("alpha", "beta", "gamma")).count() == 1)
+    assert(ps.spanDocs(Seq("zzph", "gamma"), 5).count() == 1)
+  }
+
   test("second delete accumulates; empty delete commits nothing") {
     val dir = TestSpark.tmpDir("delacc")
     IndexBuilder.build(spark,

@@ -57,6 +57,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstone exclusion keeps the WAND plan shuffle-free") {
+    // deletes must not change the serving shape: the tombstone set rides
+    // the existing broadcast into the colocated kernel — no Exchange, no
+    // join of the corpus appears in the plan
+    val d = TestSpark.tmpDir("plandel")
+    IndexBuilder.build(spark, Transcripts.synth(spark, 3000, 7).toDF(), d,
+      IndexBuilder.Config(shards = 8))
+    assert(IndexBuilder.delete(spark, d,
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.col("conv_id")),
+        org.apache.spark.sql.functions.lit(7)) === 0) > 0)
+    val s = new Searcher(spark, d)
+    assert(s.colocated)
+    for (df <- Seq(s.topK("quick brown fox", 10), s.topKAnd("quick brown fox", 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan).toList
+      assert(shuffles.isEmpty, s"unexpected Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
+      assert(!plan.contains("Join"), "tombstone exclusion must not plan a join on the kernel path")
+    }
+  }
+
   test("AND-mode and matchAll plans are shuffle-free too (colocated kernel)") {
     val s = new Searcher(spark, dir)
     assert(s.colocated)
