@@ -34,6 +34,12 @@ object SparkEntry {
   // update (upsert) query: the marker token exists ONLY in the replaced
   // text, so ranking on it proves the new versions are live
   private val Q_UPD = "zzupdated stream window"
+  // boolean (must/should/not) query: one required clause, two optional
+  // scoring clauses, one exclusion — terms deliberately disjoint so the
+  // oracle's scoring union is simply must ∪ should
+  private val B_MUST = "join"
+  private val B_SHOULD = "spark window"
+  private val B_NOT = "customer"
   // the update oracle's corpus: documents with the SAME text transform the
   // Spark side applied before IndexBuilder.update (doc_id ≡ 2 mod 5 rows
   // get the marker suffix)
@@ -122,6 +128,8 @@ object SparkEntry {
     // recomposed exactly (oracle: same transform applied in SQL)
     "q_update_topk" -> ((s, d) => DocQueries.updateTopK(s, d, Q_UPD, 10)),
     "q_update_stats" -> ((s, d) => DocQueries.updateStats(s, d)),
+    // boolean retrieval: must + should + must_not in one kernel pass
+    "q_bm25_bool" -> ((s, d) => DocQueries.boolTopK(s, d, B_MUST, B_SHOULD, B_NOT, 10)),
     // snapshot (time-travel) read: the SAME index as of generation 0 must
     // equal the oracle over the base 80% subset (stats included)
     "q_snapshot_topk" -> ((s, d) => DocQueries.snapshotTopK(s, d, Q_TOPK_REL, 10)),
@@ -304,6 +312,8 @@ object SparkEntry {
     "q_delete_stats" -> OracleSql.corpusStatsWhere("(d.doc_id % 5) <> 2"),
     "q_update_topk" -> OracleSql.topK(qt(Q_UPD), P, 10, rel = UpdatedRel),
     "q_update_stats" -> OracleSql.corpusStatsWhere("TRUE", rel = UpdatedRel),
+    "q_bm25_bool" -> OracleSql.topKBool(qt(B_MUST + " " + B_SHOULD),
+      qt(B_MUST).map(_._1), qt(B_NOT).map(_._1), P, 10),
     "q_snapshot_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10,
       where = "d.doc_id % 5 <> 0"),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),

@@ -419,6 +419,28 @@ object OracleSql {
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Boolean (must/should/not) top-k — Lucene's BooleanQuery shape: docs
+    * containing EVERY must term and NO not term, scored OR-mode over
+    * `terms` = must ∪ should (must qtf wins on overlap — the caller
+    * builds the union exactly as Searcher.search does). */
+  def topKBool(terms: Seq[(String, Int)], mustTerms: Seq[String],
+               excludes: Seq[String], p: Bm25.Params, k: Int): String = {
+    val mustPred =
+      if (mustTerms.isEmpty) "TRUE"
+      else s"""doc_id IN (
+              |  SELECT doc_id FROM tf WHERE term IN (${mustTerms.map(lit).mkString(",")})
+              |  GROUP BY 1 HAVING count(DISTINCT term) = ${mustTerms.size})""".stripMargin
+    val notPred =
+      if (excludes.isEmpty) "TRUE"
+      else s"doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN (${excludes.map(lit).mkString(",")}))"
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |WHERE $mustPred
+       |AND $notPred
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def topKAnd(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
     s"""WITH $baseCtes,
        |${scoredAndCte(terms, p)}

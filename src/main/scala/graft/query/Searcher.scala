@@ -376,6 +376,68 @@ final class Searcher(spark: SparkSession, indexDir: String,
     resolveHits(out.toDF("docId", "score"), k)
   }
 
+  /** Boolean retrieval — Lucene's BooleanQuery shape in ONE kernel pass:
+    * every analyzed `must` term is required AND scores, `should` terms are
+    * optional and score, `not` terms exclude (MUST_NOT). Candidates = docs
+    * containing every must term and no not term; score = plain OR-mode
+    * BM25 over must ∪ should (a term in both clauses scores once, with the
+    * must qtf; a should term that is also excluded can never contribute
+    * and is dropped; a must term that is also excluded is unsatisfiable —
+    * empty result, Lucene's contract). Degenerate shapes delegate to the
+    * specialized kernels: no must → [[topKNot]], no should and no not →
+    * [[topKAnd]]. Plan shape is [[topKFiltered]]'s: the must lists drive
+    * the kernel as filter cursors (cost ∝ shortest must list per shard),
+    * the not lists ride the same term-pruned postings scan as
+    * forward-leapfrog exclusion cursors — zero exchange when colocated,
+    * never an anti-join of the corpus. */
+  def search(must: String, should: String = "", not: String = "",
+             k: Int = 10): DataFrame = {
+    val eset = analyzeQuery(not).keySet
+    val m0 = analyzeQuery(must)
+    if (m0.keys.exists(eset.contains)) return emptyHits()
+    if (m0.isEmpty) return topKNot(should, not, k)
+    val stf = analyzeQuery(should)
+      .filterNot { case (t, _) => eset.contains(t) || m0.contains(t) }
+    if (stf.isEmpty && eset.isEmpty) return topKAnd(must, k)
+    val qtf = m0 ++ stf
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (m0.keys.exists(t => !dfm.contains(t))) return emptyHits() // a must term nowhere in the corpus
+    val mterms = m0.keys.toSeq.sorted
+    val eterms = eset.toSeq.sorted
+    val all = (dfm.keys.toSeq ++ mterms ++ eterms).distinct.sorted
+    val postings = postingsDF.where(col("term").isin(all: _*)).as[Posting]
+    val qterms = qtf
+    val required = mterms.size
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    val tb = tombBc
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val filterPs = mterms.flatMap(byTerm.get)
+      val ex = eterms.flatMap(byTerm.get) ++ tb.value.get(group.head.shard)
+      val inputs = qterms.toSeq.collect {
+        case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
+          Wand.TermInput(byTerm(t), f, dfm(t))
+      }
+      Wand.topKFiltered(inputs, filterPs, required, nn, ad, k, p, excludes = ex)
+        .iterator.map(s => (s.docId, s.score))
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    resolveHits(out.toDF("docId", "score"), k)
+  }
+
   /** Filtered (faceted) top-k: rank only documents whose facet posting
     * lists contain them for EVERY (column, value) in `facets` — the filter
     * IS a posting list ([[graft.model.Facets]]; the index must have been
