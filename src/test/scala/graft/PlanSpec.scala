@@ -79,11 +79,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("AND-mode and matchAll plans are shuffle-free too (colocated kernel)") {
+  test("AND-mode, matchAll and boolean plans are shuffle-free too (colocated kernel)") {
     val s = new Searcher(spark, dir)
     assert(s.colocated)
     for (df <- Seq(s.topKAnd("quick brown fox", 10),
-                   s.matchAllDocs("quick brown fox"))) {
+                   s.matchAllDocs("quick brown fox"),
+                   s.search("learning", "retrieval relevance", "streaming", 10))) {
       val plan = df.queryExecution.executedPlan.toString
       val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan).toList
       assert(shuffles.isEmpty, s"unexpected Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
