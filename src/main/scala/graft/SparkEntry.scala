@@ -130,6 +130,10 @@ object SparkEntry {
     "q_update_stats" -> ((s, d) => DocQueries.updateStats(s, d)),
     // boolean retrieval: must + should + must_not in one kernel pass
     "q_bm25_bool" -> ((s, d) => DocQueries.boolTopK(s, d, B_MUST, B_SHOULD, B_NOT, 10)),
+    // the full search-engine shape: boolean clauses + metadata facet
+    // filter, all filters as posting-list cursors in the same kernel
+    "q_bool_filtered" -> ((s, d) => DocQueries.boolFilteredTopK(s, d,
+      B_MUST, B_SHOULD, B_NOT, Map("lang" -> "en"), 10)),
     // snapshot (time-travel) read: the SAME index as of generation 0 must
     // equal the oracle over the base 80% subset (stats included)
     "q_snapshot_topk" -> ((s, d) => DocQueries.snapshotTopK(s, d, Q_TOPK_REL, 10)),
@@ -314,6 +318,9 @@ object SparkEntry {
     "q_update_stats" -> OracleSql.corpusStatsWhere("TRUE", rel = UpdatedRel),
     "q_bm25_bool" -> OracleSql.topKBool(qt(B_MUST + " " + B_SHOULD),
       qt(B_MUST).map(_._1), qt(B_NOT).map(_._1), P, 10),
+    "q_bool_filtered" -> OracleSql.topKBool(qt(B_MUST + " " + B_SHOULD),
+      qt(B_MUST).map(_._1), qt(B_NOT).map(_._1), P, 10,
+      facets = Seq("lang" -> "en")),
     "q_snapshot_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10,
       where = "d.doc_id % 5 <> 0"),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),

@@ -424,21 +424,27 @@ object OracleSql {
     * `terms` = must ∪ should (must qtf wins on overlap — the caller
     * builds the union exactly as Searcher.search does). */
   def topKBool(terms: Seq[(String, Int)], mustTerms: Seq[String],
-               excludes: Seq[String], p: Bm25.Params, k: Int): String = {
+               excludes: Seq[String], p: Bm25.Params, k: Int,
+               facets: Seq[(String, String)] = Nil): String = {
     val mustPred =
       if (mustTerms.isEmpty) "TRUE"
-      else s"""doc_id IN (
+      else s"""s.doc_id IN (
               |  SELECT doc_id FROM tf WHERE term IN (${mustTerms.map(lit).mkString(",")})
               |  GROUP BY 1 HAVING count(DISTINCT term) = ${mustTerms.size})""".stripMargin
     val notPred =
       if (excludes.isEmpty) "TRUE"
-      else s"doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN (${excludes.map(lit).mkString(",")}))"
+      else s"s.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN (${excludes.map(lit).mkString(",")}))"
+    val facetPred =
+      if (facets.isEmpty) "TRUE"
+      else facets.map { case (c, v) => s"d.$c = ${lit(v)}" }.mkString(" AND ")
     s"""WITH $baseCtes,
        |${scoredCte(terms, p)}
-       |SELECT doc_id, round(score, 4) AS score FROM scored
-       |WHERE $mustPred
-       |AND $notPred
-       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+       |SELECT s.doc_id, round(s.score, 4) AS score
+       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |WHERE ($mustPred)
+       |AND ($notPred)
+       |AND ($facetPred)
+       |ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT $k""".stripMargin
   }
 
   def topKAnd(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =

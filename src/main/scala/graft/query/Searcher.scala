@@ -385,24 +385,30 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * and is dropped; a must term that is also excluded is unsatisfiable —
     * empty result, Lucene's contract). Degenerate shapes delegate to the
     * specialized kernels: no must → [[topKNot]], no should and no not →
-    * [[topKAnd]]. Plan shape is [[topKFiltered]]'s: the must lists drive
-    * the kernel as filter cursors (cost ∝ shortest must list per shard),
-    * the not lists ride the same term-pruned postings scan as
-    * forward-leapfrog exclusion cursors — zero exchange when colocated,
-    * never an anti-join of the corpus. */
+    * [[topKAnd]]. `facets` adds metadata (column = value) filters — facet
+    * posting lists ([[graft.model.Facets]]; the index must carry them via
+    * Config.facetCols) join the must lists in the filter cursor set,
+    * required but never scoring. Plan shape is [[topKFiltered]]'s: the
+    * must + facet lists drive the kernel as filter cursors (cost ∝
+    * shortest filter list per shard), the not lists ride the same
+    * term-pruned postings scan as forward-leapfrog exclusion cursors —
+    * zero exchange when colocated, never an anti-join of the corpus. */
   def search(must: String, should: String = "", not: String = "",
-             k: Int = 10): DataFrame = {
+             k: Int = 10, facets: Map[String, String] = Map.empty): DataFrame = {
     val eset = analyzeQuery(not).keySet
     val m0 = analyzeQuery(must)
     if (m0.keys.exists(eset.contains)) return emptyHits()
-    if (m0.isEmpty) return topKNot(should, not, k)
+    if (facets.isEmpty && m0.isEmpty) return topKNot(should, not, k)
     val stf = analyzeQuery(should)
       .filterNot { case (t, _) => eset.contains(t) || m0.contains(t) }
-    if (stf.isEmpty && eset.isEmpty) return topKAnd(must, k)
+    if (facets.isEmpty && stf.isEmpty && eset.isEmpty) return topKAnd(must, k)
     val qtf = m0 ++ stf
+    if (qtf.isEmpty) return emptyHits()
     val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return emptyHits()
     if (m0.keys.exists(t => !dfm.contains(t))) return emptyHits() // a must term nowhere in the corpus
-    val mterms = m0.keys.toSeq.sorted
+    val fterms = facets.toSeq.map { case (c, v) => graft.model.Facets.term(c, v) }
+    val mterms = m0.keys.toSeq.sorted ++ fterms.sorted
     val eterms = eset.toSeq.sorted
     val all = (dfm.keys.toSeq ++ mterms ++ eterms).distinct.sorted
     val postings = postingsDF.where(col("term").isin(all: _*)).as[Posting]

@@ -77,4 +77,30 @@ class BoolSearchSpec extends AnyFunSuite {
   test("must term absent from the corpus yields empty") {
     assert(s.search("zznowhere", "quick", "", 10).count() == 0)
   }
+
+  test("facet filter composes with boolean clauses in the same kernel") {
+    val d = TestSpark.tmpDir("boolfacet")
+    IndexBuilder.build(spark, Transcripts.synth(spark, 2000, 6).toDF(), d,
+      IndexBuilder.Config(shards = 4, facetCols = Seq("role")))
+    val sf = new Searcher(spark, d)
+    val got = sf.search("learning", "retrieval relevance", "streaming", 15,
+        facets = Map("role" -> "user"))
+      .select($"conv_id", $"turn_idx").as[(String, Int)].collect().toSeq
+    assert(got.nonEmpty)
+
+    // brute: the unfaceted boolean composition intersected with the
+    // deterministic synth corpus' role=user rows
+    val mustDocs = sf.matchAllDocs("learning").select($"docId").as[Long].collect().toSet
+    val notDocs = sf.scoreAll("streaming").select($"docId").as[Long].collect().toSet
+    val userKeys = Transcripts.synth(spark, 2000, 6).toDF()
+      .filter($"role" === "user")
+      .select($"conv_id", $"turn_idx").as[(String, Int)].collect().toSet
+    val expect = sf.scoreAll("learning retrieval relevance")
+      .filter($"docId".isInCollection((mustDocs -- notDocs) + -1L))
+      .select($"conv_id", $"turn_idx", $"docId", $"score").collect().toSeq
+      .filter(r => userKeys((r.getString(0), r.getInt(1))))
+      .sortBy(r => (-r.getDouble(3), r.getLong(2))).take(15)
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(got == expect)
+  }
 }
