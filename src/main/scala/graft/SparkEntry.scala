@@ -134,6 +134,9 @@ object SparkEntry {
     // filter, all filters as posting-list cursors in the same kernel
     "q_bool_filtered" -> ((s, d) => DocQueries.boolFilteredTopK(s, d,
       B_MUST, B_SHOULD, B_NOT, Map("lang" -> "en"), 10)),
+    // Lucene's explain(): per-term score breakdown of the top-1 hit —
+    // contributions must sum to the hit's score under the same stats
+    "q_explain" -> ((s, d) => DocQueries.explainTopHit(s, d, Q_TOPK)),
     // snapshot (time-travel) read: the SAME index as of generation 0 must
     // equal the oracle over the base 80% subset (stats included)
     "q_snapshot_topk" -> ((s, d) => DocQueries.snapshotTopK(s, d, Q_TOPK_REL, 10)),
@@ -321,6 +324,7 @@ object SparkEntry {
     "q_bool_filtered" -> OracleSql.topKBool(qt(B_MUST + " " + B_SHOULD),
       qt(B_MUST).map(_._1), qt(B_NOT).map(_._1), P, 10,
       facets = Seq("lang" -> "en")),
+    "q_explain" -> OracleSql.explainTopHit(qt(Q_TOPK), P),
     "q_snapshot_topk" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10,
       where = "d.doc_id % 5 <> 0"),
     "q_cascade" -> OracleSql.cascade(qt(Q_CASCADE), P, 0.5, 20, 5),

@@ -419,6 +419,26 @@ object OracleSql {
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Per-term score breakdown of the TOP-1 hit (round-4/doc_id cut, the
+    * same target selection as DocQueries.explainTopHit) — the SQL mirror
+    * of Searcher.explain: one row per query term present in the doc, the
+    * contributions summing to the doc's score. */
+  def explainTopHit(terms: Seq[(String, Int)], p: Bm25.Params): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |top1 AS (SELECT doc_id FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 1)
+       |SELECT tf.term, tf.tf, dft.df,
+       |  round( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * ${p.k1 + 1}) / (tf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl))
+       |       * (qt.qtf * ${p.k3 + 1}) / (qt.qtf + ${p.k3}), 4) AS contrib
+       |FROM tf
+       |JOIN top1 ON top1.doc_id = tf.doc_id
+       |JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term
+       |JOIN dft ON dft.term = tf.term
+       |JOIN dl ON dl.doc_id = tf.doc_id
+       |CROSS JOIN stats
+       |ORDER BY tf.term""".stripMargin
+
   /** Boolean (must/should/not) top-k — Lucene's BooleanQuery shape: docs
     * containing EVERY must term and NO not term, scored OR-mode over
     * `terms` = must ∪ should (must qtf wins on overlap — the caller

@@ -376,6 +376,35 @@ final class Searcher(spark: SparkSession, indexDir: String,
     resolveHits(out.toDF("docId", "score"), k)
   }
 
+  /** Per-term score breakdown for ONE document — Lucene's explain(): each
+    * query term's (tf, df, contribution) on `docId`, the contributions
+    * summing to the doc's [[topK]]/[[scoreAll]] score exactly (same
+    * codegen'd expression, same global stats). A PRUNED point read of the
+    * doc's analyzed row (docId filter pushed to the scan) joined to the
+    * broadcast query + df slices — never a corpus scan. Coverage and
+    * tombstones apply: explaining a deleted or not-yet-refreshed doc
+    * returns no rows, matching its absence from every query path. */
+  def explain(query: String, docId: Long): DataFrame = {
+    val qtf = analyzeQuery(query)
+    val empty = Seq.empty[(String, Long, Long, Double)].toDF("term", "tf", "df", "contrib")
+    if (qtf.isEmpty) return empty
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return empty
+    val qdf = qtf.toSeq.toDF("term", "qtf")
+    val dfTable = dfm.toSeq.toDF("term", "df")
+    covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
+      .where(col("docId") === docId)
+      .select(col("len"), explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+      .select(col("len"), col("tt.terms").as("term"), col("tt.tfs").as("tf"))
+      .join(broadcast(qdf), "term")
+      .join(broadcast(dfTable), "term")
+      .withColumn("contrib", Bm25.scoreCol(col("tf"), col("qtf"), col("df"),
+        col("len"), lit(n), lit(avgdl), params))
+      .select(col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("contrib"))
+      .orderBy(col("term"))
+  }
+
   /** Boolean retrieval — Lucene's BooleanQuery shape in ONE kernel pass:
     * every analyzed `must` term is required AND scores, `should` terms are
     * optional and score, `not` terms exclude (MUST_NOT). Candidates = docs

@@ -78,6 +78,17 @@ class BoolSearchSpec extends AnyFunSuite {
     assert(s.search("zznowhere", "quick", "", 10).count() == 0)
   }
 
+  test("explain: per-term contributions sum exactly to the doc's score") {
+    val hit = s.topK("quick brown fox", 1)
+      .select($"docId", $"score").as[(Long, Double)].head()
+    val ex = s.explain("quick brown fox", hit._1)
+    assert(ex.count() >= 2) // multi-term hit
+    val total = ex.agg(sum($"contrib")).as[Double].head()
+    assert(math.abs(total - hit._2) < 1e-9, s"explain sums to $total, score ${hit._2}")
+    // a docId that exists nowhere explains to zero rows
+    assert(s.explain("quick", -42L).count() == 0)
+  }
+
   test("facet filter composes with boolean clauses in the same kernel") {
     val d = TestSpark.tmpDir("boolfacet")
     IndexBuilder.build(spark, Transcripts.synth(spark, 2000, 6).toDF(), d,
