@@ -97,16 +97,21 @@ object IndexBuilder {
         * via Searcher.topKFiltered. */
       facetCols: Seq[String] = Nil)
 
+  /** Every mutating op runs under the single-writer maintenance lease
+    * ([[Manifests.withMaintenanceLease]]) AND the shared build conf. */
+  private def leased[T](indexDir: String, spark: SparkSession)(body: => T): T =
+    Manifests.withMaintenanceLease(indexDir)(withBuildConf(spark)(body))
+
   def build(spark: SparkSession, input: DataFrame, indexDir: String,
             cfg: Config = Config()): Unit =
-    withBuildConf(spark) { buildStages(spark, input, indexDir, cfg) }
+    leased(indexDir, spark) { buildStages(spark, input, indexDir, cfg) }
 
   /** Batch-append new turns into an existing index's analyzed table: same
     * shard routing and analyzer as the build, docIds allocated above the
     * per-shard high-water marks (shared with streaming ingest). The new
     * documents become searchable after the next [[refresh]]. */
   def append(spark: SparkSession, input: DataFrame, indexDir: String,
-             cfg: Config = Config()): Unit = withBuildConf(spark) {
+             cfg: Config = Config()): Unit = leased(indexDir, spark) {
     // never guess the shard count: routing rows with the wrong modulus
     // would corrupt the shard layout (refresh silently drops out-of-range
     // shards, HWM arrays overflow)
@@ -181,7 +186,8 @@ object IndexBuilder {
     * first. Returns the number of REPLACED (tombstoned) docs; the
     * appended count is `input.count()`. */
   def update(spark: SparkSession, input: DataFrame, indexDir: String,
-             cfg: Config = Config()): Long = {
+             cfg: Config = Config()): Long = Manifests.withMaintenanceLease(indexDir) {
+    // lease is re-entrant: the nested delete/append/refresh share this hold
     val replaced = deleteByKeys(spark, indexDir,
       input.select(col("conv_id"), col("turn_idx")))
     append(spark, input, indexDir, cfg)
@@ -190,7 +196,7 @@ object IndexBuilder {
   }
 
   private def deleteCore(spark: SparkSession, indexDir: String,
-                         doom: DataFrame => DataFrame): Long = withBuildConf(spark) {
+                         doom: DataFrame => DataFrame): Long = leased(indexDir, spark) {
     import spark.implicits._
     val shards = metaShards(indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
@@ -275,7 +281,7 @@ object IndexBuilder {
     * leaves only unreachable staging (overwritten by the retried refresh);
     * a crash after it leaves a fully consistent index. Nothing is ever
     * updated in place. */
-  def refresh(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
+  def refresh(spark: SparkSession, indexDir: String): Unit = leased(indexDir, spark) {
     import spark.implicits._
     val shards = metaShards(indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
@@ -350,7 +356,7 @@ object IndexBuilder {
     * stats/df/postings same-document-set invariant. Offline maintenance:
     * requires no concurrent refresh, and a crash during the base-table
     * swap is repaired by re-running compact. */
-  def compact(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
+  def compact(spark: SparkSession, indexDir: String): Unit = leased(indexDir, spark) {
     val shards = metaShards(indexDir).getOrElse(
       throw new IllegalStateException(s"$indexDir has no index_meta manifest"))
     val parts = shards
@@ -406,7 +412,7 @@ object IndexBuilder {
     * interrupted vacuum leaves only harmless no-op exclusion cursors and a
     * re-run completes the retirement. No generation is committed — the
     * logical corpus (survivors) is unchanged. */
-  def vacuum(spark: SparkSession, indexDir: String): Unit = withBuildConf(spark) {
+  def vacuum(spark: SparkSession, indexDir: String): Unit = leased(indexDir, spark) {
     compact(spark, indexDir)
     val gen = committedGen(indexDir)
     tombstonePathAsOf(indexDir, gen).foreach { p =>

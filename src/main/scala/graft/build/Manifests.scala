@@ -45,6 +45,56 @@ object Manifests {
   def clear(indexDir: String, stage: String): Unit =
     Files.deleteIfExists(dir(indexDir).resolve(s"$stage.json"))
 
+  // ---- single-writer maintenance lease --------------------------------------
+  // Mutating index operations (append/refresh/delete/update/compact/vacuum)
+  // are crash-safe individually but not mutually: two concurrent
+  // maintainers would both stage generation g+1 and race the postings_gen
+  // pointer commit. The lease makes maintenance single-writer: an
+  // exclusive-create lock file holds (epochMs, pid); a second maintainer
+  // fails fast rather than corrupting, and a lease older than
+  // [[LeaseStaleMs]] (a crashed maintainer — the ops themselves run
+  // minutes, not hours) is broken and retaken. Re-entrant within a thread
+  // so composite ops (update = delete + append + refresh) take it once.
+  // In production the same role is played by the catalog's transactional
+  // commit (Iceberg optimistic concurrency); this is the standalone-dir
+  // equivalent.
+
+  val LeaseStaleMs: Long = 60L * 60L * 1000L
+  private val leaseDepth = new ThreadLocal[Integer] { override def initialValue() = 0 }
+  private def leasePath(indexDir: String): Path = dir(indexDir).resolve("maintenance.lock")
+
+  def withMaintenanceLease[T](indexDir: String)(f: => T): T = {
+    if (leaseDepth.get() > 0) { // re-entrant: composite op already holds it
+      leaseDepth.set(leaseDepth.get() + 1)
+      try f finally leaseDepth.set(leaseDepth.get() - 1)
+    } else {
+      Files.createDirectories(dir(indexDir))
+      val p = leasePath(indexDir)
+      val payload = s"""{"epochMs":${System.currentTimeMillis()},"pid":${ProcessHandle.current().pid()}}"""
+      try Files.write(p, payload.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val heldMs = try {
+            val s = Files.readString(p)
+            System.currentTimeMillis() -
+              s.split("\"epochMs\"\\s*:\\s*")(1).takeWhile(_.isDigit).toLong
+          } catch { case _: Throwable => Long.MaxValue } // unreadable ⇒ treat as stale
+          if (heldMs <= LeaseStaleMs)
+            throw new IllegalStateException(
+              s"another maintainer holds $p (for ${heldMs / 1000}s); " +
+                "concurrent maintenance would race the generation commit")
+          // stale lease from a crashed maintainer: break and retake
+          Files.deleteIfExists(p)
+          Files.write(p, payload.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
+      leaseDepth.set(1)
+      try f finally {
+        leaseDepth.set(0)
+        Files.deleteIfExists(p)
+      }
+    }
+  }
+
   /** Total bytes under a stage output directory (local fs). */
   def dirBytes(path: String): Long = {
     val p = Paths.get(path)
