@@ -91,6 +91,12 @@ object SparkEntry {
     "q_bm25_and" -> ((s, d) => DocQueries.topKAnd(s, d, Q_AND, 10)),
     // negated (MUST_NOT) top-k: forward-leapfrog exclusion inside WAND
     "q_bm25_not" -> ((s, d) => DocQueries.topKNot(s, d, Q_NOT, E_NOT, 10)),
+    // minimum_should_match: ≥2 of the 3 query terms required, OR scores
+    "q_bm25_msm" -> ((s, d) => DocQueries.msmTopK(s, d, Q_TOPK, 2, 10)),
+    // deep pagination: page 2 via a kernel-gated search_after cursor
+    "q_search_after" -> ((s, d) => DocQueries.searchAfter(s, d, Q_TOPK, 10)),
+    // did-you-mean: df-ranked dictionary terms within 2 edits of a typo
+    "q_suggest" -> ((s, d) => DocQueries.suggest(s, d, "spak", 2, 10)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
     // phrase top-k over the POSITIONAL sidecar (stopword inside the phrase)
@@ -295,6 +301,9 @@ object SparkEntry {
     "q_bm25_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
     "q_bm25_topk_rel" -> OracleSql.topK(qt(Q_TOPK_REL), P, 10),
     "q_bm25_and" -> OracleSql.topKAnd(qt(Q_AND), P, 10),
+    "q_bm25_msm" -> OracleSql.topKMsm(qt(Q_TOPK), P, 2, 10),
+    "q_search_after" -> OracleSql.topKOffset(qt(Q_TOPK), P, 10),
+    "q_suggest" -> OracleSql.suggest("spak", 2, 10),
     "q_bm25_not" -> OracleSql.topKNot(
       qt(Q_NOT).filterNot(t => qt(E_NOT).exists(_._1 == t._1)),
       qt(E_NOT).map(_._1), P, 10),

@@ -473,6 +473,44 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Page 2 of the (round4 desc, doc_id) ranking — the search_after
+    * oracle: rows k+1..2k of exactly the [[topK]] ordering. */
+  def topKOffset(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k OFFSET $k""".stripMargin
+
+  /** minimum_should_match top-k: OR-mode BM25 restricted to docs matching
+    * ≥ `minMatch` distinct query terms (count(*) — tf rows are unique per
+    * (doc, term), so the join count IS the distinct-match count). */
+  def topKMsm(terms: Seq[(String, Int)], p: Bm25.Params, minMatch: Int,
+              k: Int): String =
+    s"""WITH $baseCtes,
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * ${p.k1 + 1}) / (tf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl))
+       |       * (qt.qtf * ${p.k3 + 1}) / (qt.qtf + ${p.k3}) ) AS score,
+       |    CAST(count(*) AS BIGINT) AS matched
+       |  FROM tf
+       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |WHERE matched >= $minMatch
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Did-you-mean suggestion oracle: dictionary terms within `maxDist`
+    * edits of `term`, by (df desc, term). */
+  def suggest(term: String, maxDist: Int, n: Int): String =
+    s"""WITH $baseCtes
+       |SELECT term, df FROM dft
+       |WHERE levenshtein(term, ${lit(term)}) <= $maxDist
+       |ORDER BY df DESC, term LIMIT $n""".stripMargin
+
   /** Full-token phrase regex over lower(text): each token bounded by
     * non-token chars, consecutive tokens separated by ≥1 of them — the
     * exact mirror of raw-token-stream adjacency (tokens are maximal

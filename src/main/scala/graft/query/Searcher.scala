@@ -220,7 +220,11 @@ final class Searcher(spark: SparkSession, indexDir: String,
                         forceGrouped: Boolean = false,
                         /** >0 = conjunctive (AND) mode: a doc must contain
                           * this many distinct query terms (= all of them). */
-                        conjunctiveRequired: Int = 0): DataFrame = {
+                        conjunctiveRequired: Int = 0,
+                        /** minimum_should_match for OR mode (1 = plain OR). */
+                        minMatch: Int = 1,
+                        /** search_after page gate — see [[Wand.TopK]]. */
+                        gateMax: Double = Double.PositiveInfinity): DataFrame = {
     val p = params
     val (nn, ad) = (n, avgdl)
     val tb = tombBc
@@ -242,8 +246,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
           if (conjunctiveRequired > 0)
             Wand.topKAnd(inputs, conjunctiveRequired, nn, ad, k, p, excludes = tomb)
           else if (exhaustive) Wand.topKExhaustive(inputs, nn, ad, k, p, excludes = tomb)
-          else if (tomb.nonEmpty) Wand.topKNot(inputs, tomb, nn, ad, k, p)
-          else Wand.topK(inputs, nn, ad, k, p)
+          else if (tomb.nonEmpty) Wand.topKNot(inputs, tomb, nn, ad, k, p, minMatch, gateMax)
+          else Wand.topK(inputs, nn, ad, k, p, minMatch, gateMax)
         scored.iterator.map(s => (qid, s.docId, s.score))
       }
     }
@@ -293,6 +297,51 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .select($"conv_id", $"turn_idx", $"docId",
         element_at(scoreMap, $"docId").as("score"))
       .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** minimum_should_match top-k (Lucene's msm over a SHOULD clause list):
+    * OR-mode BM25, but a document qualifies only if it contains at least
+    * `minMatch` DISTINCT analyzed query terms. minMatch = 1 ≡ [[topK]];
+    * minMatch = all terms ≡ [[topKAnd]] (with identical scores — the count
+    * filter never changes a qualifying doc's score). Same zero-exchange
+    * plan; the count check rides the kernel's existing full-evaluation
+    * loop, so pruning power is unchanged. */
+  def topKMsm(query: String, minMatch: Int, k: Int): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty || dfm.size < minMatch) return emptyHits()
+    val terms = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
+      exhaustive = false, minMatch = minMatch)
+    resolveHits(perShard, k)
+  }
+
+  /** Deep-pagination top-k (Elasticsearch's search_after): the hits whose
+    * ROUND-4 score is ≤ `afterScore4` — i.e. at or below the previous
+    * page's last hit — with the page gate applied INSIDE the kernel heap
+    * ([[Wand.TopK]] gateMax), so page p costs one k-sized heap per shard,
+    * never a (p·k)-sized one and never a driver-side re-sort of p·k rows.
+    *
+    * Boundary ties (score == afterScore4) are RETURNED: a total-order
+    * pagination cursor needs a caller-unique tiebreak key (ES documents
+    * the same requirement), and only the caller knows its key — it
+    * finishes the strictly-after cut relationally on (score, its key).
+    * Scores are exposed round-4 everywhere on this surface, so the cursor
+    * lives in the same quantized space: stable under JSON round-trips. */
+  def topKAfter(query: String, k: Int, afterScore4: Double): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return emptyHits()
+    val terms = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    // +5e-5 = half a round-4 ulp: every doc ROUNDING to ≤ afterScore4
+    // passes the raw-score gate; the caller's relational cut is exact.
+    val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
+      exhaustive = false, gateMax = afterScore4 + 5e-5)
+    resolveHits(perShard, k)
   }
 
   /** Merge per-shard candidates to the global ≤ k winners, then resolve

@@ -25,8 +25,16 @@ object Wand {
 
   /** Bounded min-heap of (score, docId); keeps the k largest by
     * (score, then smaller docId preferred on equal score — deterministic
-    * D2 tie-break: on equal scores the smaller docId wins a heap slot). */
-  final class TopK(k: Int) {
+    * D2 tie-break: on equal scores the smaller docId wins a heap slot).
+    *
+    * `gateMax` is the search_after pagination gate: documents scoring
+    * strictly above it (earlier pages) never enter the heap, so a deep
+    * page keeps a k-sized heap instead of page·k. The gate carries half-a-
+    * round-4-ulp slack at the caller (scores are exposed rounded to 4dp),
+    * so boundary ties PASS the kernel and the exact strictly-after cut
+    * happens relationally where the external doc key exists — Lucene/ES
+    * searchAfter's "unique tiebreak field" contract, split the same way. */
+  final class TopK(k: Int, gateMax: Double = Double.PositiveInfinity) {
     val heap = new java.util.PriorityQueue[Scored](math.max(k, 1),
       (a: Scored, b: Scored) =>
         if (a.score != b.score) java.lang.Double.compare(a.score, b.score)
@@ -34,6 +42,7 @@ object Wand {
     def threshold: Double =
       if (heap.size < k) Double.NegativeInfinity else heap.peek().score
     def offer(docId: Long, score: Double): Unit = {
+      if (score > gateMax) return // earlier page (search_after)
       if (heap.size < k) heap.add(Scored(docId, score))
       else {
         val w = heap.peek()
@@ -78,13 +87,21 @@ object Wand {
   }
 
   /** Top-k over one shard. Doc lengths come inline from the posting blobs
-    * (Cursor.dl); stats are GLOBAL (n, avgdl, per-term global df). */
+    * (Cursor.dl); stats are GLOBAL (n, avgdl, per-term global df).
+    *
+    * `minMatch` is Lucene's minimum_should_match: a document qualifies only
+    * if it contains at least that many DISTINCT query terms (1 = plain OR).
+    * It filters at full-evaluation time only — threshold pruning stays
+    * sound because dropping candidates never raises the true k-th score.
+    * `gateMax` is the search_after page gate (see [[TopK]]). */
   def topK(terms: Seq[TermInput], n: Long, avgdl: Double,
-           k: Int, p: Bm25.Params): Array[Scored] = {
+           k: Int, p: Bm25.Params, minMatch: Int = 1,
+           gateMax: Double = Double.PositiveInfinity): Array[Scored] = {
     lastScoredCount.set(0L)
     val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
-    val topk = new TopK(k)
-    if (live.isEmpty || n == 0 || avgdl == 0.0) return topk.drainDescending()
+    val topk = new TopK(k, gateMax)
+    if (live.isEmpty || live.size < minMatch || n == 0 || avgdl == 0.0)
+      return topk.drainDescending()
 
     val m = live.size
     val cursors = new Array[Postings.Cursor](m)
@@ -153,16 +170,18 @@ object Wand {
           // fully score pivotDoc (doc length rides inline on each cursor)
           lastScoredCount.set(lastScoredCount.get + 1)
           var s = 0.0
+          var matched = 0
           var jk = 0
           while (jk < liveCount) {
             val ci = order(jk)
             val c = cursors(ci)
             if (!c.exhausted && c.docId == pivotDoc) {
               s += idfQtf(ci) * Bm25.tfSat(c.tf, c.dl, avgdl, p)
+              matched += 1
             }
             jk += 1
           }
-          if (s > 0.0) topk.offer(pivotDoc, s)
+          if (s > 0.0 && matched >= minMatch) topk.offer(pivotDoc, s)
         }
         // advance every cursor sitting on pivotDoc
         var ja = 0
@@ -193,14 +212,16 @@ object Wand {
     * sound: exclusion only ever REMOVES candidates, and the heap
     * threshold is a lower bound on the final k-th score either way. */
   def topKNot(terms: Seq[TermInput], excludes: Seq[Posting], n: Long,
-              avgdl: Double, k: Int, p: Bm25.Params): Array[Scored] = {
+              avgdl: Double, k: Int, p: Bm25.Params, minMatch: Int = 1,
+              gateMax: Double = Double.PositiveInfinity): Array[Scored] = {
     val ex = new Excl(excludes)
-    if (ex.isEmpty) return topK(terms, n, avgdl, k, p)
+    if (ex.isEmpty) return topK(terms, n, avgdl, k, p, minMatch, gateMax)
     def excluded(doc: Long): Boolean = ex.excluded(doc)
 
     val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
-    val topk = new TopK(k)
-    if (live.isEmpty || n == 0 || avgdl == 0.0) return topk.drainDescending()
+    val topk = new TopK(k, gateMax)
+    if (live.isEmpty || live.size < minMatch || n == 0 || avgdl == 0.0)
+      return topk.drainDescending()
     val m = live.size
     val cursors = new Array[Postings.Cursor](m)
     val ubs = new Array[Double](m)
@@ -259,15 +280,18 @@ object Wand {
           }
           if (blockUb > theta) {
             var s = 0.0
+            var matched = 0
             var jk = 0
             while (jk < liveCount) {
               val ci = order(jk)
               val c = cursors(ci)
-              if (!c.exhausted && c.docId == pivotDoc)
+              if (!c.exhausted && c.docId == pivotDoc) {
                 s += idfQtf(ci) * Bm25.tfSat(c.tf, c.dl, avgdl, p)
+                matched += 1
+              }
               jk += 1
             }
-            if (s > 0.0) topk.offer(pivotDoc, s)
+            if (s > 0.0 && matched >= minMatch) topk.offer(pivotDoc, s)
           }
         }
         var ja = 0
