@@ -97,6 +97,9 @@ object SparkEntry {
     "q_search_after" -> ((s, d) => DocQueries.searchAfter(s, d, Q_TOPK, 10)),
     // did-you-mean: df-ranked dictionary terms within 2 edits of a typo
     "q_suggest" -> ((s, d) => DocQueries.suggest(s, d, "spak", 2, 10)),
+    // two half-indexes merged (addIndexes) ≡ the full build: same oracle
+    "q_merge_topk" -> ((s, d) => DocQueries.mergeTopK(s, d, Q_TOPK, 10)),
+    "q_merge_stats" -> ((s, d) => DocQueries.mergeStats(s, d)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
     // phrase top-k over the POSITIONAL sidecar (stopword inside the phrase)
@@ -304,6 +307,8 @@ object SparkEntry {
     "q_bm25_msm" -> OracleSql.topKMsm(qt(Q_TOPK), P, 2, 10),
     "q_search_after" -> OracleSql.topKOffset(qt(Q_TOPK), P, 10),
     "q_suggest" -> OracleSql.suggest("spak", 2, 10),
+    "q_merge_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
+    "q_merge_stats" -> OracleSql.corpusStats,
     "q_bm25_not" -> OracleSql.topKNot(
       qt(Q_NOT).filterNot(t => qt(E_NOT).exists(_._1 == t._1)),
       qt(E_NOT).map(_._1), P, 10),

@@ -433,6 +433,68 @@ object IndexBuilder {
     }
   }
 
+  /** Merge several standing indexes into ONE new index at `outDir` WITHOUT
+    * re-analysis — Lucene's addIndexes re-expressed for the shard layout.
+    * Each source contributes its LOGICAL corpus (analyzed rows minus its
+    * committed tombstones, covered or not — merge makes everything
+    * searchable, like compact+refresh would); rows are re-routed to the
+    * target shard layout and re-ranked, then the derived tables (stats,
+    * postings, df) are rebuilt from the term arrays. The expensive analyze
+    * stage never reruns, and the only corpus-sized move is ONE exchange of
+    * the analyzed rows — at 10^12 turns that is the difference between a
+    * merge and a full rebuild. Sources are read-only throughout.
+    *
+    * Invariant (spec-pinned): because shard routing is a pure function of
+    * conv_id and ranks are assigned in the same (shard, conv_id, turn_idx)
+    * sort order as [[build]], the merged index is BYTE-EQUIVALENT to a
+    * from-scratch build over the union of the sources' logical corpora —
+    * same docIds, same stats/df, same scores. Duplicate (conv_id,
+    * turn_idx) pairs across sources are the caller's contract to avoid,
+    * exactly as in Lucene's addIndexes. `cfg.facetCols` is ignored: facet
+    * terms already ride the sources' term arrays. */
+  def merge(spark: SparkSession, srcDirs: Seq[String], outDir: String,
+            cfg: Config = Config()): Unit = leased(outDir, spark) {
+    import spark.implicits._
+    require(srcDirs.nonEmpty, "merge needs at least one source index")
+    val parts = partsFor(cfg, cfg.shards)
+    val pkeys = ShardKeys.keys(cfg.shards, parts)
+    stage(spark, outDir, "analyzed") { () =>
+      val survivors = srcDirs.map { src =>
+        val a0 = graft.sources.TableIO.read(spark, s"$src/analyzed")
+        val a = tombstonePathAsOf(src, committedGen(src)).fold(a0)(p =>
+          a0.join(
+            broadcast(graft.sources.TableIO.read(spark, p).select(col("docId"))),
+            Seq("docId"), "left_anti"))
+        a.select(col("conv_id"), col("turn_idx"), col("len"),
+          col("terms"), col("tfs"))
+      }.reduce(_ unionByName _)
+      val rows = survivors
+        .withColumn("shard", pmod(hash(col("conv_id")), lit(cfg.shards)).cast("int"))
+        .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
+        .repartition(parts, col("pkey"))
+        .sortWithinPartitions("shard", "conv_id", "turn_idx")
+        .mapPartitions { it =>
+          var curShard = -1
+          var rank = 0L
+          it.map { r =>
+            val shard = r.getAs[Int]("shard")
+            if (shard != curShard) { curShard = shard; rank = 0L }
+            val docId = Ids.docId(shard, rank)
+            rank += 1L
+            (shard, docId, r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
+              r.getAs[Int]("len"), r.getAs[Seq[String]]("terms").toArray,
+              r.getAs[Seq[Int]]("tfs").toArray)
+          }
+        }
+        .toDF("shard", "docId", "conv_id", "turn_idx", "len", "terms", "tfs")
+      graft.sources.TableIO.write(rows, s"$outDir/analyzed")
+      Manifests.write(outDir,
+        StageManifest("index_meta", cfg.shards, FormatVersion, "meta", 0))
+      graft.sources.TableIO.read(spark, s"$outDir/analyzed").count()
+    }
+    buildDerived(spark, outDir, cfg)
+  }
+
   // ---- generation-pointer path resolution ----------------------------------
 
   /** Committed refresh generation (0 = base build only). */
@@ -650,6 +712,18 @@ object IndexBuilder {
       graft.sources.TableIO.read(spark, s"$indexDir/analyzed").count()
     }
 
+    buildDerived(spark, indexDir, cfg)
+  }
+
+  /** The derived tables of a standing analyzed/ table — stats (+ gen-0
+    * covers), postings, df. Shared tail of [[build]] (analyzed written by
+    * the analyzer stage) and [[merge]] (analyzed written by the re-keying
+    * union of the sources). */
+  private def buildDerived(spark: SparkSession, indexDir: String,
+                           cfg: Config): Unit = {
+    import spark.implicits._
+    val parts = partsFor(cfg, cfg.shards)
+    val pkeys = ShardKeys.keys(cfg.shards, parts)
     lazy val analyzed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
     // NOTE: there is no separate "docs" table — doc metadata reads go
     // through Parquet column pruning on analyzed/ (only the selected
