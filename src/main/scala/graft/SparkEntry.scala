@@ -67,6 +67,10 @@ object SparkEntry {
   // documents span ~44..577 chars)
   private val NCharBounds = Seq(0L, 100L, 200L, 300L, 400L, 1000L)
 
+  // query-time boosts for q_boost: up-weight one Q_TOPK term, down-weight
+  // another (exactly-representable doubles, so the SQL literal round-trips)
+  private val Boosts = Map("window" -> 2.5, "spark" -> 0.5)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     DocQueries.topK(spark, "/root/testdata/sf0.001", Q_TOPK, 10, relational = false)
@@ -100,6 +104,10 @@ object SparkEntry {
     // two half-indexes merged (addIndexes) ≡ the full build: same oracle
     "q_merge_topk" -> ((s, d) => DocQueries.mergeTopK(s, d, Q_TOPK, 10)),
     "q_merge_stats" -> ((s, d) => DocQueries.mergeStats(s, d)),
+    // query-time term boosts (term^w): contributions scaled in-kernel
+    "q_boost" -> ((s, d) => DocQueries.boostTopK(s, d, Q_TOPK, Boosts, 10)),
+    // field collapse: one best doc per source, k best groups
+    "q_collapse" -> ((s, d) => DocQueries.collapseTopK(s, d, Q_SCORE, "source", 5)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
     // phrase top-k over the POSITIONAL sidecar (stopword inside the phrase)
@@ -309,6 +317,9 @@ object SparkEntry {
     "q_suggest" -> OracleSql.suggest("spak", 2, 10),
     "q_merge_topk" -> OracleSql.topK(qt(Q_TOPK), P, 10),
     "q_merge_stats" -> OracleSql.corpusStats,
+    "q_boost" -> OracleSql.topKBoosted(
+      qt(Q_TOPK).map { case (t, c) => (t, c, Boosts.getOrElse(t, 1.0)) }, P, 10),
+    "q_collapse" -> OracleSql.collapseTopK(qt(Q_SCORE), P, "source", 5),
     "q_bm25_not" -> OracleSql.topKNot(
       qt(Q_NOT).filterNot(t => qt(E_NOT).exists(_._1 == t._1)),
       qt(E_NOT).map(_._1), P, 10),

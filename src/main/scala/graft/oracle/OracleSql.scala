@@ -217,6 +217,23 @@ object OracleSql {
        |SELECT grp AS $groupCol, CAST(m AS DOUBLE) / 10000 AS group_score, n_hits
        |FROM g ORDER BY m DESC, grp LIMIT $k""".stripMargin
 
+  /** Field-collapsed top-k — the SQL mirror of DocQueries.collapseTopK:
+    * one best (round4 desc, doc_id asc) doc per group value, then the k
+    * best groups by their representative. */
+  def collapseTopK(terms: Seq[(String, Int)], p: Bm25.Params,
+                   groupCol: String, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |h AS (
+       |  SELECT s.doc_id, round(s.score, 4) AS s4, d.$groupCol AS grp
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+       |r AS (
+       |  SELECT grp, doc_id, s4,
+       |    row_number() OVER (PARTITION BY grp ORDER BY s4 DESC, doc_id) AS rn
+       |  FROM h)
+       |SELECT grp AS $groupCol, doc_id, s4 AS score FROM r WHERE rn = 1
+       |ORDER BY s4 DESC, doc_id LIMIT $k""".stripMargin
+
   /** Mirror of DocQueries.convTopK: per-conversation relevance = Σ of the
     * conversation's top-`t` turn micros (conv = doc_id div TurnsPerConv),
     * (micro-sum desc, conv) cut. */
@@ -502,6 +519,29 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |WHERE matched >= $minMatch
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Boosted top-k: every term contribution scaled by its query-time
+    * boost — the SQL mirror of Searcher.topKBoosted. `terms` carries
+    * (term, qtf, boost). */
+  def topKBoosted(terms: Seq[(String, Int, Double)], p: Bm25.Params,
+                  k: Int): String = {
+    val vals = terms.map { case (t, c, b) => s"(${lit(t)}, $c, $b)" }.mkString(", ")
+    s"""WITH $baseCtes,
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * ${p.k1 + 1}) / (tf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl))
+       |       * (qt.qtf * ${p.k3 + 1}) / (qt.qtf + ${p.k3})
+       |       * qt.boost ) AS score
+       |  FROM tf
+       |  JOIN (VALUES $vals) AS qt(term, qtf, boost) ON qt.term = tf.term
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** Did-you-mean suggestion oracle: dictionary terms within `maxDist`
     * edits of `term`, by (df desc, term). */

@@ -224,7 +224,9 @@ final class Searcher(spark: SparkSession, indexDir: String,
                         /** minimum_should_match for OR mode (1 = plain OR). */
                         minMatch: Int = 1,
                         /** search_after page gate — see [[Wand.TopK]]. */
-                        gateMax: Double = Double.PositiveInfinity): DataFrame = {
+                        gateMax: Double = Double.PositiveInfinity,
+                        /** per-ANALYZED-term query-time boosts (absent = 1). */
+                        boosts: Map[String, Double] = Map.empty): DataFrame = {
     val p = params
     val (nn, ad) = (n, avgdl)
     val tb = tombBc
@@ -240,7 +242,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
       qs.iterator.flatMap { case (qid, qtf) =>
         val inputs = qtf.toSeq.collect {
           case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
-            Wand.TermInput(byTerm(t), f, dfm(t))
+            Wand.TermInput(byTerm(t), f, dfm(t), boosts.getOrElse(t, 1.0))
         }
         val scored =
           if (conjunctiveRequired > 0)
@@ -341,6 +343,27 @@ final class Searcher(spark: SparkSession, indexDir: String,
     // passes the raw-score gate; the caller's relational cut is exact.
     val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
       exhaustive = false, gateMax = afterScore4 + 5e-5)
+    resolveHits(perShard, k)
+  }
+
+  /** Boosted top-k (Lucene's `term^w` query-time weights): OR-mode BM25
+    * with each term's contribution scaled by its boost. Boost keys are RAW
+    * tokens (analyzed here with the index's own analyzer, so stemming /
+    * normalization can never desynchronize the key from the indexed term);
+    * absent terms default to 1.0 — boosts = empty ≡ [[topK]] exactly. The
+    * boost scales the kernel's pruning upper bound by the same factor
+    * ([[Wand.TermInput]]), so WAND skipping stays exact. */
+  def topKBoosted(query: String, boosts: Map[String, Double], k: Int): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return emptyHits()
+    val aboosts = boosts.flatMap { case (raw, b) =>
+      analyzeQuery(raw).keys.map(_ -> b) }
+    val terms = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
+      exhaustive = false, boosts = aboosts)
     resolveHits(perShard, k)
   }
 

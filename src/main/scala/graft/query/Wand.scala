@@ -20,7 +20,11 @@ import graft.model.Posting
   */
 object Wand {
 
-  final case class TermInput(posting: Posting, qtf: Int, globalDf: Long)
+  /** `boost` is the query-time per-term weight (Lucene's `term^w`): it
+    * scales the term's every contribution AND its pruning upper bound by
+    * the same factor, so WAND thresholding stays exact under boosting. */
+  final case class TermInput(posting: Posting, qtf: Int, globalDf: Long,
+                             boost: Double = 1.0)
   final case class Scored(docId: Long, score: Double)
 
   /** Bounded min-heap of (score, docId); keeps the k largest by
@@ -111,7 +115,7 @@ object Wand {
     live.foreach { t =>
       cursors(i) = new Postings.Cursor(t.posting)
       cursors(i).next()
-      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p) * t.boost
       ubs(i) = idfQtf(i) * Bm25.tfSatUpper(t.posting.maxTf, p)
       i += 1
     }
@@ -230,7 +234,7 @@ object Wand {
     live.foreach { t =>
       cursors(i) = new Postings.Cursor(t.posting)
       cursors(i).next()
-      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p) * t.boost
       ubs(i) = idfQtf(i) * Bm25.tfSatUpper(t.posting.maxTf, p)
       i += 1
     }
@@ -341,7 +345,7 @@ object Wand {
     live.foreach { t =>
       cursors(i) = new Postings.Cursor(t.posting)
       cursors(i).next()
-      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p) * t.boost
       i += 1
     }
     var target = 0L
@@ -413,7 +417,7 @@ object Wand {
     live.foreach { t =>
       qc(i) = new Postings.Cursor(t.posting)
       qc(i).next()
-      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p) * t.boost
       i += 1
     }
 
@@ -474,7 +478,7 @@ object Wand {
     live.foreach { t =>
       cursors(i) = new Postings.Cursor(t.posting)
       cursors(i).next()
-      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p) * t.boost
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Scored]()
@@ -588,7 +592,7 @@ object Wand {
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     terms.foreach { t =>
       if (t.globalDf > 0) {
-        val iq = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p)
+        val iq = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p) * t.boost
         val (docs, tfs, lens) = Postings.decode(t.posting)
         var i = 0
         while (i < docs.length) {
