@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   Maintain delete  <indexDir> <sqlPredicate>         — tombstone matching docs
   *   Maintain compact <indexDir>                        — fold delta segments, drop tombstoned docs
   *   Maintain vacuum  <indexDir>                        — compact + purge tombstoned rows from analyzed/
+  *   Maintain fsck    <indexDir>                        — integrity check (CheckIndex); exit 2 on failure
   *   Maintain status  <indexDir>                        — generation + manifests
   *
   * The delete predicate is SQL over the analyzed table's columns
@@ -72,6 +73,19 @@ object Maintain {
         IndexBuilder.vacuum(spark, indexDir)
         println(f"[maintain] vacuumed in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
           s"(generation ${IndexBuilder.committedGen(indexDir)}; tombstones retired)")
+      case "fsck" =>
+        val issues = graft.build.Fsck.run(spark, indexDir)
+        issues.foreach(i =>
+          println(s"[fsck] ${if (i.ok) "PASS" else "FAIL"} ${i.check}: ${i.detail}"))
+        val bad = issues.filterNot(_.ok)
+        if (bad.isEmpty)
+          println(f"[fsck] index OK (${issues.size} checks) in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        else {
+          println(s"[fsck] ${bad.size} check(s) FAILED")
+          spark.stop()
+          sys.exit(2)
+        }
       case "status" =>
         val gen = IndexBuilder.committedGen(indexDir)
         val segs = IndexBuilder.segmentPaths(spark, indexDir)
