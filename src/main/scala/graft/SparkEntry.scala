@@ -108,6 +108,11 @@ object SparkEntry {
     "q_boost" -> ((s, d) => DocQueries.boostTopK(s, d, Q_TOPK, Boosts, 10)),
     // field collapse: one best doc per source, k best groups
     "q_collapse" -> ((s, d) => DocQueries.collapseTopK(s, d, Q_SCORE, "source", 5)),
+    // wildcard retrieval: glob-expanded dictionary terms, OR-scored
+    "q_wildcard" -> ((s, d) => DocQueries.wildcardTopK(s, d, "s*a*", 10, 10)),
+    // federated (MultiReader) search over two half-indexes: combined
+    // stats make member scores comparable — same oracle as the full build
+    "q_federated" -> ((s, d) => DocQueries.federatedTopK(s, d, Q_TOPK, 10)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
     // phrase top-k over the POSITIONAL sidecar (stopword inside the phrase)
@@ -320,6 +325,8 @@ object SparkEntry {
     "q_boost" -> OracleSql.topKBoosted(
       qt(Q_TOPK).map { case (t, c) => (t, c, Boosts.getOrElse(t, 1.0)) }, P, 10),
     "q_collapse" -> OracleSql.collapseTopK(qt(Q_SCORE), P, "source", 5),
+    "q_wildcard" -> OracleSql.wildcardTopK("^s.*a.*$", 10, P, 10),
+    "q_federated" -> OracleSql.topK(qt(Q_TOPK), P, 10),
     "q_bm25_not" -> OracleSql.topKNot(
       qt(Q_NOT).filterNot(t => qt(E_NOT).exists(_._1 == t._1)),
       qt(E_NOT).map(_._1), P, 10),

@@ -357,6 +357,21 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Mirror of DocQueries.wildcardTopK: glob-matching dictionary terms
+    * (term-order capped) re-issued as a qtf=1 BM25 query. `rx` is the
+    * already-translated anchored regex (literals + `.` + `.*` only, so
+    * Java and RE2 semantics coincide). */
+  def wildcardTopK(rx: String, maxExpansions: Int, p: Bm25.Params,
+                   k: Int): String =
+    s"""WITH $baseCtes,
+       |qt AS (
+       |  SELECT term, 1 AS qtf FROM (
+       |    SELECT term FROM dft WHERE regexp_matches(term, ${lit(rx)})
+       |    ORDER BY term LIMIT $maxExpansions) t),
+       |${scoredCteFrom("qt", p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
   /** Mirror of DocQueries.spanNearTopK: conjunctive BM25 candidates whose
     * distinct raw tokens all fit in a ≤ `window` position window; span =
     * min over one-occurrence-per-term combinations (the Spark kernel's

@@ -57,7 +57,13 @@ final class Searcher(spark: SparkSession, indexDir: String,
                        * keeps the last two generations' stats/df; compact
                        * collapses older snapshots) — see
                        * IndexBuilder.validateSnapshot. */
-                     asOfGen: Long = -1L) {
+                     asOfGen: Long = -1L,
+                     /** Federated serving ([[Federated]]): score with these
+                       * GLOBAL (n, avgdl) instead of this index's own —
+                       * Lucene's MultiReader contract, making member scores
+                       * comparable across indexes. Pair with the combined
+                       * df via [[topKWithDf]]. */
+                     statsOverride: Option[(Long, Double)] = None) {
   import spark.implicits._
 
   /** The generation this Searcher serves (pinned at construction — a
@@ -154,8 +160,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
 
   private def covered(df: DataFrame): DataFrame =
     tombstoneFree(coveredOnly.fold(df)(df.where))
-  val n: Long = statsRow.getAs[Long]("n")
-  val avgdl: Double = statsRow.getAs[Double]("avgdl")
+  val n: Long = statsOverride.map(_._1).getOrElse(statsRow.getAs[Long]("n"))
+  val avgdl: Double = statsOverride.map(_._2).getOrElse(statsRow.getAs[Double]("avgdl"))
 
   /** Largest posting file across base + segments (listed once at
     * construction); -1 when listing failed. */
@@ -343,6 +349,21 @@ final class Searcher(spark: SparkSession, indexDir: String,
     // passes the raw-score gate; the caller's relational cut is exact.
     val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
       exhaustive = false, gateMax = afterScore4 + 5e-5)
+    resolveHits(perShard, k)
+  }
+
+  /** Top-k with CALLER-supplied per-term global df — the federated path
+    * ([[Federated]]): the caller sums df across member indexes and every
+    * member kernel scores with the combined values (paired with the
+    * `statsOverride` constructor arg for global n/avgdl). Terms absent
+    * from this member still prune its postings scan to nothing — a
+    * member without the term simply contributes no candidates. */
+  def topKWithDf(query: String, k: Int, dfm: Map[String, Long]): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty || dfm.isEmpty) return emptyHits()
+    val terms = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k, exhaustive = false)
     resolveHits(perShard, k)
   }
 

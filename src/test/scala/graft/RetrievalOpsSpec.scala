@@ -100,6 +100,23 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(DocQueries.fuzzyTopK(spark, sf, "zzzzzzzz", 1, 50, 10).count() == 0L)
   }
 
+  test("wildcardTopK('s*a*') ≡ topK over the glob-expanded variants") {
+    // the dictionary terms matching s*a* are exactly {scan, small, spark, stream}
+    val got = DocQueries.wildcardTopK(spark, sf, "s*a*", 10, 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = DocQueries.topK(spark, sf, "scan small spark stream", 10,
+      relational = false).as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // '?' matches exactly one char
+    val one = DocQueries.wildcardTopK(spark, sf, "sc?n", 10, 10)
+      .as[(Long, Double)].collect().toSeq
+    val scan = DocQueries.topK(spark, sf, "scan", 10, relational = false)
+      .as[(Long, Double)].collect().toSeq
+    assert(one == scan)
+    // no matching dictionary term → empty result, not an error
+    assert(DocQueries.wildcardTopK(spark, sf, "zz*q", 10, 10).count() == 0L)
+  }
+
   test("mmrTopK ≡ independent greedy MMR recompute over the top-m pool") {
     val (query, m, k, lam) = ("fast query join", 20, 10, 0.7)
     val pool = DocQueries.topK(spark, sf, query, m, relational = false)
