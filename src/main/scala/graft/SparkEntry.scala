@@ -71,6 +71,13 @@ object SparkEntry {
   // another (exactly-representable doubles, so the SQL literal round-trips)
   private val Boosts = Map("window" -> 2.5, "spark" -> 0.5)
 
+  // standing percolation queries: two conjunctive alerts + one with an
+  // exclusion (the must/not ReqExcl shape)
+  private val Percs = Seq(
+    graft.streaming.Percolator.Query("p1", Q_TOPK),
+    graft.streaming.Percolator.Query("p2", Q_AND),
+    graft.streaming.Percolator.Query("p3", "filter", "customer"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     DocQueries.topK(spark, "/root/testdata/sf0.001", Q_TOPK, 10, relational = false)
@@ -113,6 +120,8 @@ object SparkEntry {
     // federated (MultiReader) search over two half-indexes: combined
     // stats make member scores comparable — same oracle as the full build
     "q_federated" -> ((s, d) => DocQueries.federatedTopK(s, d, Q_TOPK, 10)),
+    // percolation (reverse search): docs matched against standing queries
+    "q_percolate" -> ((s, d) => DocQueries.percolate(s, d, Percs)),
     // phrase top-k: conjunctive candidates + raw-adjacency verify on text
     "q_phrase" -> ((s, d) => DocQueries.phraseTopK(s, d, Q_PHRASE, 10)),
     // phrase top-k over the POSITIONAL sidecar (stopword inside the phrase)
@@ -327,6 +336,8 @@ object SparkEntry {
     "q_collapse" -> OracleSql.collapseTopK(qt(Q_SCORE), P, "source", 5),
     "q_wildcard" -> OracleSql.wildcardTopK("^s.*a.*$", 10, P, 10),
     "q_federated" -> OracleSql.topK(qt(Q_TOPK), P, 10),
+    "q_percolate" -> OracleSql.percolate(Percs.map(p =>
+      (p.qid, qt(p.must).map(_._1), qt(p.not).map(_._1)))),
     "q_bm25_not" -> OracleSql.topKNot(
       qt(Q_NOT).filterNot(t => qt(E_NOT).exists(_._1 == t._1)),
       qt(E_NOT).map(_._1), P, 10),

@@ -558,6 +558,23 @@ object OracleSql {
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Percolation oracle: for each standing (qid, mustTerms, notTerms),
+    * the docs containing EVERY must term and NO not term. */
+  def percolate(queries: Seq[(String, Seq[String], Seq[String])]): String = {
+    val arms = queries.map { case (qid, must, not) =>
+      val notPred =
+        if (not.isEmpty) "TRUE"
+        else s"doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN (${not.map(lit).mkString(",")}))"
+      s"""SELECT ${lit(qid)} AS qid, doc_id FROM tf
+         |WHERE term IN (${must.map(lit).mkString(",")}) AND ($notPred)
+         |GROUP BY doc_id HAVING count(DISTINCT term) = ${must.size}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $baseCtes
+       |SELECT * FROM (
+       |$arms
+       |) ORDER BY qid, doc_id""".stripMargin
+  }
+
   /** Did-you-mean suggestion oracle: dictionary terms within `maxDist`
     * edits of `term`, by (df desc, term). */
   def suggest(term: String, maxDist: Int, n: Int): String =
