@@ -131,6 +131,8 @@ object SparkEntry {
     // proximity retrieval: all terms within a 3-token window (positional
     // sidecar; emits the per-doc minimal span alongside the BM25 score)
     "q_span_near" -> ((s, d) => DocQueries.spanNearTopK(s, d, Q_SPAN, 3, 10)),
+    // ordered sloppy phrase (span_near in_order): "sort ... join", slop 2
+    "q_phrase_slop" -> ((s, d) => DocQueries.phraseSlopTopK(s, d, Q_SPAN, 2, 10)),
     // faceted top-k: metadata filters as facet posting lists
     "q_filtered_topk" -> ((s, d) => DocQueries.filteredTopK(s, d, Q_SCORE,
       Map("lang" -> "en", "source" -> "src7"), 10)),
@@ -349,6 +351,8 @@ object SparkEntry {
       Analyzer.tokenizeRaw(Q_PHRASE_STOP).toSeq, 10),
     "q_span_near" -> OracleSql.spanNearTopK(qt(Q_SPAN),
       Analyzer.tokenizeRaw(Q_SPAN).toSeq, 3, P, 10),
+    "q_phrase_slop" -> OracleSql.phraseSlopTopK(qt(Q_SPAN),
+      Analyzer.tokenizeRaw(Q_SPAN).toSeq, 2, P, 10),
     "q_filtered_topk" -> OracleSql.topKFiltered(qt(Q_SCORE), P, 10,
       Seq("lang" -> "en", "source" -> "src7")),
     "q_snippets" -> OracleSql.snippets(qt(Q_TOPK), P, 10, DocQueries.SnippetWindow),

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *   Maintain compact <indexDir>                        — fold delta segments, drop tombstoned docs
   *   Maintain vacuum  <indexDir>                        — compact + purge tombstoned rows from analyzed/
   *   Maintain fsck    <indexDir>                        — integrity check (CheckIndex); exit 2 on failure
+  *   Maintain merge   <outDir> <src1,src2,...>          — merge standing indexes (addIndexes, no re-analysis)
   *   Maintain status  <indexDir>                        — generation + manifests
   *
   * The delete predicate is SQL over the analyzed table's columns
@@ -73,6 +74,11 @@ object Maintain {
         IndexBuilder.vacuum(spark, indexDir)
         println(f"[maintain] vacuumed in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
           s"(generation ${IndexBuilder.committedGen(indexDir)}; tombstones retired)")
+      case "merge" =>
+        val srcs = args(2).split(",").toSeq
+        IndexBuilder.merge(spark, srcs, indexDir)
+        println(f"[maintain] merged ${srcs.size} index(es) into $indexDir in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       case "fsck" =>
         val issues = graft.build.Fsck.run(spark, indexDir)
         issues.foreach(i =>

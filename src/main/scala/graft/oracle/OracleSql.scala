@@ -399,6 +399,32 @@ object OracleSql {
        |ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of DocQueries.phraseSlopTopK: min ORDERED span per doc
+    * (strictly increasing positions, one per phrase offset), matched when
+    * span − m ≤ slop. SQL enumerates every ordered selection, so its min
+    * equals the kernel's greedy-anchored minimum. */
+  def phraseSlopTopK(terms: Seq[(String, Int)], rawToks: Seq[String],
+                     slop: Int, p: Bm25.Params, k: Int): String = {
+    val m = rawToks.length
+    require(m >= 2, "slop-phrase oracle needs >= 2 tokens")
+    val joins = (1 until m).map(i =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.term = ${lit(rawToks(i))} AND p$i.p > p${i - 1}.p")
+      .mkString("\n|  ")
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |arrs2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS a FROM documents),
+       |pos AS (SELECT doc_id, a[i] AS term, i AS p FROM arrs2, unnest(range(1, len(a) + 1)) r(i)),
+       |sp AS (
+       |  SELECT p0.doc_id, min(p${m - 1}.p - p0.p + 1) AS span
+       |  FROM pos p0
+       |  $joins
+       |  WHERE p0.term = ${lit(rawToks.head)}
+       |  GROUP BY 1)
+       |SELECT s.doc_id, round(s.score, 4) AS score, CAST(sp.span AS BIGINT) AS span
+       |FROM scored s JOIN sp ON sp.doc_id = s.doc_id AND sp.span - $m <= $slop
+       |ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT $k""".stripMargin
+  }
+
   /** Mirror of DocQueries.expandTerms: top-k doc pool by (round4, doc_id)
     * cut, then Σ over the pool of round-4 tf·idf as integer 1e-4 units. */
   def expandTerms(terms: Seq[(String, Int)], p: Bm25.Params,

@@ -111,6 +111,32 @@ final class PosSearcher(spark: SparkSession, indexDir: String) {
           .flatMapGroups((_, ps) => PosSearcher.shardSpans(ps.toSeq, terms, window))
     tombstoneFree(out.toDF("docId", "span"))
   }
+
+  /** Ordered sloppy-phrase matches (Lucene span_near in_order=true):
+    * (docId, span) for docs whose minimal ORDERED span s over the phrase
+    * offsets satisfies s − m ≤ slop. Same pruned-scan / colocated plan as
+    * [[spanDocs]]; slop 0 ≡ exact phrase adjacency. */
+  def phraseSlopDocs(rawToks: Seq[String], slop: Int): DataFrame = {
+    require(rawToks.nonEmpty, "empty phrase")
+    require(slop >= 0, "negative slop")
+    val toks = rawToks.toArray
+    val terms = toks.distinct.toSeq
+    val pruned = posDF.where(col("term").isin(terms: _*)).as[PosPosting]
+    val out =
+      if (colocated)
+        pruned.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[PosPosting]]()
+          ps.foreach(p =>
+            byShard.computeIfAbsent(p.shard, _ => new ArrayBuffer[PosPosting]) += p)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala
+            .flatMap(g => PosSearcher.shardOrdered(g.toSeq, toks, slop))
+        }
+      else
+        pruned.groupByKey(_.shard)
+          .flatMapGroups((_, ps) => PosSearcher.shardOrdered(ps.toSeq, toks, slop))
+    tombstoneFree(out.toDF("docId", "span"))
+  }
 }
 
 object PosSearcher {
@@ -119,6 +145,100 @@ object PosSearcher {
     * tokens' doc lists (driven by the shortest), then position adjacency —
     * anchored on the phrase offset with the fewest in-doc occurrences,
     * binary-searching the others. Emits ascending docIds. */
+  /** One shard's ORDERED sloppy-phrase matches (Lucene span_near
+    * in_order=true): docs where the phrase offsets appear at strictly
+    * increasing positions with minimal ordered span s satisfying
+    * s − m ≤ slop (slop 0 ≡ exact in-order adjacency). Doc intersection
+    * exactly as [[shardSpans]]; per doc, a greedy smallest-next sweep per
+    * anchor computes the true minimal ordered span (for a fixed first
+    * position, picking the smallest admissible next position minimizes
+    * the last — so the min over anchors is the global min). Emits
+    * (docId, span) ascending. */
+  private[graft] def shardOrdered(lists: Seq[PosPosting], toks: Array[String],
+                                  slop: Int): Iterator[(Long, Long)] = {
+    val distinct = toks.distinct
+    val byTerm = new java.util.HashMap[String, (Array[Long], Array[Array[Int]])]()
+    lists.foreach { p =>
+      require(byTerm.put(p.term, PosPostings.decode(p)) == null,
+        s"duplicate positional list for '${p.term}' in shard ${p.shard}")
+    }
+    var t = 0
+    while (t < distinct.length) {
+      if (!byTerm.containsKey(distinct(t))) return Iterator.empty
+      t += 1
+    }
+    val nT = distinct.length
+    val docsArr = new Array[Array[Long]](nT)
+    val posArr = new Array[Array[Array[Int]]](nT)
+    t = 0
+    while (t < nT) {
+      val d = byTerm.get(distinct(t))
+      docsArr(t) = d._1
+      posArr(t) = d._2
+      t += 1
+    }
+    val termOfTok = toks.map(distinct.indexOf(_))
+    var drv = 0
+    t = 1
+    while (t < nT) { if (docsArr(t).length < docsArr(drv).length) drv = t; t += 1 }
+    val ptrs = new Array[Int](nT)
+    val out = new ArrayBuffer[(Long, Long)]()
+    var di = 0
+    var exhausted = false
+    while (di < docsArr(drv).length && !exhausted) {
+      val d = docsArr(drv)(di)
+      ptrs(drv) = di
+      var ok = true
+      t = 0
+      while (t < nT && !exhausted) {
+        if (t != drv) {
+          val a = docsArr(t)
+          var p = ptrs(t)
+          while (p < a.length && a(p) < d) p += 1
+          ptrs(t) = p
+          if (p >= a.length) exhausted = true
+          else if (a(p) != d) ok = false
+        }
+        t += 1
+      }
+      if (ok && !exhausted) {
+        val offsets = Array.tabulate(toks.length)(j => posArr(termOfTok(j))(ptrs(termOfTok(j))))
+        val s = minOrderedSpan(offsets)
+        if (s != Int.MaxValue && s - toks.length <= slop) out += ((d, s.toLong))
+      }
+      di += 1
+    }
+    out.iterator
+  }
+
+  /** Minimal (last − first + 1) over strictly-increasing selections, one
+    * position per phrase offset in order; Int.MaxValue when none exists. */
+  private def minOrderedSpan(pos: Array[Array[Int]]): Int = {
+    val m = pos.length
+    var best = Int.MaxValue
+    var ai = 0
+    while (ai < pos(0).length) {
+      val start = pos(0)(ai)
+      var cur = start
+      var ok = true
+      var j = 1
+      while (j < m && ok) {
+        val a = pos(j)
+        var lo = 0
+        var hi = a.length
+        while (lo < hi) { // smallest element > cur
+          val mid = (lo + hi) >>> 1
+          if (a(mid) <= cur) lo = mid + 1 else hi = mid
+        }
+        if (lo >= a.length) ok = false else cur = a(lo)
+        j += 1
+      }
+      if (ok && cur - start + 1 < best) best = cur - start + 1
+      ai += 1
+    }
+    best
+  }
+
   private[graft] def shardMatches(lists: Seq[PosPosting],
                                   toks: Array[String]): Iterator[Long] = {
     val distinct = toks.distinct

@@ -117,6 +117,41 @@ class PositionIndexSpec extends AnyFunSuite {
       assert(matchedIds(dir, ph) == bruteIds(ph), s"phrase '$ph' under flush=8")
   }
 
+  /** Min ORDERED span by full combination enumeration (independent of the
+    * kernel's greedy sweep); Int.MaxValue when no ordered selection. */
+  private def bruteSlopIds(phrase: String, slop: Int): Set[String] = {
+    val toks = Analyzer.tokenizeRaw(phrase).toSeq
+    corpus.map { case (id, text) =>
+      val tt = Analyzer.tokenizeRaw(text).toIndexedSeq
+      val posPer = toks.map(t => tt.indices.filter(i => tt(i) == t).toIndexedSeq)
+      def combos(j: Int, prev: Int, first: Int): Seq[Int] =
+        if (j == toks.length) Seq(prev - first + 1)
+        else posPer(j).filter(_ > prev).flatMap(p =>
+          combos(j + 1, p, if (j == 0) p else first))
+      val sp = combos(0, -1, 0)
+      (id, if (sp.isEmpty) Int.MaxValue else sp.min)
+    }.collect { case (id, s) if s != Int.MaxValue && s - toks.length <= slop => id }.toSet
+  }
+
+  test("ordered sloppy phrase ≡ brute enumeration; slop 0 ≡ exact phrase; monotone") {
+    val dir = buildDirs(flushPositions = 1 << 20)
+    def slopIds(phrase: String, slop: Int): Set[String] = {
+      val ps = new PosSearcher(spark, dir)
+      ps.phraseSlopDocs(Analyzer.tokenizeRaw(phrase).toSeq, slop)
+        .join(Searcher.docMeta(spark, dir), "docId")
+        .select("conv_id").as[String].collect().toSet
+    }
+    for (phrase <- Seq("the batch", "batch data", "sort merge",
+           "the batch data", "the the"); // repeated token: strictly increasing
+         slop <- Seq(0, 2, 5))
+      assert(slopIds(phrase, slop) == bruteSlopIds(phrase, slop),
+        s"mismatch for '$phrase' slop $slop")
+    // slop 0 over a trigram == exact containsSlice adjacency
+    assert(slopIds("the batch data", 0) == bruteIds("the batch data"))
+    // monotone in slop
+    assert(slopIds("sort merge", 0).subsetOf(slopIds("sort merge", 4)))
+  }
+
   test("sidecar refuses an index with streamed/appended documents") {
     val dir = TestSpark.tmpDir("posidx_hwm")
     val turns = corpus.take(5).map { case (id, text) =>
