@@ -71,6 +71,11 @@ object SparkEntry {
   // another (exactly-representable doubles, so the SQL literal round-trips)
   private val Boosts = Map("window" -> 2.5, "spark" -> 0.5)
 
+  // conversation block-join clauses: disjoint term sets so the combined
+  // rollup query's qtf stays 1 per term
+  private val CJ_A = "spark stream"
+  private val CJ_B = "customer order"
+
   // standing percolation queries: two conjunctive alerts + one with an
   // exclusion (the must/not ReqExcl shape)
   private val Percs = Seq(
@@ -190,6 +195,8 @@ object SparkEntry {
     "q_group_topk" -> ((s, d) => DocQueries.groupTopK(s, d, Q_SCORE, "source", 5)),
     // conversation-level retrieval: sum-of-top-3-turns rollup, top-5 convs
     "q_conv_topk" -> ((s, d) => DocQueries.convTopK(s, d, Q_SCORE, 3, 5)),
+    // conversation block-join: convs with a turn matching A AND one matching B
+    "q_conv_join" -> ((s, d) => DocQueries.convJoinTopK(s, d, CJ_A, CJ_B, 8)),
     // RAG context stitch: top-k turn hits + same-conversation neighbors
     "q_turn_context" -> ((s, d) => DocQueries.turnContext(s, d, Q_TOPK, 10)),
     // recency-boosted ranking (integer-rational freshness × BM25)
@@ -383,6 +390,8 @@ object SparkEntry {
       Seq("q1" -> qt(Q_TOPK), "q2" -> qt(Q_SCORE)), P, 10),
     "q_group_topk" -> OracleSql.groupTopK(qt(Q_SCORE), P, "source", 5),
     "q_conv_topk" -> OracleSql.convTopK(qt(Q_SCORE), P, DocQueries.TurnsPerConv, 3, 5),
+    "q_conv_join" -> OracleSql.convJoinTopK(qt(CJ_A + " " + CJ_B),
+      qt(CJ_A).map(_._1), qt(CJ_B).map(_._1), DocQueries.TurnsPerConv, P, 8),
     "q_turn_context" -> OracleSql.turnContext(qt(Q_TOPK), P, DocQueries.TurnsPerConv, 10),
     "q_time_topk" -> OracleSql.timeTopK(qt(Q_SCORE), P, 10),
     "q_sessionize" -> OracleSqlOps.sessionize(360),

@@ -234,6 +234,32 @@ object OracleSql {
        |SELECT grp AS $groupCol, doc_id, s4 AS score FROM r WHERE rn = 1
        |ORDER BY s4 DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Mirror of DocQueries.convJoinTopK: conversations with a turn
+    * matching ALL of `mustA` and a turn matching ALL of `mustB`, ranked
+    * by the full micro-summed rollup over `terms` (= A ∪ B analyzed). */
+  def convJoinTopK(terms: Seq[(String, Int)], mustA: Seq[String],
+                   mustB: Seq[String], turnsPerConv: Int, p: Bm25.Params,
+                   k: Int): String = {
+    def clause(name: String, must: Seq[String]) =
+      s"""$name AS (
+         |  SELECT DISTINCT doc_id // $turnsPerConv AS conv_id FROM (
+         |    SELECT doc_id FROM tf WHERE term IN (${must.map(lit).mkString(",")})
+         |    GROUP BY 1 HAVING count(DISTINCT term) = ${must.size}))""".stripMargin
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |m AS (
+       |  SELECT doc_id // $turnsPerConv AS conv_id,
+       |    CAST(round(round(score, 4) * 10000) AS BIGINT) AS micros
+       |  FROM scored),
+       |g AS (SELECT conv_id, sum(micros) AS m, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM m GROUP BY 1),
+       |${clause("ca", mustA)},
+       |${clause("cb", mustB)}
+       |SELECT g.conv_id, CAST(g.m AS DOUBLE) / 10000 AS conv_score, g.n_hits
+       |FROM g JOIN ca USING (conv_id) JOIN cb USING (conv_id)
+       |ORDER BY g.m DESC, g.conv_id LIMIT $k""".stripMargin
+  }
+
   /** Mirror of DocQueries.convTopK: per-conversation relevance = Σ of the
     * conversation's top-`t` turn micros (conv = doc_id div TurnsPerConv),
     * (micro-sum desc, conv) cut. */

@@ -242,6 +242,27 @@ class PlanSpec extends AnyFunSuite {
       s"window not partitioned by doc_id in:\n${plan.take(3000)}")
   }
 
+  test("percolation is a single stateless pass: no Exchange, no Join") {
+    import graft.streaming.Percolator
+    val docs = Transcripts.synth(spark, 200, 3).toDF()
+      .selectExpr("cast(turn_idx as long) as doc_id", "text")
+    val plan = Percolator.percolate(spark, docs,
+        Seq(Percolator.Query("p1", "quick fox"), Percolator.Query("p2", "dog", "lazy")))
+      .queryExecution.executedPlan.toString
+    assert(!"(?m)^.*Exchange.*$".r.findAllIn(plan).hasNext,
+      s"percolation must not shuffle:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "percolation must not join — queries ride a broadcast map")
+  }
+
+  test("federated merge is a TakeOrdered over pruned point reads — never a corpus join") {
+    val fed = new graft.query.Federated(spark, Seq(dir, dir))
+    val plan = fed.topK("quick brown fox", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no TakeOrdered merge in:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), "federated merge must not sort-merge")
+    assert(plan.contains("In(docId"), "members must resolve hits via pruned point reads")
+  }
+
   test("asOf: ONE user-keyed shuffle + window sweep — never a quadratic range join") {
     val plan = graft.ops.EventOps.asOf(spark, "/root/testdata/sf0.001", "purchase")
       .queryExecution.executedPlan.toString

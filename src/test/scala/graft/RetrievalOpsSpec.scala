@@ -117,6 +117,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(DocQueries.wildcardTopK(spark, sf, "zz*q", 10, 10).count() == 0L)
   }
 
+  test("convJoinTopK: every winner holds a full A-turn AND a full B-turn") {
+    val (a, b) = ("spark stream", "customer order")
+    val got = DocQueries.convJoinTopK(spark, sf, a, b, 8)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // brute conv sets from raw text (independent of the engine's kernels)
+    def termSet(s: String) = graft.analysis.Analyzer.termFreqs(
+      graft.analysis.Analyzer.tokenizeEn(s)).keySet
+    val docTerms = texts.map { case (id, t) => id -> termSet(t) }
+    def convsMatching(clause: String): Set[Long] = {
+      val must = termSet(clause)
+      docTerms.collect { case (id, ts) if must.subsetOf(ts) =>
+        id / DocQueries.TurnsPerConv }.toSet
+    }
+    val eligible = convsMatching(a) intersect convsMatching(b)
+    assert(got.map(_._1).forall(eligible.contains),
+      "a winner lacks an A-turn or a B-turn")
+    // scores descend with conv tiebreak
+    assert(got == got.sortBy(r => (-r._2, r._1)))
+  }
+
   test("mmrTopK ≡ independent greedy MMR recompute over the top-m pool") {
     val (query, m, k, lam) = ("fast query join", 20, 10, 0.7)
     val pool = DocQueries.topK(spark, sf, query, m, relational = false)
