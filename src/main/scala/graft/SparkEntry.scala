@@ -76,6 +76,13 @@ object SparkEntry {
   private val CJ_A = "spark stream"
   private val CJ_B = "customer order"
 
+  // synonym groups (SynonymQuery): members chosen so group tfs genuinely
+  // sum (stream/batch and customer/order/part co-occur in many docs)
+  private val Q_SYN = "stream customer"
+  private val Syns = Map("stream" -> Seq("batch"), "customer" -> Seq("order", "part"))
+  private def synMembers(t: String): Seq[String] =
+    t +: Syns.getOrElse(t, Nil).flatMap(s => qt(s).map(_._1)).distinct.filterNot(_ == t)
+
   // standing percolation queries: two conjunctive alerts + one with an
   // exclusion (the must/not ReqExcl shape)
   private val Percs = Seq(
@@ -118,6 +125,8 @@ object SparkEntry {
     "q_merge_stats" -> ((s, d) => DocQueries.mergeStats(s, d)),
     // query-time term boosts (term^w): contributions scaled in-kernel
     "q_boost" -> ((s, d) => DocQueries.boostTopK(s, d, Q_TOPK, Boosts, 10)),
+    // synonym groups scored as one pseudo-term (tf summed, df = max)
+    "q_synonyms" -> ((s, d) => DocQueries.synonymTopK(s, d, Q_SYN, Syns, 10)),
     // field collapse: one best doc per source, k best groups
     "q_collapse" -> ((s, d) => DocQueries.collapseTopK(s, d, Q_SCORE, "source", 5)),
     // wildcard retrieval: glob-expanded dictionary terms, OR-scored
@@ -342,6 +351,8 @@ object SparkEntry {
     "q_merge_stats" -> OracleSql.corpusStats,
     "q_boost" -> OracleSql.topKBoosted(
       qt(Q_TOPK).map { case (t, c) => (t, c, Boosts.getOrElse(t, 1.0)) }, P, 10),
+    "q_synonyms" -> OracleSql.topKSynonyms(
+      qt(Q_SYN).map { case (t, c) => (t, c, synMembers(t)) }, P, 10),
     "q_collapse" -> OracleSql.collapseTopK(qt(Q_SCORE), P, "source", 5),
     "q_wildcard" -> OracleSql.wildcardTopK("^s.*a.*$", 10, P, 10),
     "q_federated" -> OracleSql.topK(qt(Q_TOPK), P, 10),

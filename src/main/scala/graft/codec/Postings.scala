@@ -99,6 +99,43 @@ object Postings {
     encode(head.shard, head.term, docs, tfs, lens)
   }
 
+  /** Union-merge of OVERLAPPING posting lists with per-doc tf SUMMED —
+    * Lucene SynonymQuery's posting view: a synonym group behaves as one
+    * pseudo-term whose term frequency is the sum of its members' (doc
+    * length is a per-doc property, identical across members). Unlike
+    * [[merge]] (disjoint segment ranges, pure concatenation), members
+    * here share documents. Query-time only, over the ≤ |group| member
+    * lists one shard holds — never index-resident. */
+  def unionSum(parts: Seq[Posting], term: String): Posting = {
+    require(parts.nonEmpty, "empty synonym group")
+    if (parts.lengthCompare(1) == 0) return parts.head
+    val m = new java.util.TreeMap[java.lang.Long, Array[Int]]() // docId -> (tf, len)
+    parts.foreach { p =>
+      val (docs, tfs, lens) = decode(p)
+      var i = 0
+      while (i < docs.length) {
+        val prev = m.get(docs(i))
+        if (prev == null) m.put(docs(i), Array(tfs(i), lens(i)))
+        else prev(0) += tfs(i)
+        i += 1
+      }
+    }
+    val nD = m.size()
+    val docs = new Array[Long](nD)
+    val tfs = new Array[Int](nD)
+    val lens = new Array[Int](nD)
+    var i = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      docs(i) = e.getKey
+      tfs(i) = e.getValue()(0)
+      lens(i) = e.getValue()(1)
+      i += 1
+    }
+    encode(parts.head.shard, term, docs, tfs, lens)
+  }
+
   /** Full decode (test / exhaustive paths): (docIds, tfs, lens). */
   def decode(p: Posting): (Array[Long], Array[Int], Array[Int]) = {
     val docs = new Array[Long](p.count)

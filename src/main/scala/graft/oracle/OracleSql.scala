@@ -610,6 +610,37 @@ object OracleSql {
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Synonym-query oracle — Lucene SynonymQuery semantics: per (group,
+    * qtf, members), group tf = Σ member tfs per doc, group df = max
+    * member df present in the corpus. */
+  def topKSynonyms(groups: Seq[(String, Int, Seq[String])], p: Bm25.Params,
+                   k: Int): String = {
+    val synValues = groups.flatMap { case (g, _, ms) =>
+      ms.map(m => s"(${lit(g)}, ${lit(m)})") }.mkString(", ")
+    val qtValues = groups.map { case (g, q, _) => s"(${lit(g)}, $q)" }.mkString(", ")
+    s"""WITH $baseCtes,
+       |syn AS (SELECT * FROM (VALUES $synValues) AS s0(grp, member)),
+       |gtf AS (
+       |  SELECT tf.doc_id, s.grp, CAST(sum(tf.tf) AS BIGINT) AS tf
+       |  FROM tf JOIN syn s ON s.member = tf.term GROUP BY 1, 2),
+       |gdf AS (
+       |  SELECT s.grp, CAST(max(dft.df) AS BIGINT) AS df
+       |  FROM syn s JOIN dft ON dft.term = s.member GROUP BY 1),
+       |scored AS (
+       |  SELECT gtf.doc_id,
+       |    sum( ln(1 + (stats.n - gdf.df + 0.5) / (gdf.df + 0.5))
+       |       * (gtf.tf * ${p.k1 + 1}) / (gtf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl))
+       |       * (qt.qtf * ${p.k3 + 1}) / (qt.qtf + ${p.k3}) ) AS score
+       |  FROM gtf
+       |  JOIN (VALUES $qtValues) AS qt(grp, qtf) ON qt.grp = gtf.grp
+       |  JOIN gdf ON gdf.grp = gtf.grp
+       |  JOIN dl ON dl.doc_id = gtf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY gtf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Percolation oracle: for each standing (qid, mustTerms, notTerms),
     * the docs containing EVERY must term and NO not term. */
   def percolate(queries: Seq[(String, Seq[String], Seq[String])]): String = {

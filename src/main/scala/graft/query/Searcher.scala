@@ -352,6 +352,74 @@ final class Searcher(spark: SparkSession, indexDir: String,
     resolveHits(perShard, k)
   }
 
+  /** Synonym-aware top-k — Lucene's SynonymQuery semantics, exactly: each
+    * query term and its synonyms form ONE pseudo-term whose per-doc tf is
+    * the SUM of member tfs ([[graft.codec.Postings.unionSum]]) and whose
+    * df is the MAX member df (SynonymQuery's docFreq contract), so a doc
+    * is never double-counted for saying the same thing two ways, yet the
+    * group never scores above a genuinely-frequent single term. Synonym
+    * strings are analyzed with the index's own analyzer. Member lists
+    * union-merge per shard inside the kernel (bounded by the group's
+    * pruned posting rows); everything else — pruning, tombstones, plan
+    * shape — is the standard zero-exchange kernel path. Empty synonym
+    * map ≡ [[topK]]. */
+  def topKSynonyms(query: String, synonyms: Map[String, Seq[String]],
+                   k: Int): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val groups: Map[String, Seq[String]] = qtf.keys.map { t =>
+      val syns = synonyms.getOrElse(t, Nil)
+        .flatMap(s => analyzeQuery(s).keys).distinct.filterNot(_ == t)
+      t -> (t +: syns)
+    }.toMap
+    val allTerms = groups.values.flatten.toSeq.distinct
+    val dfm = dfSlice(allTerms)
+    val gdf: Map[String, Long] = groups.collect {
+      case (t, ms) if ms.exists(dfm.contains) =>
+        t -> ms.flatMap(dfm.get).max
+    }
+    if (gdf.isEmpty) return emptyHits()
+    val live = allTerms.filter(dfm.contains).sorted
+    val postings = postingsDF.where(col("term").isin(live: _*)).as[Posting]
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    val tb = tombBc
+    val kk = k
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val tomb = tb.value.get(group.head.shard).toSeq
+      val inputs = qtf.toSeq.flatMap { case (t, f) =>
+        val members = groups(t).filter(byTerm.contains)
+        gdf.get(t) match {
+          case Some(d) if members.nonEmpty =>
+            val posting =
+              if (members.lengthCompare(1) == 0) byTerm(members.head)
+              else graft.codec.Postings.unionSum(members.map(byTerm), t)
+            Some(Wand.TermInput(posting, f, d))
+          case _ => None
+        }
+      }
+      val scored =
+        if (tomb.nonEmpty) Wand.topKNot(inputs, tomb, nn, ad, kk, p)
+        else Wand.topK(inputs, nn, ad, kk, p)
+      scored.iterator.map(s => (s.docId, s.score))
+    }
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    resolveHits(out.toDF("docId", "score"), k)
+  }
+
   /** Top-k with CALLER-supplied per-term global df — the federated path
     * ([[Federated]]): the caller sums df across member indexes and every
     * member kernel scores with the combined values (paired with the
