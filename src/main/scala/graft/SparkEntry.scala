@@ -127,6 +127,22 @@ object SparkEntry {
     "q_boost" -> ((s, d) => DocQueries.boostTopK(s, d, Q_TOPK, Boosts, 10)),
     // synonym groups scored as one pseudo-term (tf summed, df = max)
     "q_synonyms" -> ((s, d) => DocQueries.synonymTopK(s, d, Q_SYN, Syns, 10)),
+    // disjunction-max: best-subquery score + tie·rest (Lucene dis_max)
+    "q_dismax" -> ((s, d) => DocQueries.disMaxTopK(s, d, Seq(Q_TOPK, Q_SCORE), 0.3, 10)),
+    // Dirichlet-smoothed query-likelihood LM ranking (alt similarity seam)
+    "q_lm_dirichlet" -> ((s, d) => DocQueries.dirichletTopK(s, d, Q_TOPK, 2000.0, 10)),
+    // significant-terms aggregation (JLH) over the conjunctive foreground
+    "q_sig_terms" -> ((s, d) => DocQueries.significantTerms(s, d, Q_AND, 20)),
+    // classic TF-IDF similarity (√tf·idf²/√dl) — third similarity seam
+    "q_tfidf" -> ((s, d) => DocQueries.tfidfTopK(s, d, Q_TOPK, 10)),
+    // ES rescore window: BM25 top-50 pool re-ranked by +2.0 exact-phrase
+    "q_rescore" -> ((s, d) => DocQueries.rescoreTopK(s, d, Q_CASCADE, Q_PHRASE, 2.0, 50, 10)),
+    // per-group top hits (terms agg + top_hits): 5 best sources × 2 hits
+    "q_top_hits" -> ((s, d) => DocQueries.topHitsByGroup(s, d, Q_SCORE, "source", 2, 5)),
+    // term dictionary stats: df + collection frequency (cfSlice seam)
+    "q_term_stats" -> ((s, d) => DocQueries.termStats(s, d, 20)),
+    // completion suggester: df-ranked dictionary terms under a prefix
+    "q_complete" -> ((s, d) => DocQueries.complete(s, d, "s", 10)),
     // field collapse: one best doc per source, k best groups
     "q_collapse" -> ((s, d) => DocQueries.collapseTopK(s, d, Q_SCORE, "source", 5)),
     // wildcard retrieval: glob-expanded dictionary terms, OR-scored
@@ -353,6 +369,15 @@ object SparkEntry {
       qt(Q_TOPK).map { case (t, c) => (t, c, Boosts.getOrElse(t, 1.0)) }, P, 10),
     "q_synonyms" -> OracleSql.topKSynonyms(
       qt(Q_SYN).map { case (t, c) => (t, c, synMembers(t)) }, P, 10),
+    "q_dismax" -> OracleSql.topKDisMax(Seq(qt(Q_TOPK), qt(Q_SCORE)), 0.3, P, 10),
+    "q_tfidf" -> OracleSql.topKTfIdf(qt(Q_TOPK), 10),
+    "q_rescore" -> OracleSql.rescoreTopK(qt(Q_CASCADE),
+      Analyzer.tokenizeRaw(Q_PHRASE).toSeq, 2.0, P, 50, 10),
+    "q_top_hits" -> OracleSql.topHitsByGroup(qt(Q_SCORE), P, "source", 2, 5),
+    "q_term_stats" -> OracleSql.termStats(20),
+    "q_complete" -> OracleSql.complete("s", 10),
+    "q_lm_dirichlet" -> OracleSql.topKDirichlet(qt(Q_TOPK), 2000.0, 10),
+    "q_sig_terms" -> OracleSql.significantTerms(qt(Q_AND).map(_._1), 20),
     "q_collapse" -> OracleSql.collapseTopK(qt(Q_SCORE), P, "source", 5),
     "q_wildcard" -> OracleSql.wildcardTopK("^s.*a.*$", 10, P, 10),
     "q_federated" -> OracleSql.topK(qt(Q_TOPK), P, 10),

@@ -641,6 +641,157 @@ object OracleSql {
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Dirichlet-smoothed query-likelihood oracle — graft.query.LmDirichlet:
+    * per term, qtf · max(0, ln(1 + tf/(μ·(cf+1)/(T+1))) + ln(μ/(dl+μ)))
+    * with cf = collection frequency and T = total corpus tokens; only
+    * docs with positive total score rank. */
+  def topKDirichlet(terms: Seq[(String, Int)], mu: Double, k: Int): String =
+    s"""WITH $baseCtes,
+       |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(len) AS BIGINT) AS t FROM dl),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( qt.qtf * greatest(0.0,
+       |      ln(1 + tf.tf / ($mu * ((cf.cf + 1.0) / (tot.t + 1.0))))
+       |      + ln($mu / (dl.len + $mu))) ) AS score
+       |  FROM tf
+       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term
+       |  JOIN cf ON cf.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN tot
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored WHERE score > 0
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Disjunction-max oracle — graft.query.Searcher.topKDisMax: per-doc
+    * combined score = max subquery score + tie·(sum − max) over per-
+    * subquery OR-mode BM25 sums. */
+  def topKDisMax(subs: Seq[Seq[(String, Int)]], tie: Double, p: Bm25.Params,
+                 k: Int): String = {
+    val subValues = subs.zipWithIndex.flatMap { case (ts, i) =>
+      ts.map { case (t, q) => s"('s$i', ${lit(t)}, $q)" } }.mkString(", ")
+    s"""WITH $baseCtes,
+       |sub AS (SELECT * FROM (VALUES $subValues) AS s0(sub, term, qtf)),
+       |parts AS (
+       |  SELECT tf.doc_id, s.sub,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * ${p.k1 + 1}) / (tf.tf + ${p.k1} * (1 - ${p.b} + ${p.b} * dl.len / stats.avgdl))
+       |       * (s.qtf * ${p.k3 + 1}) / (s.qtf + ${p.k3}) ) AS score
+       |  FROM tf
+       |  JOIN sub s ON s.term = tf.term
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |comb AS (
+       |  SELECT doc_id, max(score) + $tie * (sum(score) - max(score)) AS score
+       |  FROM parts GROUP BY 1)
+       |SELECT doc_id, round(score, 4) AS score FROM comb WHERE score > 0
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Significant-terms oracle — graft.query.Searcher.significantTerms
+    * (JLH): foreground = docs containing ALL `terms`; per term present in
+    * the foreground with fgPct > bgPct,
+    * score = (fg/F − df/N)·((fg/F)/(df/N)). */
+  def significantTerms(terms: Seq[String], topN: Int): String = {
+    val inList = terms.map(lit).mkString(", ")
+    s"""WITH $baseCtes,
+       |fg AS (SELECT doc_id FROM tf WHERE term IN ($inList)
+       |       GROUP BY doc_id HAVING count(*) = ${terms.size}),
+       |fcnt AS (SELECT CAST(count(*) AS BIGINT) AS f FROM fg),
+       |fgc AS (
+       |  SELECT tf.term, CAST(count(*) AS BIGINT) AS fg_df
+       |  FROM tf JOIN fg ON fg.doc_id = tf.doc_id GROUP BY 1),
+       |scored AS (
+       |  SELECT fgc.term, fgc.fg_df, dft.df,
+       |    (CAST(fgc.fg_df AS DOUBLE) / fcnt.f - CAST(dft.df AS DOUBLE) / stats.n)
+       |      * ((CAST(fgc.fg_df AS DOUBLE) / fcnt.f) / (CAST(dft.df AS DOUBLE) / stats.n)) AS score
+       |  FROM fgc
+       |  JOIN dft ON dft.term = fgc.term
+       |  CROSS JOIN fcnt CROSS JOIN stats
+       |  WHERE CAST(fgc.fg_df AS DOUBLE) / fcnt.f > CAST(dft.df AS DOUBLE) / stats.n)
+       |SELECT term, fg_df, df, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, term LIMIT $topN""".stripMargin
+  }
+
+  /** Term-dictionary stats oracle — DocQueries.termStats: top-df terms
+    * with document AND collection frequency. */
+  def termStats(limit: Int): String =
+    s"""WITH $baseCtes,
+       |cfc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+       |SELECT dft.term, dft.df, cfc.cf
+       |FROM dft JOIN cfc ON cfc.term = dft.term
+       |ORDER BY dft.df DESC, dft.term LIMIT $limit""".stripMargin
+
+  /** Completion-suggester oracle — Searcher.complete: df-ranked dictionary
+    * terms under a prefix (prefix is [a-z0-9]+ on this surface, so no LIKE
+    * metacharacter escaping is needed). */
+  def complete(prefix: String, k: Int): String =
+    s"""WITH $baseCtes
+       |SELECT term, df FROM dft WHERE term LIKE ${lit(prefix + "%")}
+       |ORDER BY df DESC, term LIMIT $k""".stripMargin
+
+  /** Classic TF-IDF oracle — graft.query.ClassicTfIdf: per term,
+    * qtf · √tf · (1 + ln((N+1)/(df+1)))² / √dl (idf written out twice —
+    * pow() association must match the engine's idf·idf exactly). */
+  def topKTfIdf(terms: Seq[(String, Int)], k: Int): String =
+    s"""WITH $baseCtes,
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( qt.qtf * sqrt(tf.tf)
+       |       * (1 + ln((stats.n + 1.0) / (dft.df + 1.0)))
+       |       * (1 + ln((stats.n + 1.0) / (dft.df + 1.0)))
+       |       / sqrt(dl.len) ) AS score
+       |  FROM tf
+       |  JOIN (VALUES ${queryValues(terms)}) AS qt(term, qtf) ON qt.term = tf.term
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored WHERE score > 0
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Rescore-window oracle — DocQueries.rescoreTopK: top `poolN` BM25
+    * pool, + `w` when the doc contains the exact phrase (raw adjacency),
+    * re-cut to k. */
+  def rescoreTopK(terms: Seq[(String, Int)], rawToks: Seq[String], w: Double,
+                  p: Bm25.Params, poolN: Int, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |pool AS (
+       |  SELECT doc_id, score FROM scored
+       |  ORDER BY round(score, 4) DESC, doc_id LIMIT $poolN),
+       |resc AS (
+       |  SELECT p.doc_id, p.score + CASE
+       |    WHEN regexp_matches(lower(d.text), ${lit(phrasePattern(rawToks))})
+       |    THEN $w ELSE 0.0 END AS score
+       |  FROM pool p JOIN documents d ON d.doc_id = p.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM resc
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Per-group top-hits oracle — DocQueries.topHitsByGroup. */
+  def topHitsByGroup(terms: Seq[(String, Int)], p: Bm25.Params,
+                     groupCol: String, perGroup: Int, kGroups: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |hit AS (
+       |  SELECT s.doc_id, round(s.score, 4) AS s4, d.$groupCol AS grp
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |  WHERE round(s.score, 4) > 0),
+       |ranked AS (
+       |  SELECT doc_id, s4, grp,
+       |    row_number() OVER (PARTITION BY grp ORDER BY s4 DESC, doc_id) AS rnk
+       |  FROM hit),
+       |gsel AS (
+       |  SELECT grp FROM (SELECT grp, max(s4) AS best FROM hit GROUP BY 1)
+       |  ORDER BY best DESC, grp LIMIT $kGroups)
+       |SELECT r.grp AS $groupCol, r.doc_id, r.s4 AS score,
+       |  CAST(r.rnk AS BIGINT) AS rnk
+       |FROM ranked r JOIN gsel ON gsel.grp = r.grp
+       |WHERE r.rnk <= $perGroup
+       |ORDER BY $groupCol, rnk""".stripMargin
+
   /** Percolation oracle: for each standing (qid, mustTerms, notTerms),
     * the docs containing EVERY must term and NO not term. */
   def percolate(queries: Seq[(String, Seq[String], Seq[String])]): String = {

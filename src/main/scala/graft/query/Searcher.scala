@@ -162,6 +162,10 @@ final class Searcher(spark: SparkSession, indexDir: String,
     tombstoneFree(coveredOnly.fold(df)(df.where))
   val n: Long = statsOverride.map(_._1).getOrElse(statsRow.getAs[Long]("n"))
   val avgdl: Double = statsOverride.map(_._2).getOrElse(statsRow.getAs[Double]("avgdl"))
+  /** Exact total token count (stats `sumlen`) — the collection-model
+    * denominator for [[topKDirichlet]]. Not overridable by `statsOverride`
+    * (the federated surface is BM25-only; see [[Federated]]). */
+  val sumlen: Long = statsRow.getAs[Long]("sumlen")
 
   /** Largest posting file across base + segments (listed once at
     * construction); -1 when listing failed. */
@@ -407,17 +411,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
         else Wand.topK(inputs, nn, ad, kk, p)
       scored.iterator.map(s => (s.docId, s.score))
     }
-    val out =
-      if (colocated)
-        postings.mapPartitions { ps =>
-          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
-          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
-          import scala.jdk.CollectionConverters._
-          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
-        }
-      else
-        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
-    resolveHits(out.toDF("docId", "score"), k)
+    resolveHits(perShardScores(postings)(kernel), k)
   }
 
   /** Top-k with CALLER-supplied per-term global df — the federated path
@@ -454,6 +448,218 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val perShard = shardTopK(postings, Seq(("q", qtf)), dfm, k,
       exhaustive = false, boosts = aboosts)
     resolveHits(perShard, k)
+  }
+
+  /** Shared per-shard kernel dispatch for single-query (docId, score)
+    * kernels: zero-exchange mapPartitions when [[colocated]], narrow
+    * groupByKey(shard) of the pruned rows otherwise — the same two plan
+    * shapes [[shardTopK]] documents. `kernel` must capture only
+    * method-local state (never the Searcher itself). */
+  private def perShardScores(postings: Dataset[Posting])(
+      kernel: Seq[Posting] => Iterator[(Long, Double)]): DataFrame = {
+    val out =
+      if (colocated)
+        postings.mapPartitions { ps =>
+          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
+          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
+          import scala.jdk.CollectionConverters._
+          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
+        }
+      else
+        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
+    out.toDF("docId", "score")
+  }
+
+  /** Per-term global COLLECTION frequency (total occurrences — the
+    * language-model statistic df can't substitute for), memoized like
+    * [[dfSlice]]. The index stores no cf table (BM25 never needs one), so
+    * first sight of a term costs one pass over that term's PRUNED posting
+    * rows — decode, skip tombstoned docs, sum tfs — aggregated per term;
+    * repeat queries hit the memo. Misses cached as 0. */
+  private val cfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def cfSlice(terms: Seq[String]): Map[String, Long] = {
+    val missing = terms.distinct.filterNot(cfCache.containsKey)
+    if (missing.nonEmpty) {
+      val tb = tombBc
+      val found = postingsDF.where(col("term").isin(missing: _*)).as[Posting]
+        .map { po =>
+          val ex = new Wand.Excl(tb.value.get(po.shard).toSeq)
+          val c = new graft.codec.Postings.Cursor(po)
+          var s = 0L
+          while (c.next()) if (!ex.excluded(c.docId)) s += c.tf
+          (po.term, s)
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      missing.foreach(t => cfCache.put(t, java.lang.Long.valueOf(found.getOrElse(t, 0L))))
+    }
+    terms.iterator.map(t => t -> cfCache.get(t).longValue).filter(_._2 > 0L).toMap
+  }
+
+  /** Completion suggester (ES completion / Lucene prefix termsEnum over
+    * the dictionary): dictionary terms starting with `prefix`, popularity-
+    * ranked (df desc, term asc). One pushed-down StartsWith scan of the
+    * vocabulary-sized df table — never touches postings or the corpus. */
+  def complete(prefix: String, k: Int): DataFrame =
+    dfDF.where(col("term").startsWith(prefix))
+      .select(col("term"), col("df"))
+      .orderBy(desc("df"), asc("term")).limit(k)
+
+  /** Dirichlet-smoothed query-likelihood top-k ([[LmDirichlet]]) — the
+    * alternative similarity seam: same index, same pruned-scan plan shape
+    * as [[topK]], a different per-term formula needing cf instead of df.
+    * The kernel is exhaustive over the pruned postings (WAND's bound
+    * algebra doesn't transfer to the clamped LM contribution — see
+    * [[LmDirichlet]]); everything else (colocated zero-exchange dispatch,
+    * tombstones, point-read hit resolution) is the standard path. */
+  def topKDirichlet(query: String, mu: Double, k: Int): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val cfm = cfSlice(qtf.keys.toSeq)
+    if (cfm.isEmpty) return emptyHits()
+    val live = cfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(live: _*)).as[Posting]
+    val (tt, muu, kk) = (sumlen, mu, k)
+    val tb = tombBc
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val inputs = qtf.toSeq.collect {
+        case (t, f) if byTerm.contains(t) && cfm.contains(t) =>
+          LmDirichlet.TermInput(byTerm(t), f, cfm(t))
+      }
+      LmDirichlet.topK(inputs, tt, muu, kk,
+          excludes = tb.value.get(group.head.shard).toSeq)
+        .iterator.map(s => (s.docId, s.score))
+    }
+    resolveHits(perShardScores(postings)(kernel), k)
+  }
+
+  /** Classic TF-IDF top-k ([[ClassicTfIdf]]) — the third similarity over
+    * the same index: √tf · idf² · 1/√dl, df statistics like BM25, same
+    * pruned-scan dispatch, exhaustive kernel. */
+  def topKTfIdf(query: String, k: Int): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return emptyHits()
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return emptyHits()
+    val live = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(live: _*)).as[Posting]
+    val (nn, kk) = (n, k)
+    val tb = tombBc
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val inputs = qtf.toSeq.collect {
+        case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
+          ClassicTfIdf.TermInput(byTerm(t), f, dfm(t))
+      }
+      ClassicTfIdf.topK(inputs, nn, kk,
+          excludes = tb.value.get(group.head.shard).toSeq)
+        .iterator.map(s => (s.docId, s.score))
+    }
+    resolveHits(perShardScores(postings)(kernel), k)
+  }
+
+  /** Disjunction-max top-k (Lucene's DisjunctionMaxQuery): each subquery
+    * scores independently as OR-mode BM25; a doc's combined score is its
+    * BEST subquery score plus `tie` times the rest —
+    * max + tie·(sum − max) — so a doc matching several subqueries only
+    * modestly outranks one nailing a single subquery (tie=0 = pure max,
+    * tie=1 = plain sum). One kernel pass over the UNION of the subqueries'
+    * pruned postings accumulates per-(doc, subquery) partials, combines,
+    * and heaps per shard — the cross-subquery max needs every subquery's
+    * partial for a doc in one place, which is exactly what doc-complete
+    * shards guarantee, so the plan stays zero-exchange when colocated. */
+  def topKDisMax(queries: Seq[String], tie: Double, k: Int): DataFrame = {
+    val subs: Seq[Map[String, Int]] = queries.map(analyzeQuery).filter(_.nonEmpty)
+    val allTerms = subs.flatMap(_.keys).distinct
+    if (allTerms.isEmpty) return emptyHits()
+    val dfm = dfSlice(allTerms)
+    if (dfm.isEmpty) return emptyHits()
+    val live = allTerms.filter(dfm.contains).sorted
+    val postings = postingsDF.where(col("term").isin(live: _*)).as[Posting]
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    val tb = tombBc
+    val (tiez, kk, nSub) = (tie, k, subs.size)
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val exSet = new java.util.HashSet[java.lang.Long]()
+      tb.value.get(group.head.shard).foreach { e =>
+        val c = new graft.codec.Postings.Cursor(e)
+        while (c.next()) exSet.add(c.docId)
+      }
+      val acc = new java.util.HashMap[java.lang.Long, Array[Double]]()
+      subs.zipWithIndex.foreach { case (sq, si) =>
+        sq.foreach { case (t, f) =>
+          if (byTerm.contains(t) && dfm.contains(t)) {
+            val iq = Bm25.idf(nn, dfm(t)) * Bm25.qtfSat(f, p)
+            val (docs, tfs, lens) = graft.codec.Postings.decode(byTerm(t))
+            var i = 0
+            while (i < docs.length) {
+              val arr = acc.computeIfAbsent(docs(i), _ => new Array[Double](nSub))
+              arr(si) += iq * Bm25.tfSat(tfs(i), lens(i), ad, p)
+              i += 1
+            }
+          }
+        }
+      }
+      val topk = new Wand.TopK(kk)
+      acc.forEach { (d, arr) =>
+        if (!exSet.contains(d)) {
+          var mx = 0.0; var sm = 0.0; var i = 0
+          while (i < nSub) { if (arr(i) > mx) mx = arr(i); sm += arr(i); i += 1 }
+          val s = mx + tiez * (sm - mx)
+          if (s > 0.0) topk.offer(d, s)
+        }
+      }
+      topk.drainDescending().iterator.map(s => (s.docId, s.score))
+    }
+    resolveHits(perShardScores(postings)(kernel), k)
+  }
+
+  /** Significant-terms aggregation (Elasticsearch's significant_terms,
+    * JLH heuristic): terms OVERREPRESENTED in the foreground — the docs
+    * containing ALL analyzed query terms — relative to the whole corpus.
+    * Per term with foreground df fg and corpus df:
+    *
+    *   fgPct = fg/F,  bgPct = df/N,  JLH = (fgPct − bgPct)·(fgPct/bgPct)
+    *
+    * only terms with fgPct > bgPct qualify. Plan: the conjunctive kernel
+    * enumerates the foreground (cost ∝ shortest posting list, never the
+    * corpus — [[matchAllDocs]]); the foreground docId set broadcast-joins
+    * the analyzed table (per-doc DISTINCT terms, so one exploded row per
+    * (doc, term)); the per-term foreground counts (≤ foreground vocab,
+    * small) then broadcast-join the global df table. Nothing here scans
+    * the corpus: the two big inputs are touched only through the pruned
+    * kernel scan and a column-pruned df read. A non-selective foreground
+    * (≫ broadcast threshold) should swap the broadcast for a shuffle
+    * join — the selective-query shape is the one this serves. */
+  def significantTerms(query: String, topN: Int): DataFrame = {
+    val fg = matchAllDocs(query).select($"docId")
+    val fcnt = fg.count()
+    if (fcnt == 0L) return Seq.empty[(String, Long, Long, Double)]
+      .toDF("term", "fg_df", "df", "score")
+    val analyzed = covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
+    val fgTerms = analyzed.join(broadcast(fg), Seq("docId"))
+      .select(explode($"terms").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("fg_df"))
+    val nn = n
+    fgTerms.join(dfDF, "term")
+      .withColumn("fg_pct", $"fg_df".cast("double") / fcnt)
+      .withColumn("bg_pct", $"df".cast("double") / nn)
+      .where($"fg_pct" > $"bg_pct")
+      .withColumn("score", ($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct"))
+      .select($"term", $"fg_df", $"df", round($"score", 4).as("score"))
+      .orderBy(round($"score", 4).desc, $"term".asc).limit(topN)
   }
 
   /** Merge per-shard candidates to the global ≤ k winners, then resolve
@@ -848,17 +1054,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
           excludes = tb.value.get(group.head.shard).toSeq)
         .iterator.map(s => (s.docId, s.score))
     }
-    val out =
-      if (colocated)
-        postings.mapPartitions { ps =>
-          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
-          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
-          import scala.jdk.CollectionConverters._
-          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
-        }
-      else
-        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
-    out.toDF("docId", "score")
+    perShardScores(postings)(kernel)
   }
 
   /** Batched multi-query top-k: ONE pass over the index answers every
