@@ -91,6 +91,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity variants, dis_max and synonyms keep the shuffle-free kernel plan") {
+    val s = new Searcher(spark, dir)
+    assert(s.colocated)
+    for (df <- Seq(s.topKDirichlet("quick brown fox", 2000.0, 10),
+                   s.topKTfIdf("quick brown fox", 10),
+                   s.topKDisMax(Seq("quick brown", "learning fox"), 0.3, 10),
+                   s.topKSynonyms("quick", Map("quick" -> Seq("fast")), 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "(?m)^.*Exchange.*$".r.findAllIn(plan).toList
+      assert(shuffles.isEmpty, s"unexpected Exchange(s): $shuffles\nin plan:\n${plan.take(4000)}")
+      assert(!plan.contains("Join"), "variant kernels must not plan a join")
+    }
+  }
+
+  test("complete pushes the prefix filter into the df-table scan") {
+    val s = new Searcher(spark, dir)
+    val plan = s.complete("qu", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StringStartsWith(term"),
+      s"no pushed prefix filter in:\n${plan.take(3000)}")
+  }
+
+  test("significantTerms joins broadcast-only (foreground and fg-term counts)") {
+    val s = new Searcher(spark, dir)
+    val plan = s.significantTerms("quick brown", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "significant-terms must never sort-merge the corpus")
+  }
+
   test("positional phrase match: pushed term filter, shuffle-free when colocated") {
     graft.build.PositionIndex.build(spark, Transcripts.synth(spark, 3000, 7).toDF(), dir)
     val ps = new graft.query.PosSearcher(spark, dir)
