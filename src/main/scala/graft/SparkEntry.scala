@@ -83,6 +83,19 @@ object SparkEntry {
   private def synMembers(t: String): Seq[String] =
     t +: Syns.getOrElse(t, Nil).flatMap(s => qt(s).map(_._1)).distinct.filterNot(_ == t)
 
+  // combined-fields (BM25F-simple): source^2 folded into the scored text;
+  // the query carries one text term + one field term so the field weight
+  // genuinely reshapes the ranking
+  private val Q_CF = "spark stream src7"
+  private val CfW = 2
+  private val CombinedRel =
+    s"(SELECT doc_id, text || repeat(' ' || source, $CfW) AS text FROM documents)"
+
+  // match_phrase_prefix: fixed head "merge" + prefix "ba" (completes to
+  // batch/batches in the corpus vocabulary)
+  private val Q_PP = "merge ba"
+  private val PpRaw = Analyzer.tokenizeRaw(Q_PP).toSeq
+
   // standing percolation queries: two conjunctive alerts + one with an
   // exclusion (the must/not ReqExcl shape)
   private val Percs = Seq(
@@ -141,6 +154,10 @@ object SparkEntry {
     "q_top_hits" -> ((s, d) => DocQueries.topHitsByGroup(s, d, Q_SCORE, "source", 2, 5)),
     // term dictionary stats: df + collection frequency (cfSlice seam)
     "q_term_stats" -> ((s, d) => DocQueries.termStats(s, d, 20)),
+    // combined-fields (BM25F-simple): text + source^2 as one pseudo-field
+    "q_combined_fields" -> ((s, d) => DocQueries.combinedFieldsTopK(s, d, Q_CF, CfW, 10)),
+    // match_phrase_prefix: head adjacency + any completion of the prefix
+    "q_phrase_prefix" -> ((s, d) => DocQueries.phrasePrefixTopK(s, d, Q_PP, 10)),
     // completion suggester: df-ranked dictionary terms under a prefix
     "q_complete" -> ((s, d) => DocQueries.complete(s, d, "s", 10)),
     // field collapse: one best doc per source, k best groups
@@ -375,6 +392,9 @@ object SparkEntry {
       Analyzer.tokenizeRaw(Q_PHRASE).toSeq, 2.0, P, 50, 10),
     "q_top_hits" -> OracleSql.topHitsByGroup(qt(Q_SCORE), P, "source", 2, 5),
     "q_term_stats" -> OracleSql.termStats(20),
+    "q_combined_fields" -> OracleSql.topK(qt(Q_CF), P, 10, rel = CombinedRel),
+    "q_phrase_prefix" -> OracleSql.phrasePrefixTopK(
+      qt(PpRaw.init.mkString(" ")), PpRaw.init, PpRaw.last, P, 10),
     "q_complete" -> OracleSql.complete("s", 10),
     "q_lm_dirichlet" -> OracleSql.topKDirichlet(qt(Q_TOPK), 2000.0, 10),
     "q_sig_terms" -> OracleSql.significantTerms(qt(Q_AND).map(_._1), 20),

@@ -826,6 +826,26 @@ object OracleSql {
     s"(^|$sep)" + rawToks.mkString(s"$sep+") + s"($$|$sep)"
   }
 
+  /** Like [[phrasePattern]] but the LAST position accepts any completion
+    * of `prefix` (match_phrase_prefix). */
+  private def prefixPhrasePattern(headRaw: Seq[String], prefix: String): String = {
+    val sep = "[^\\p{L}\\p{Nd}]"
+    s"(^|$sep)" + (headRaw :+ (prefix + "[\\p{L}\\p{Nd}]*")).mkString(s"$sep+") +
+      s"($$|$sep)"
+  }
+
+  /** match_phrase_prefix oracle — DocQueries.phrasePrefixTopK: docs whose
+    * text contains head tokens adjacent + any completion of the prefix,
+    * scored by the conjunctive BM25 of the HEAD terms only. */
+  def phrasePrefixTopK(headTerms: Seq[(String, Int)], headRaw: Seq[String],
+                       prefix: String, p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredAndCte(headTerms, p)}
+       |SELECT sc.doc_id, round(sc.score, 4) AS score
+       |FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+       |WHERE regexp_matches(lower(d.text), ${lit(prefixPhrasePattern(headRaw, prefix))})
+       |ORDER BY round(sc.score, 4) DESC, sc.doc_id LIMIT $k""".stripMargin
+
   /** Phrase top-k: conjunctive candidates + raw-adjacency verify on the
     * text (the SQL mirror of DocQueries.phraseTopK). `terms` are the
     * ANALYZED phrase terms (scoring); `rawToks` the full raw token

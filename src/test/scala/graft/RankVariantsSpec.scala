@@ -212,6 +212,42 @@ class RankVariantsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ---- combined fields (BM25F-simple) -------------------------------------
+
+  test("combinedFieldsTopK: field term retrieves, weight lifts field tf") {
+    import graft.ops.DocQueries
+    // the base text index cannot serve the field term at all...
+    assert(DocQueries.searcher(spark, Sf).topK("src3", 5).count() == 0L)
+    // ...the combined index can, and every hit is a src3 doc with tf = w
+    val hits = DocQueries.combinedFieldsTopK(spark, Sf, "src3", 2, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(hits.nonEmpty)
+    val srcOf = spark.read.parquet(s"$Sf/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    hits.foreach { case (id, _) => assert(srcOf(id) == "src3") }
+  }
+
+  // ---- match_phrase_prefix ------------------------------------------------
+
+  test("phrasePrefixTopK matches a regex+head-score recompute") {
+    import graft.ops.DocQueries
+    val got = DocQueries.phrasePrefixTopK(spark, Sf, "merge ba", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val headScores = DocQueries.searcher(spark, Sf).topK("merge", 10000)
+      .select($"conv_id".cast("long").as("doc_id"), round($"score", 4).as("s4"))
+      .as[(Long, Double)].collect().toMap
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val expect = texts.flatMap { case (id, t) =>
+      val toks = Analyzer.tokenizeRaw(t).toSeq
+      val m = toks.sliding(2).exists(w => w.lengthCompare(2) == 0 &&
+        w.head == "merge" && w.last.startsWith("ba"))
+      if (m) Some((id, headScores(id))) else None
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(got.map { case (id, sc) => (id, r4(sc)) } == expect)
+  }
+
   // ---- completion suggester ----------------------------------------------
 
   test("complete: prefix-filtered, df-ranked, term-asc on ties") {
