@@ -158,6 +158,10 @@ object SparkEntry {
     "q_combined_fields" -> ((s, d) => DocQueries.combinedFieldsTopK(s, d, Q_CF, CfW, 10)),
     // match_phrase_prefix: head adjacency + any completion of the prefix
     "q_phrase_prefix" -> ((s, d) => DocQueries.phrasePrefixTopK(s, d, Q_PP, 10)),
+    // function_score (field_value_factor): BM25 × ln(1 + n_chars/100)
+    "q_func_score" -> ((s, d) => DocQueries.funcScoreTopK(s, d, Q_SCORE, 10)),
+    // filtered vector search (knn + filter): label-sliced exact cosine
+    "q_ann_filtered" -> ((s, d) => VectorOps.cosTopKFiltered(s, d, 0L, 3, 10)),
     // completion suggester: df-ranked dictionary terms under a prefix
     "q_complete" -> ((s, d) => DocQueries.complete(s, d, "s", 10)),
     // field collapse: one best doc per source, k best groups
@@ -395,6 +399,8 @@ object SparkEntry {
     "q_combined_fields" -> OracleSql.topK(qt(Q_CF), P, 10, rel = CombinedRel),
     "q_phrase_prefix" -> OracleSql.phrasePrefixTopK(
       qt(PpRaw.init.mkString(" ")), PpRaw.init, PpRaw.last, P, 10),
+    "q_func_score" -> OracleSql.funcScoreTopK(qt(Q_SCORE), P, 10),
+    "q_ann_filtered" -> OracleSqlOps.cosTopKFiltered(0L, 3, 10),
     "q_complete" -> OracleSql.complete("s", 10),
     "q_lm_dirichlet" -> OracleSql.topKDirichlet(qt(Q_TOPK), 2000.0, 10),
     "q_sig_terms" -> OracleSql.significantTerms(qt(Q_AND).map(_._1), 20),

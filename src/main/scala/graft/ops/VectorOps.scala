@@ -109,6 +109,29 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Filtered vector search (the ES knn-with-filter shape): brute-force
+    * cosine top-k RESTRICTED to vectors carrying `label` — the filter
+    * applies to CANDIDATES only; the query vector itself need not pass
+    * it. The equality predicate is pushed into the Parquet scan, and at
+    * scale the vector table is partitioned by its filter columns so the
+    * filtered scan's IO is ∝ the selected slice — the same partition-
+    * pruning shape the materialized IVF path uses for clusters (the two
+    * compose: label partitions × cluster sub-partitions). Exact over the
+    * filtered slice. */
+  def cosTopKFiltered(spark: SparkSession, sfDir: String, targetId: Long,
+                      label: Int, k: Int): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = raw.filter(col("vec_id") === targetId)
+      .select(transform(col("embedding"), _.cast("double")).as("qe"))
+    raw.filter(col("label") === label)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSim(col("e"), col("qe")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   // ---- IVF ANN with k-means-trained centroids -------------------------------
 
   val KmeansK: Int = SimilarityConfig.Default.kmeansK

@@ -732,6 +732,17 @@ object OracleSql {
        |SELECT term, df FROM dft WHERE term LIKE ${lit(prefix + "%")}
        |ORDER BY df DESC, term LIMIT $k""".stripMargin
 
+  /** function_score / field_value_factor oracle — DocQueries.funcScoreTopK:
+    * BM25 × ln(1 + n_chars/100) per matching doc. */
+  def funcScoreTopK(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =
+    s"""WITH $baseCtes,
+       |${scoredCte(terms, p)},
+       |f AS (
+       |  SELECT s.doc_id, s.score * ln(1 + d.n_chars / 100.0) AS score
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM f
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
   /** Classic TF-IDF oracle — graft.query.ClassicTfIdf: per term,
     * qtf · √tf · (1 + ln((N+1)/(df+1)))² / √dl (idf written out twice —
     * pow() association must match the engine's idf·idf exactly). */

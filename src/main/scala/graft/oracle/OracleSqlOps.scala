@@ -423,6 +423,19 @@ object OracleSqlOps {
        |    sqrt(sum(CAST($vecA AS DOUBLE) * CAST($vecA AS DOUBLE))) AS na,
        |    sqrt(sum(CAST($vecB AS DOUBLE) * CAST($vecB AS DOUBLE))) AS nb""".stripMargin
 
+  /** Mirror of VectorOps.cosTopKFiltered: exact cosine top-k over the
+    * label-filtered candidate slice (the query vector is unfiltered). */
+  def cosTopKFiltered(targetId: Long, label: Int, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $targetId),
+       |c AS (
+       |  SELECT v.vec_id,
+       |    ${cosAgg("v.embedding[i.i]", "q.qe[i.i]")}
+       |  FROM embeddings v CROSS JOIN q CROSS JOIN range(1, 65) i(i)
+       |  WHERE v.label = $label
+       |  GROUP BY v.vec_id)
+       |SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM c
+       |ORDER BY round(dot / (na * nb), 4) DESC, vec_id LIMIT $k""".stripMargin
+
   /** Mirror of TextOps.surprisal: corpus-unigram mean surprisal with
     * integer micro-unit contributions and r4 rounding of the mean. */
   def surprisal: String =

@@ -248,6 +248,36 @@ class RankVariantsSpec extends AnyFunSuite {
     assert(got.map { case (id, sc) => (id, r4(sc)) } == expect)
   }
 
+  // ---- filtered knn + function_score --------------------------------------
+
+  test("cosTopKFiltered: every candidate carries the filter label; query vector exempt") {
+    import graft.ops.VectorOps
+    val got = VectorOps.cosTopKFiltered(spark, Sf, 0L, 3, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.nonEmpty)
+    val lbl = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach(id => assert(lbl(id) == 3))
+    assert(lbl(0L) != 3, "fixture: the query vector must sit OUTSIDE the filter")
+  }
+
+  test("funcScoreTopK: hit scores are base × ln(1 + n_chars/100)") {
+    import graft.ops.DocQueries
+    val q = "fast query join"
+    val got = DocQueries.funcScoreTopK(spark, Sf, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val base = DocQueries.searcher(spark, Sf).scoreAll(q)
+      .select($"conv_id".cast("long").as("doc_id"), $"score")
+      .as[(Long, Double)].collect().toMap
+    val nc = spark.read.parquet(s"$Sf/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, sc) =>
+      val expect = r4(base(id) * math.log(1.0 + nc(id) / 100.0))
+      assert(math.abs(sc - expect) < 5e-4, s"doc $id: $sc vs $expect")
+    }
+  }
+
   // ---- completion suggester ----------------------------------------------
 
   test("complete: prefix-filtered, df-ranked, term-asc on ties") {
