@@ -162,6 +162,8 @@ object SparkEntry {
     "q_func_score" -> ((s, d) => DocQueries.funcScoreTopK(s, d, Q_SCORE, 10)),
     // filtered vector search (knn + filter): label-sliced exact cosine
     "q_ann_filtered" -> ((s, d) => VectorOps.cosTopKFiltered(s, d, 0L, 3, 10)),
+    // phrase suggester: per-position edit candidates × unigram-df ranking
+    "q_phrase_suggest" -> ((s, d) => DocQueries.phraseSuggest(s, d, "spak sort", 2, 5, 10)),
     // completion suggester: df-ranked dictionary terms under a prefix
     "q_complete" -> ((s, d) => DocQueries.complete(s, d, "s", 10)),
     // field collapse: one best doc per source, k best groups
@@ -401,6 +403,8 @@ object SparkEntry {
       qt(PpRaw.init.mkString(" ")), PpRaw.init, PpRaw.last, P, 10),
     "q_func_score" -> OracleSql.funcScoreTopK(qt(Q_SCORE), P, 10),
     "q_ann_filtered" -> OracleSqlOps.cosTopKFiltered(0L, 3, 10),
+    "q_phrase_suggest" -> OracleSql.phraseSuggest(
+      Analyzer.tokenizeRaw("spak sort").toSeq, 2, 5, 10),
     "q_complete" -> OracleSql.complete("s", 10),
     "q_lm_dirichlet" -> OracleSql.topKDirichlet(qt(Q_TOPK), 2000.0, 10),
     "q_sig_terms" -> OracleSql.significantTerms(qt(Q_AND).map(_._1), 20),

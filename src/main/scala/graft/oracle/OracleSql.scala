@@ -732,6 +732,26 @@ object OracleSql {
        |SELECT term, df FROM dft WHERE term LIKE ${lit(prefix + "%")}
        |ORDER BY df DESC, term LIMIT $k""".stripMargin
 
+  /** Phrase-suggester oracle — DocQueries.phraseSuggest: per-position
+    * df-ranked edit-distance candidates, cross-product phrases ranked by
+    * the product of member dfs. */
+  def phraseSuggest(toks: Seq[String], maxDist: Int, perTerm: Int,
+                    k: Int): String = {
+    val cands = toks.zipWithIndex.map { case (t, i) =>
+      s"""c$i AS (SELECT term, df FROM dft
+         |  WHERE levenshtein(term, ${lit(t)}) <= $maxDist
+         |  ORDER BY df DESC, term LIMIT $perTerm)""".stripMargin
+    }.mkString(",\n")
+    val concat = toks.indices.map(i => s"c$i.term").mkString(" || ' ' || ")
+    val prod = toks.indices.map(i => s"c$i.df").mkString(" * ")
+    val from = toks.indices.map(i => s"c$i").mkString(" CROSS JOIN ")
+    s"""WITH $baseCtes,
+       |$cands
+       |SELECT $concat AS suggestion, CAST($prod AS BIGINT) AS score
+       |FROM $from
+       |ORDER BY score DESC, suggestion LIMIT $k""".stripMargin
+  }
+
   /** function_score / field_value_factor oracle — DocQueries.funcScoreTopK:
     * BM25 × ln(1 + n_chars/100) per matching doc. */
   def funcScoreTopK(terms: Seq[(String, Int)], p: Bm25.Params, k: Int): String =

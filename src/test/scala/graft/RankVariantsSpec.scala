@@ -278,6 +278,27 @@ class RankVariantsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- phrase suggester ---------------------------------------------------
+
+  test("phraseSuggest: cross-product of per-position candidates, df-product ranked") {
+    import graft.ops.DocQueries
+    val got = DocQueries.phraseSuggest(spark, Sf, "spak sort", 2, 5, 25)
+      .as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val c0 = DocQueries.suggest(spark, Sf, "spak", 2, 5)
+      .as[(String, Long)].collect().toSeq
+    val c1 = DocQueries.suggest(spark, Sf, "sort", 2, 5)
+      .as[(String, Long)].collect().toSeq
+    val expect = (for ((a, da) <- c0; (b, db) <- c1) yield (a + " " + b, da * db))
+      .sortBy { case (s, sc) => (-sc, s) }.take(25)
+    assert(got == expect)
+    // scores strictly follow the product ordering
+    got.sliding(2).foreach {
+      case Seq((s1, a), (s2, b)) => assert(a > b || (a == b && s1 < s2))
+      case _ =>
+    }
+  }
+
   // ---- completion suggester ----------------------------------------------
 
   test("complete: prefix-filtered, df-ranked, term-asc on ties") {
