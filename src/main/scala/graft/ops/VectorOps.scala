@@ -34,9 +34,13 @@ object VectorOps {
 
   val Dim = 64
 
+  /** The one embedding-decode projection (float[] → double[]) — every
+    * reader of embeddings.parquet goes through this. */
+  private def embCol(e: Column): Column = transform(e, _.cast("double"))
+
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .select(col("vec_id"), embCol(col("embedding")).as("e"))
 
   /** Quantized milli-unit vector: round(x·1000) as BIGINT. round() is
     * half-away-from-zero in both Spark (HALF_UP on BigDecimal) and DuckDB. */
@@ -122,9 +126,9 @@ object VectorOps {
                       label: Int, k: Int): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = raw.filter(col("vec_id") === targetId)
-      .select(transform(col("embedding"), _.cast("double")).as("qe"))
+      .select(embCol(col("embedding")).as("qe"))
     raw.filter(col("label") === label)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .select(col("vec_id"), embCol(col("embedding")).as("e"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosineSim(col("e"), col("qe")), 4).as("cos"))

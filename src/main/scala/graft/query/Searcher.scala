@@ -164,8 +164,13 @@ final class Searcher(spark: SparkSession, indexDir: String,
   val avgdl: Double = statsOverride.map(_._2).getOrElse(statsRow.getAs[Double]("avgdl"))
   /** Exact total token count (stats `sumlen`) — the collection-model
     * denominator for [[topKDirichlet]]. Not overridable by `statsOverride`
-    * (the federated surface is BM25-only; see [[Federated]]). */
-  val sumlen: Long = statsRow.getAs[Long]("sumlen")
+    * (the federated surface is BM25-only; see [[Federated]]). Legacy
+    * stats tables predate the column — fall back to round(n·avgdl), the
+    * same reconstruction IndexBuilder's maintenance ops use, so opening
+    * an old index never fails (only Dirichlet sees the approximation). */
+  val sumlen: Long =
+    if (statsRow.schema.fieldNames.contains("sumlen")) statsRow.getAs[Long]("sumlen")
+    else math.round(statsRow.getAs[Long]("n") * statsRow.getAs[Double]("avgdl"))
 
   /** Largest posting file across base + segments (listed once at
     * construction); -1 when listing failed. */
@@ -634,22 +639,23 @@ final class Searcher(spark: SparkSession, indexDir: String,
     *   fgPct = fg/F,  bgPct = df/N,  JLH = (fgPct − bgPct)·(fgPct/bgPct)
     *
     * only terms with fgPct > bgPct qualify. Plan: the conjunctive kernel
-    * enumerates the foreground (cost ∝ shortest posting list, never the
-    * corpus — [[matchAllDocs]]); the foreground docId set broadcast-joins
-    * the analyzed table (per-doc DISTINCT terms, so one exploded row per
-    * (doc, term)); the per-term foreground counts (≤ foreground vocab,
-    * small) then broadcast-join the global df table. Nothing here scans
-    * the corpus: the two big inputs are touched only through the pruned
-    * kernel scan and a column-pruned df read. A non-selective foreground
-    * (≫ broadcast threshold) should swap the broadcast for a shuffle
-    * join — the selective-query shape is the one this serves. */
+    * enumerates the foreground ONCE (cost ∝ shortest posting list, never
+    * the corpus — [[matchAllDocs]]); the collected docId set (driver
+    * residency ∝ the selective foreground, the shape this aggregation
+    * serves) broadcast-joins the analyzed table (per-doc DISTINCT terms,
+    * so one exploded row per (doc, term)); the per-term foreground counts
+    * (≤ foreground vocab, small) then broadcast-join the global df table.
+    * Nothing here scans the corpus: the two big inputs are touched only
+    * through the pruned kernel scan and a column-pruned df read. A
+    * non-selective foreground (≫ broadcast threshold) should keep the
+    * foreground distributed and swap the broadcast for a shuffle join. */
   def significantTerms(query: String, topN: Int): DataFrame = {
-    val fg = matchAllDocs(query).select($"docId")
-    val fcnt = fg.count()
+    val ids = matchAllDocs(query).select($"docId").as[Long].collect()
+    val fcnt = ids.length.toLong
     if (fcnt == 0L) return Seq.empty[(String, Long, Long, Double)]
       .toDF("term", "fg_df", "df", "score")
     val analyzed = covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
-    val fgTerms = analyzed.join(broadcast(fg), Seq("docId"))
+    val fgTerms = analyzed.join(broadcast(ids.toSeq.toDF("docId")), Seq("docId"))
       .select(explode($"terms").as("term"))
       .groupBy($"term").agg(count(lit(1)).as("fg_df"))
     val nn = n
@@ -730,17 +736,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
       }
       Wand.topKNot(inputs, ex, nn, ad, k, p).iterator.map(s => (s.docId, s.score))
     }
-    val out =
-      if (colocated)
-        postings.mapPartitions { ps =>
-          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
-          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
-          import scala.jdk.CollectionConverters._
-          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
-        }
-      else
-        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
-    resolveHits(out.toDF("docId", "score"), k)
+    resolveHits(perShardScores(postings)(kernel), k)
   }
 
   /** Per-term score breakdown for ONE document — Lucene's explain(): each
@@ -877,17 +873,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
           excludes = tb.value.get(group.head.shard).toSeq)
         .iterator.map(s => (s.docId, s.score))
     }
-    val out =
-      if (colocated)
-        postings.mapPartitions { ps =>
-          val byShard = new java.util.HashMap[Integer, ArrayBuffer[Posting]]()
-          ps.foreach(po => byShard.computeIfAbsent(po.shard, _ => new ArrayBuffer[Posting]) += po)
-          import scala.jdk.CollectionConverters._
-          byShard.values.iterator.asScala.flatMap(g => kernel(g.toSeq))
-        }
-      else
-        postings.groupByKey(_.shard).flatMapGroups((_, ps) => kernel(ps.toSeq))
-    resolveHits(out.toDF("docId", "score"), k)
+    resolveHits(perShardScores(postings)(kernel), k)
   }
 
   /** Facet value counts over the documents matching ≥ 1 analyzed query term

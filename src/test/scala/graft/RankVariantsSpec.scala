@@ -299,6 +299,28 @@ class RankVariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSuggest: a query with no tokens suggests nothing") {
+    import graft.ops.DocQueries
+    assert(DocQueries.phraseSuggest(spark, Sf, "??", 2, 5, 10).count() == 0L)
+  }
+
+  // ---- legacy index compatibility -----------------------------------------
+
+  test("legacy stats without sumlen: Searcher opens, Dirichlet reconstructs") {
+    val d2 = TestSpark.tmpDir("legacyidx")
+    IndexBuilder.build(spark, Transcripts.synth(spark, 500, 3).toDF(), d2,
+      IndexBuilder.Config(shards = 4))
+    val sp = IndexBuilder.statsPath(d2)
+    val st = spark.read.parquet(sp).select($"n", $"avgdl").collect()(0)
+    // rewrite the stats table WITHOUT the sumlen column (pre-sumlen layout)
+    Seq((st.getLong(0), st.getDouble(1))).toDF("n", "avgdl")
+      .write.mode("overwrite").parquet(sp)
+    val s2 = new Searcher(spark, d2)
+    assert(s2.sumlen == math.round(s2.n * s2.avgdl))
+    assert(s2.topK("learning", 5).count() > 0)
+    assert(s2.topKDirichlet("learning", 2000.0, 5).count() > 0)
+  }
+
   // ---- completion suggester ----------------------------------------------
 
   test("complete: prefix-filtered, df-ranked, term-asc on ties") {
