@@ -95,13 +95,23 @@ object Fsck {
 
     try {
       val stats = spark.read.parquet(IndexBuilder.statsPathAsOf(indexDir, gen))
-        .select(col("n"), col("avgdl"), col("sumlen")).collect().head
-      val (nStats, avgdlStats, sumlenStats) =
-        (stats.getAs[Long]("n"), stats.getAs[Double]("avgdl"), stats.getAs[Long]("sumlen"))
+        .collect().head
+      val (nStats, avgdlStats) =
+        (stats.getAs[Long]("n"), stats.getAs[Double]("avgdl"))
+      // legacy pre-sumlen stats schema (explicitly supported by the
+      // Searcher and deleteCore): mirror their round(n·avgdl) fallback
+      // instead of reporting a healthy index as corrupt
+      val legacy = !stats.schema.fieldNames.contains("sumlen")
+      val sumlenStats =
+        if (legacy) math.round(nStats * avgdlStats)
+        else stats.getAs[Long]("sumlen")
+      val legacyNote =
+        if (legacy) " (legacy stats: sumlen reconstructed as round(n·avgdl))"
+        else ""
       issues += Issue("stats_n", nStats == nLive,
         s"stats.n=$nStats, live covered rows=$nLive")
       issues += Issue("stats_sumlen", sumlenStats == sumlenLive,
-        s"stats.sumlen=$sumlenStats, Σ len(live)=$sumlenLive")
+        s"stats.sumlen=$sumlenStats, Σ len(live)=$sumlenLive$legacyNote")
       val avgdlExpect = if (nLive == 0) 0.0 else sumlenLive.toDouble / nLive
       issues += Issue("stats_avgdl", avgdlStats == avgdlExpect,
         s"stats.avgdl=$avgdlStats, sumlen/n=$avgdlExpect")

@@ -188,6 +188,16 @@ object IndexBuilder {
   def update(spark: SparkSession, input: DataFrame, indexDir: String,
              cfg: Config = Config()): Long = Manifests.withMaintenanceLease(indexDir) {
     // lease is re-entrant: the nested delete/append/refresh share this hold
+    //
+    // Leading refresh = crash-RETRY idempotence: a prior update that died
+    // after its append but before its refresh left replacement rows
+    // appended-but-uncovered — invisible to deleteByKeys (only covered
+    // rows are deletable), so a naive retry would append a SECOND copy and
+    // the closing refresh would make both searchable. Covering any pending
+    // appends first makes the orphaned copy deletable, and the retry nets
+    // out to exactly one live copy per key. A no-op when nothing is
+    // pending (refresh returns before staging at dn == 0).
+    refresh(spark, indexDir)
     val replaced = deleteByKeys(spark, indexDir,
       input.select(col("conv_id"), col("turn_idx")))
     append(spark, input, indexDir, cfg)

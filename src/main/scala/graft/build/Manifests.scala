@@ -74,18 +74,35 @@ object Manifests {
       try Files.write(p, payload.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          // Staleness is keyed on the lock file's MTIME, never its payload:
+          // the exclusive CREATE_NEW and the payload write are two steps, so
+          // a reader racing the holder can observe an empty/partial file —
+          // an unreadable payload must mean HELD (fail fast), not stale, or
+          // the single-writer guarantee breaks exactly when it matters. The
+          // mtime is set atomically with the create and is always readable.
           val heldMs = try {
-            val s = Files.readString(p)
-            System.currentTimeMillis() -
-              s.split("\"epochMs\"\\s*:\\s*")(1).takeWhile(_.isDigit).toLong
-          } catch { case _: Throwable => Long.MaxValue } // unreadable ⇒ treat as stale
+            System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+          } catch {
+            // lock vanished between CREATE_NEW failing and the stat: the
+            // holder released — fall through to the retake (CREATE_NEW
+            // below still fails fast if a third party grabbed it first)
+            case _: java.nio.file.NoSuchFileException => Long.MaxValue
+          }
           if (heldMs <= LeaseStaleMs)
             throw new IllegalStateException(
               s"another maintainer holds $p (for ${heldMs / 1000}s); " +
                 "concurrent maintenance would race the generation commit")
-          // stale lease from a crashed maintainer: break and retake
+          // stale lease from a crashed maintainer: break and retake; a
+          // concurrent breaker racing this delete+create surfaces as the
+          // same fail-fast contract, never an unhandled crash
           Files.deleteIfExists(p)
-          Files.write(p, payload.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
+          try Files.write(p, payload.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new IllegalStateException(
+                s"another maintainer retook the stale lease $p first; " +
+                  "concurrent maintenance would race the generation commit")
+          }
       }
       leaseDepth.set(1)
       try f finally {

@@ -442,6 +442,10 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * boost scales the kernel's pruning upper bound by the same factor
     * ([[Wand.TermInput]]), so WAND skipping stays exact. */
   def topKBoosted(query: String, boosts: Map[String, Double], k: Int): DataFrame = {
+    // driver-side twin of Wand.TermInput's require: fail before any job
+    // is launched rather than as an executor task failure
+    boosts.foreach { case (t, b) =>
+      require(b > 0.0, s"boost for term '$t' must be > 0 (got $b)") }
     val qtf = analyzeQuery(query)
     if (qtf.isEmpty) return emptyHits()
     val dfm = dfSlice(qtf.keys.toSeq)

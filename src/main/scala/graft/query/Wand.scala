@@ -24,7 +24,13 @@ object Wand {
     * scales the term's every contribution AND its pruning upper bound by
     * the same factor, so WAND thresholding stays exact under boosting. */
   final case class TermInput(posting: Posting, qtf: Int, globalDf: Long,
-                             boost: Double = 1.0)
+                             boost: Double = 1.0) {
+    // Lucene's BoostQuery contract: a zero/negative/NaN boost would make
+    // the term's pruning upper bound non-positive and silently break
+    // WAND's cumulative-bound pivot logic (pruned results diverging from
+    // the exhaustive twin) — reject at construction, never in the kernel.
+    require(boost > 0.0, s"term boost must be > 0 (got $boost)")
+  }
   final case class Scored(docId: Long, score: Double)
 
   /** Bounded min-heap of (score, docId); keeps the k largest by

@@ -68,4 +68,21 @@ class BoostSpec extends AnyFunSuite {
     assert(rows(s.topKBoosted(Q, Map("STREAMING" -> 3.0), 30)) ==
       rows(s.topKBoosted(Q, Map("streaming" -> 3.0), 30)))
   }
+
+  test("non-positive boosts are rejected (Lucene's BoostQuery contract)") {
+    // a zero/negative upper bound would silently break WAND's pivot logic
+    intercept[IllegalArgumentException] {
+      s.topKBoosted(Q, Map("streaming" -> 0.0), 10)
+    }
+    intercept[IllegalArgumentException] {
+      s.topKBoosted(Q, Map("streaming" -> -1.5), 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.query.Wand.TermInput(
+        graft.model.Posting(0, "t", 0, 0, Array.emptyByteArray,
+          Array.emptyByteArray, Array.emptyByteArray, Array.empty[Long],
+          Array.empty[Int], Array.empty[Int], Array.empty[Int], Array.empty[Int]),
+        1, 1L, boost = -2.0)
+    }
+  }
 }

@@ -49,6 +49,21 @@ class FsckSpec extends AnyFunSuite {
     assert(bad.contains("stats_n"), s"got failures: $bad")
   }
 
+  test("a healthy legacy index (pre-sumlen stats schema) fscks clean") {
+    val d = build(1200, 23)
+    val p = IndexBuilder.statsPath(d)
+    val st = spark.read.parquet(p).collect().head
+    // rewrite stats in the legacy 2-column shape the Searcher/deleteCore
+    // round(n·avgdl) fallback explicitly supports
+    Seq((st.getAs[Long]("n"), st.getAs[Double]("avgdl")))
+      .toDF("n", "avgdl").write.mode("overwrite").parquet(p)
+    val issues = Fsck.run(spark, d)
+    val bad = issues.filterNot(_.ok)
+    assert(bad.isEmpty, s"legacy stats schema must not fail fsck: $bad")
+    assert(issues.exists(i => i.check == "stats_sumlen" &&
+      i.detail.contains("legacy stats")), "fallback must be flagged in the detail")
+  }
+
   test("a tampered df table is caught by the recount") {
     val d = build(1500, 17)
     val p = IndexBuilder.dfPath(d)

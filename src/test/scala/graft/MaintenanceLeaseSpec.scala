@@ -63,16 +63,36 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     Files.createDirectories(lock(dir).getParent)
     val stale = System.currentTimeMillis() - Manifests.LeaseStaleMs - 1000L
     Files.writeString(lock(dir), s"""{"epochMs":$stale,"pid":999999}""")
+    // staleness is keyed on the lock's mtime, not its payload
+    Files.setLastModifiedTime(lock(dir),
+      java.nio.file.attribute.FileTime.fromMillis(stale))
     var ran = false
     Manifests.withMaintenanceLease(dir) { ran = true }
     assert(ran, "stale lease must be broken so maintenance can proceed")
     assert(!Files.exists(lock(dir)))
   }
 
-  test("an unreadable lease file is treated as stale, not as held forever") {
+  test("a fresh lease with an unreadable payload is HELD, not stale") {
+    // a reader can race the holder between CREATE_NEW and the payload
+    // write and see an empty/garbled file — breaking the lock then would
+    // defeat the single-writer guarantee exactly when two maintainers race
     val dir = tmpIndexDir()
     Files.createDirectories(lock(dir).getParent)
     Files.writeString(lock(dir), "not json at all")
+    val e = intercept[IllegalStateException] {
+      Manifests.withMaintenanceLease(dir) { fail("must not run under a held lease") }
+    }
+    assert(e.getMessage.contains("another maintainer"))
+    assert(Files.exists(lock(dir)), "held lease must be left in place")
+  }
+
+  test("an unreadable lease whose mtime is stale is still broken") {
+    val dir = tmpIndexDir()
+    Files.createDirectories(lock(dir).getParent)
+    Files.writeString(lock(dir), "not json at all")
+    Files.setLastModifiedTime(lock(dir),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Manifests.LeaseStaleMs - 1000L))
     var ran = false
     Manifests.withMaintenanceLease(dir) { ran = true }
     assert(ran)

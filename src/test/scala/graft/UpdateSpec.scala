@@ -107,4 +107,32 @@ class UpdateSpec extends AnyFunSuite {
     assert(once == twice)
     assert(s2.n == 2L)
   }
+
+  test("crash-retry: an update that died before its refresh leaves no duplicates when retried") {
+    val all = Transcripts.synth(spark, 400, turnsPerConv = 4).toDF()
+    val updPred = pmod(hash($"conv_id"), lit(5)) === 0
+    val updates = all.filter(updPred)
+      .withColumn("text", concat(lit("zzfresh replacement text only "), $"text"))
+    assert(updates.count() > 0)
+
+    val refDir = TestSpark.tmpDir("updcrashref")
+    IndexBuilder.build(spark, all.filter(!updPred).unionByName(updates), refDir,
+      IndexBuilder.Config(shards = 4))
+
+    val dir = TestSpark.tmpDir("updcrash")
+    IndexBuilder.build(spark, all, dir, IndexBuilder.Config(shards = 4))
+    // simulate the crashed first attempt: delete + append landed, the
+    // closing refresh did not — replacements are appended-but-uncovered
+    assert(IndexBuilder.deleteByKeys(spark, dir,
+      updates.select($"conv_id", $"turn_idx")) == updates.count())
+    IndexBuilder.append(spark, updates, dir, IndexBuilder.Config(shards = 4))
+    // the retry must net out to exactly one live copy per key (its leading
+    // refresh covers the orphaned appends, making them deletable)
+    IndexBuilder.update(spark, updates, dir, IndexBuilder.Config(shards = 4))
+
+    val sRef = new Searcher(spark, refDir)
+    val sUpd = new Searcher(spark, dir)
+    assert(sUpd.n == sRef.n, "duplicate (conv_id, turn_idx) docs survived the retry")
+    Queries.foreach(q => assertSameScores(sRef, sUpd, q))
+  }
 }
