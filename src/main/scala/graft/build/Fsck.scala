@@ -150,6 +150,25 @@ object Fsck {
           s"df table unreadable at gen $gen: ${e.getMessage}")
     }
 
+    // doc-meta sidecar (when present): serving joins it INNER, so every
+    // analyzed doc must have exactly one sidecar row — a missing row
+    // silently drops that doc from scoring aggregations
+    val metaDir = s"$indexDir/docmeta"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaDir))) try {
+      val dm = graft.sources.TableIO.read(spark, metaDir)
+      val dmCnt = dm.count()
+      val aCnt = analyzed.count()
+      val orphans = analyzed.select(col("docId"))
+        .join(dm.select(col("docId")), Seq("docId"), "left_anti").count()
+      issues += Issue("docmeta", dmCnt == aCnt && orphans == 0L,
+        s"docmeta rows=$dmCnt, analyzed rows=$aCnt, analyzed docs missing " +
+          s"from sidecar=$orphans")
+    } catch {
+      case e: Exception =>
+        issues += Issue("docmeta", ok = false,
+          s"docmeta sidecar unreadable: ${e.getMessage}")
+    }
+
     issues.toSeq
   }
 }

@@ -62,7 +62,7 @@ final case class AnalyzedRow(
 object IndexBuilder {
 
   /** Bump when the on-disk index layout changes — consumers key caches on it. */
-  val FormatVersion = 5
+  val FormatVersion = 6
 
   final case class Config(
       shards: Int = 32,
@@ -95,7 +95,17 @@ object IndexBuilder {
         * `<col>=<value>` per column (null values skipped),
         * tf=1, excluded from the BM25 doc length. Queries filter on them
         * via Searcher.topKFiltered. */
-      facetCols: Seq[String] = Nil)
+      facetCols: Seq[String] = Nil,
+      /** Input columns materialized at BUILD time into a doc-meta sidecar
+        * `docmeta/` = (shard, docId, conv_id, turn_idx, <metaCols…>) —
+        * Lucene's docvalues re-expressed: static per-doc scoring features
+        * and group/sort columns that scoring aggregations (function_score,
+        * top_hits, collapse, recency) need at QUERY time. Serving joins
+        * the sidecar, never the source table (which at 100 TB may not be
+        * co-located with the index). [[append]] extends the sidecar and
+        * requires these columns on its input once the sidecar exists;
+        * [[merge]] does not carry sidecars (rebuild with metaCols set). */
+      metaCols: Seq[String] = Nil)
 
   /** Every mutating op runs under the single-writer maintenance lease
     * ([[Manifests.withMaintenanceLease]]) AND the shared build conf. */
@@ -123,6 +133,27 @@ object IndexBuilder {
     val rows = analyzedRows(input, shards, parts, pkeys, cfg.language,
       cfg.normalizer, hwm, cfg.facetCols)
     graft.sources.TableIO.write(rows, s"$indexDir/analyzed", mode = "append")
+    // Doc-meta sidecar upkeep: once a sidecar exists, every appended doc
+    // must land in it too (serving joins it INNER — a stale sidecar would
+    // silently drop appended docs from scoring aggregations), so the
+    // append input MUST carry the sidecar's columns. The newly landed
+    // slice is re-read with the same above-old-HWM predicate the advance
+    // below uses.
+    val metaDir = s"$indexDir/docmeta"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaDir))) {
+      val mcols = graft.sources.TableIO.read(spark, metaDir).schema.fieldNames
+        .filterNot(Set("shard", "docId", "conv_id", "turn_idx")).toSeq
+      val missing = mcols.filterNot(input.columns.contains)
+      require(missing.isEmpty,
+        s"index $indexDir has a doc-meta sidecar with columns " +
+          s"${mcols.mkString(",")}; append input lacks " +
+          s"${missing.mkString(",")} — the sidecar would go stale")
+      val landed = graft.sources.TableIO.read(spark, s"$indexDir/analyzed")
+        .where(expr(s"docId & ${Ids.RankMask}") >=
+          element_at(lit(hwm.clone()), col("shard") + 1))
+      writeDocMeta(spark, input, landed, indexDir, parts, pkeys, mcols,
+        mode = "append")
+    }
     // Advance HWMs from the ranks that actually LANDED (pruned shard+docId
     // scan of the analyzed table above the old HWMs) — never by re-scanning
     // the input, which a non-deterministic source could replay differently.
@@ -722,7 +753,38 @@ object IndexBuilder {
       graft.sources.TableIO.read(spark, s"$indexDir/analyzed").count()
     }
 
+    // ---- stage: docmeta (docvalues sidecar) ------------------------------
+    if (cfg.metaCols.nonEmpty) stage(spark, indexDir, "docmeta") { () =>
+      writeDocMeta(spark, input,
+        graft.sources.TableIO.read(spark, s"$indexDir/analyzed"),
+        indexDir, parts, pkeys, cfg.metaCols, mode = "overwrite")
+      graft.sources.TableIO.read(spark, s"$indexDir/docmeta").count()
+    }
+
     buildDerived(spark, indexDir, cfg)
+  }
+
+  /** Materialize doc-meta sidecar rows for `analyzedSlice`: its (conv_id,
+    * turn_idx) keys joined back to `input`'s metaCols, landed shard-
+    * placed and docId-sorted like every other index table. ONE narrow
+    * co-shuffle of two pruned projections at BUILD time — the docvalues
+    * materialization cost that buys every scoring aggregation a
+    * source-table-free plan at query time. */
+  private def writeDocMeta(spark: SparkSession, input: DataFrame,
+                           analyzedSlice: DataFrame, indexDir: String,
+                           parts: Int, pkeys: Array[Int],
+                           metaCols: Seq[String], mode: String): Unit = {
+    val keys = analyzedSlice.select(
+      col("shard"), col("docId"), col("conv_id"), col("turn_idx"))
+    val meta = input.select(col("conv_id").cast("string").as("conv_id") +:
+      col("turn_idx").cast("int").as("turn_idx") +: metaCols.map(col): _*)
+    val rows = keys.join(meta, Seq("conv_id", "turn_idx"))
+      .withColumn("pkey", element_at(lit(pkeys), col("shard") + 1))
+      .repartition(parts, col("pkey"))
+      .sortWithinPartitions("shard", "docId")
+      .select(Seq(col("shard"), col("docId"), col("conv_id"),
+        col("turn_idx")) ++ metaCols.map(col): _*)
+    graft.sources.TableIO.write(rows, s"$indexDir/docmeta", mode = mode)
   }
 
   /** The derived tables of a standing analyzed/ table — stats (+ gen-0

@@ -650,16 +650,29 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * so one exploded row per (doc, term)); the per-term foreground counts
     * (≤ foreground vocab, small) then broadcast-join the global df table.
     * Nothing here scans the corpus: the two big inputs are touched only
-    * through the pruned kernel scan and a column-pruned df read. A
-    * non-selective foreground (≫ broadcast threshold) should keep the
-    * foreground distributed and swap the broadcast for a shuffle join. */
-  def significantTerms(query: String, topN: Int): DataFrame = {
-    val ids = matchAllDocs(query).select($"docId").as[Long].collect()
-    val fcnt = ids.length.toLong
-    if (fcnt == 0L) return Seq.empty[(String, Long, Long, Double)]
+    * through the pruned kernel scan and a column-pruned df read.
+    *
+    * GUARDED against a non-selective foreground: a bounded `take` probes
+    * the match-set size first (never an unbounded collect). At or below
+    * `fgBroadcastMax` the probe IS the complete foreground and broadcasts
+    * as before; above it the foreground stays DISTRIBUTED — a left-semi
+    * shuffle join against the analyzed table — so a broad query costs
+    * extra kernel passes (each ∝ query-term postings), never driver
+    * memory. Both paths produce identical rows (spec-pinned). */
+  def significantTerms(query: String, topN: Int,
+                       fgBroadcastMax: Int = 100000): DataFrame = {
+    val fg = matchAllDocs(query).select($"docId")
+    val probe = fg.as[Long].take(fgBroadcastMax + 1)
+    if (probe.isEmpty) return Seq.empty[(String, Long, Long, Double)]
       .toDF("term", "fg_df", "df", "score")
     val analyzed = covered(graft.sources.TableIO.read(spark, s"$indexDir/analyzed"))
-    val fgTerms = analyzed.join(broadcast(ids.toSeq.toDF("docId")), Seq("docId"))
+    val (fcnt, fgRows) =
+      if (probe.length <= fgBroadcastMax)
+        (probe.length.toLong,
+          analyzed.join(broadcast(probe.toSeq.toDF("docId")), Seq("docId")))
+      else
+        (fg.count(), analyzed.join(fg, Seq("docId"), "left_semi"))
+    val fgTerms = fgRows
       .select(explode($"terms").as("term"))
       .groupBy($"term").agg(count(lit(1)).as("fg_df"))
     val nn = n
@@ -1107,6 +1120,56 @@ final class Searcher(spark: SparkSession, indexDir: String,
   private def emptyBatchHits(): DataFrame =
     Seq.empty[(String, String, Int, Long, Double)]
       .toDF("qid", "conv_id", "turn_idx", "docId", "score")
+
+  /** Every doc with ≥1 analyzed query term, as (docId, score) with the
+    * OR-mode BM25 score — [[scoreAll]]'s positive-score set served from
+    * the INDEX: a pruned postings scan + the streaming [[Wand.matchAny]]
+    * kernel, cost ∝ the union of the query terms' posting lists, never an
+    * analyzed-table scan. The backbone of scoring aggregations
+    * (function_score, top_hits, collapse, recency rerank): they need every
+    * match's score, not a top-k heap, and they resolve metadata against
+    * the doc-meta sidecar ([[docMetaSidecar]]) — the whole plan touches
+    * postings + docmeta only (PlanSpec pins this). */
+  def scoreMatches(query: String): DataFrame = {
+    val qtf = analyzeQuery(query)
+    if (qtf.isEmpty) return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val dfm = dfSlice(qtf.keys.toSeq)
+    if (dfm.isEmpty) return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val terms = dfm.keys.toSeq.sorted
+    val postings = postingsDF.where(col("term").isin(terms: _*)).as[Posting]
+    // sorted: deterministic float-accumulation order at any parallelism
+    val qterms = qtf.toSeq.sortBy(_._1)
+    val p = params
+    val (nn, ad) = (n, avgdl)
+    val tb = tombBc
+    def kernel(group: Seq[Posting]): Iterator[(Long, Double)] = {
+      val byTerm = group.groupBy(_.term).map { case (t, ps) =>
+        t -> (if (ps.lengthCompare(1) == 0) ps.head
+              else graft.codec.Postings.merge(ps))
+      }
+      val inputs = qterms.collect {
+        case (t, f) if byTerm.contains(t) && dfm.contains(t) =>
+          Wand.TermInput(byTerm(t), f, dfm(t))
+      }
+      Wand.matchAny(inputs, nn, ad, p,
+          excludes = tb.value.get(group.head.shard).toSeq)
+        .map(s => (s.docId, s.score))
+    }
+    perShardScores(postings)(kernel)
+  }
+
+  /** Build-time doc-meta sidecar (Lucene docvalues): (shard, docId,
+    * conv_id, turn_idx, <metaCols…>) materialized by IndexBuilder when
+    * `Config.metaCols` is set, so scoring aggregations join static
+    * per-doc features/group columns WITHOUT reaching back to the source
+    * table (which at 100 TB may not even be co-located with the index).
+    * None when the index was built without one. */
+  lazy val docMetaSidecar: Option[DataFrame] = {
+    val p = s"$indexDir/docmeta"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      Some(maybeCache(graft.sources.TableIO.read(spark, p)))
+    else None
+  }
 
   /** Score every doc with ≥1 overlapping term (relational path); when
     * `keepZeros`, emit every doc (zero-score included) like the

@@ -518,6 +518,73 @@ object Wand {
     out.toArray
   }
 
+  /** Every doc (ascending docId) containing AT LEAST ONE live query term
+    * in this shard, with its full OR-mode BM25 score — the match-set
+    * enumerator behind scoring AGGREGATIONS (function_score, top_hits,
+    * collapse, recency rerank), which need every matching doc's score but
+    * never the corpus: cost ∝ the UNION of the query terms' posting
+    * lists. Same per-term contribution formula as [[topK]] (reference
+    * O5 semantics, BM25Reranker.cs:83-111 restricted to score > 0), no
+    * heap cut. STREAMING: O(|terms|) cursor state, nothing buffered —
+    * a non-selective query's match set never materializes in kernel
+    * memory. */
+  def matchAny(terms: Seq[TermInput], n: Long, avgdl: Double, p: Bm25.Params,
+               excludes: Seq[Posting] = Nil): Iterator[Scored] = {
+    val live = terms.filter(t => t.posting.count > 0 && t.globalDf > 0)
+    if (live.isEmpty || n == 0 || avgdl == 0.0) return Iterator.empty
+    val ex = new Excl(excludes)
+    val m = live.size
+    val cursors = new Array[Postings.Cursor](m)
+    val idfQtf = new Array[Double](m)
+    var i = 0
+    live.foreach { t =>
+      cursors(i) = new Postings.Cursor(t.posting)
+      cursors(i).next()
+      idfQtf(i) = Bm25.idf(n, t.globalDf) * Bm25.qtfSat(t.qtf, p) * t.boost
+      i += 1
+    }
+    new scala.collection.AbstractIterator[Scored] {
+      private var outDoc = 0L
+      private var outScore = 0.0
+      private var ready = false
+      private var done = false
+      private def advance(): Unit = {
+        while (!ready && !done) {
+          var minDoc = Long.MaxValue
+          var j = 0
+          while (j < m) {
+            val c = cursors(j)
+            if (!c.exhausted && c.docId < minDoc) minDoc = c.docId
+            j += 1
+          }
+          if (minDoc == Long.MaxValue) { done = true; return }
+          // terms arrive sorted from the caller, so the accumulation
+          // order — and therefore the float sum — is deterministic at
+          // any parallelism (N ≡ 4N output, the north-rule invariant)
+          var s = 0.0
+          var j2 = 0
+          while (j2 < m) {
+            val c = cursors(j2)
+            if (!c.exhausted && c.docId == minDoc) {
+              s += idfQtf(j2) * Bm25.tfSat(c.tf, c.dl, avgdl, p)
+              c.next()
+            }
+            j2 += 1
+          }
+          if (s > 0.0 && !ex.excluded(minDoc)) {
+            outDoc = minDoc; outScore = s; ready = true
+          }
+        }
+      }
+      def hasNext: Boolean = { if (!ready) advance(); ready }
+      def next(): Scored = {
+        if (!hasNext) throw new NoSuchElementException("matchAny exhausted")
+        ready = false
+        Scored(outDoc, outScore)
+      }
+    }
+  }
+
   /** Growable two-level bitmap over per-shard document RANKS (dense by
     * construction — Ids.rankOf). Pages of 2^26 bits (8 MB) allocate lazily,
     * so memory tracks the highest rank actually touched, and the long page

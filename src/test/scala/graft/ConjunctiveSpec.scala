@@ -5,6 +5,7 @@ import graft.build.IndexBuilder
 import graft.query.{Bm25, Searcher}
 import graft.ref.OracleBm25
 import graft.sources.Transcripts
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
@@ -127,6 +128,10 @@ class ConjunctiveSpec extends AnyFunSuite {
       (4L, "alphax beta alpha betaz", "en"), // substring tokens must not match
       (5L, "Alpha beta!", "en")          // case/punct-insensitive tokenization
     ).toDF("doc_id", "text", "lang")
+      // the driver-surface index build materializes these into the
+      // doc-meta sidecar, so any documents table needs them
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val res = graft.ops.DocQueries.phraseTopK(spark, dir, "alpha beta", 10)
       .select("doc_id").as[Long].collect().toSet

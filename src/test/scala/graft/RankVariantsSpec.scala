@@ -304,6 +304,48 @@ class RankVariantsSpec extends AnyFunSuite {
     assert(DocQueries.phraseSuggest(spark, Sf, "??", 2, 5, 10).count() == 0L)
   }
 
+  test("phraseSuggest: ONE df-table scan serves every query position") {
+    import graft.ops.DocQueries
+    // the single-scan shape makes the Spark-side work INDEPENDENT of the
+    // position count (one candidates collect + the final cut); the old
+    // per-position loop added a df-table scan per token. AQE splits one
+    // query into several jobs, so the pin compares 1-position vs
+    // 4-position job counts rather than an absolute number.
+    val sc = spark.sparkContext
+    def jobsFor(group: String, q: String): Int = {
+      sc.setJobGroup(group, "phraseSuggest job-count pin")
+      try DocQueries.phraseSuggest(spark, Sf, q, 2, 3, 10).collect()
+      finally sc.clearJobGroup()
+      Thread.sleep(2000) // status store is fed by the async listener bus
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    jobsFor("ps-warm", "spak") // warm the index + caches
+    val j1 = jobsFor("ps-one", "spak")
+    val j4 = jobsFor("ps-four", "spak sort merg windaw")
+    assert(j1 > 0 && j4 > 0, s"no jobs recorded ($j1, $j4)")
+    assert(j4 <= j1 + 1,
+      s"$j4 jobs for 4 positions vs $j1 for one — per-position scans are back")
+  }
+
+  test("phraseSuggest: beam cap keeps the expansion bounded and the top-k exact") {
+    import graft.ops.DocQueries
+    // k above the cap is rejected loudly, never silently truncated
+    intercept[IllegalArgumentException] {
+      DocQueries.phraseSuggest(spark, Sf, "spak sort", 2, 5,
+        DocQueries.PhraseSuggestCap + 1)
+    }
+    // widening perTerm (bigger cross product, still under the cap) must
+    // not change the top-k prefix: the beam is exact for k ≤ cap
+    val narrow = DocQueries.phraseSuggest(spark, Sf, "spak sort", 2, 5, 5)
+      .as[(String, Long)].collect().toSeq
+    val wide = DocQueries.phraseSuggest(spark, Sf, "spak sort", 2, 12, 5)
+      .as[(String, Long)].collect().toSeq
+    assert(narrow.nonEmpty && wide.nonEmpty)
+    // every phrase in the narrow top-5 appears in the wide ranking's
+    // candidate universe; the wide top-5 dominates by construction
+    assert(wide.map(_._2).zip(narrow.map(_._2)).forall { case (w, n) => w >= n })
+  }
+
   // ---- legacy index compatibility -----------------------------------------
 
   test("legacy stats without sumlen: Searcher opens, Dirichlet reconstructs") {
@@ -369,5 +411,19 @@ class RankVariantsSpec extends AnyFunSuite {
 
   test("significantTerms: no-match foreground is empty") {
     assert(s.significantTerms("zzznope", 10).count() == 0L)
+  }
+
+  test("significantTerms: distributed-foreground path ≡ broadcast path") {
+    // fgBroadcastMax = 1 forces every real foreground onto the distributed
+    // left-semi path; output must be row-identical to the default
+    // broadcast path (the guard changes the plan, never the answer)
+    for (q <- Seq("learning retrieval", "streaming")) {
+      val bcast = s.significantTerms(q, 15)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      val dist = s.significantTerms(q, 15, fgBroadcastMax = 1)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(bcast.nonEmpty)
+      assert(dist == bcast, s"paths diverge for '$q'")
+    }
   }
 }
