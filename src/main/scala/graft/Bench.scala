@@ -472,11 +472,18 @@ object Bench {
       "data filter merge", "slow batch value")
     val batch = (0 until 100).map(i => s"q$i" -> batchQs(i % batchQs.size)).toMap
     searcher.topKBatch(batch.take(4), 10).collect()
-    val qps = (1 to 2).map { _ =>
+    // best-of-3 with a bracketing probe: the single-shot batch number is
+    // window-sensitive on a shared host (round 4 saw 113 vs 453 q/s pure
+    // noise); contention only ever SLOWS a pass, so the max is the
+    // honest capability figure and the probe reading says how quiet the
+    // window was
+    val qpsRuns = (1 to 3).map { _ =>
       val tb0 = System.nanoTime()
       searcher.topKBatch(batch, 10).collect()
       batch.size / ((System.nanoTime() - tb0) / 1e9)
-    }.max
+    }
+    val qps = qpsRuns.max
+    val qpsProbeMem = graft.cli.HostProbe.measure()._2
     spark.stop()
 
     val qs = results.map { case (k, v, ok) =>
@@ -485,7 +492,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     def line(partial: Boolean, indexingJson: String): String =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","partial":$partial,"queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","query_p95_ms":$p95%.1f,"query_p50_ms":$p50%.1f,"query_lat_probe_mem_x":$latProbeMem%.2f,"batch_qps":$qps%.1f,"indexing":$indexingJson}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","partial":$partial,"queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","query_p95_ms":$p95%.1f,"query_p50_ms":$p50%.1f,"query_lat_probe_mem_x":$latProbeMem%.2f,"batch_qps":$qps%.1f,"batch_qps_best3":$qps%.1f,"batch_qps_runs":${qpsRuns.map(r => f"$r%.1f").mkString("[", ",", "]")},"batch_qps_probe_mem_x":$qpsProbeMem%.2f,"indexing":$indexingJson}"""
 
     // EARLY EMISSION (round-3 lesson): the query phase is finished — put
     // it on stdout and on disk NOW, so the scaling phase can only ever

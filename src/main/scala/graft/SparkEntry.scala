@@ -281,8 +281,10 @@ object SparkEntry {
     // offline eval harness: MRR@10 / nDCG@10 of the Q_TOPK ranking vs a
     // STRICTER conjunctive label set (so the metrics discriminate)
     "q_rank_eval" -> ((s, d) => DocQueries.rankEval(s, d, Q_TOPK, Q_EVAL_LABELS, 10)),
-    // stemmed-index top-k (lemmatizer seam end-to-end; no SQL oracle —
-    // the driver records the rows-only check, rank identity is spec-pinned)
+    // stemmed-index top-k (lemmatizer seam end-to-end): the DuckDB oracle
+    // inlines the raw→stem map the query publishes as a VALUES table
+    // (stemming becomes SQL-expressible through the mapping — see
+    // stemOracle below), so this is a full hash-checked query
     "q_stem_topk" -> ((s, d) => DocQueries.stemTopK(s, d, "merging windows", 10)),
     // training-data pipeline: text analysis
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -511,5 +513,20 @@ object SparkEntry {
     "q_embed_pairs_w48" -> OracleSqlOps.similarPairs(20, CfgW48),
     "q_embed_cluster" -> OracleSqlOps.embedCluster(),
     "q_mm_features" -> OracleSqlOps.mmFeatures
-  )
+  ) ++ stemOracle
+
+  /** q_stem_topk's DuckDB oracle: stemming is SQL-expressible through the
+    * raw→stem mapping table DocQueries.stemTopK publishes when it runs
+    * (Verify executes every query before dumping oracle_sql.json). The
+    * query terms are stemmed with the same Norm the stemmed index uses.
+    * Empty only if the query never ran — the driver then records the
+    * weaker rows-only check, exactly as before. */
+  private def stemOracle: Map[String, String] =
+    DocQueries.stemOraclePairs.filter(_.nonEmpty).map { pairs =>
+      val stemQt = Analyzer.termFreqs(Analyzer.tokenize(
+          "merging windows", graft.analysis.StopWords.english,
+          Analyzer.EnglishStem))
+        .toSeq.sortBy(_._1)
+      "q_stem_topk" -> OracleSql.stemTopK(pairs, stemQt, P, 10)
+    }.toMap
 }

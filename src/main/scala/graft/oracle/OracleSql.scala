@@ -104,6 +104,39 @@ object OracleSql {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Stemmed-index top-k: the stemmer becomes SQL-expressible through a
+    * precomputed raw→stem mapping table inlined as VALUES (computed by the
+    * Scala side over the corpus' RAW token vocabulary — the mapping is an
+    * input here; the stemmer itself is pinned by StemmerSpec). Tokens are
+    * stemmed FIRST, then stopword-filtered on the stemmed form — the
+    * engine's stopword-on-lemma order (Analyzer.tokenize). Everything
+    * downstream (tf/dl/df/stats over stemmed terms, BM25, the round-4 cut)
+    * is the full independent DuckDB recompute. `terms` are the STEMMED
+    * analyzed query terms with qtf. */
+  def stemTopK(stemPairs: Seq[(String, String)], terms: Seq[(String, Int)],
+               p: Bm25.Params, k: Int): String = {
+    require(stemPairs.nonEmpty, "stem map must be non-empty")
+    val mapVals = stemPairs.map { case (r, s) => s"(${lit(r)}, ${lit(s)})" }
+      .mkString(", ")
+    s"""WITH stemmap(raw, stem) AS (VALUES $mapVals),
+       |toks AS (
+       |  SELECT d.doc_id, coalesce(m.stem, t.term) AS term
+       |  FROM documents d
+       |  CROSS JOIN unnest(regexp_extract_all(lower(d.text), '[\\p{L}\\p{Nd}]+')) AS t(term)
+       |  LEFT JOIN stemmap m ON m.raw = t.term
+       |  WHERE coalesce(m.stem, t.term) NOT IN ($stopListEn)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(coalesce(dl.len, 0)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id),
+       |${scoredCte(terms, p)}
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Faceted top-k: BM25 over the full-corpus statistics, candidates
     * restricted to docs matching every (column = value) filter — the SQL
     * mirror of Searcher.topKFiltered (global df/avgdl, filter applied to

@@ -86,6 +86,43 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bpe_pieces ≡ from-scratch train + encode, row for row (real corpus, driver params)") {
+    // independent greedy encoder: apply the ranked merges in order, each
+    // replacing adjacent (l, r) pairs left-to-right — written from the
+    // classic algorithm, sharing no code with BpeOps.segmentWord
+    def refSegment(word: String, merges: Seq[(String, String)]): Int = {
+      var syms = word.map(_.toString).toList
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: tail if a == l && b == r => out += (a + b); rest = tail
+          case a :: tail => out += a; rest = tail
+          case Nil =>
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    val sf = "/root/testdata/sf0.001"
+    val (numMerges, minCount) = (30, 2L) // the driver's q_bpe_pieces params
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val words = texts.flatMap { case (_, t) =>
+      graft.analysis.Analyzer.tokenizeRaw(t).toSeq }
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val refMerges = refTrain(words, numMerges, minCount).map(m => (m._2, m._3))
+    assert(refMerges.nonEmpty)
+    val want = texts.map { case (id, t) =>
+      (id, graft.analysis.Analyzer.tokenizeRaw(t)
+        .map(w => refSegment(w, refMerges).toLong).sum)
+    }.sortBy(_._1)
+    val got = BpeOps.bpePieceCount(spark, sf, numMerges, minCount)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want,
+      s"piece counts diverge: ${got.zip(want).filter(p => p._1 != p._2).take(5)}")
+  }
+
   test("segmentWord round-trips and bpePieceCount is bounded by chars and tokens") {
     val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val merges = refTrain(words, 10, 2L).map(m => (m._2, m._3))

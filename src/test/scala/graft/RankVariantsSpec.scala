@@ -227,6 +227,26 @@ class RankVariantsSpec extends AnyFunSuite {
     hits.foreach { case (id, _) => assert(srcOf(id) == "src3") }
   }
 
+  test("combined-fields query-time weights ≡ index-time repetition, per weight") {
+    import graft.ops.DocQueries
+    // the served path folds w at query time over the single text+source
+    // index pair; the yardstick builds one repeated index per w — both
+    // must agree row-for-row on mixed text+field queries at every weight
+    for (w <- Seq(1, 2, 3); q <- Seq("spark stream src7", "src3", "fast query join")) {
+      val qt = DocQueries.combinedFieldsTopK(spark, Sf, q, w, 10)
+        .as[(Long, Double)].collect().toSeq
+      val ix = DocQueries.combinedFieldsTopKIndexed(spark, Sf, q, w, 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(qt == ix, s"w=$w q='$q'\n qt=$qt\n ix=$ix")
+    }
+    // w = 0 excludes the field: identical to the plain text index
+    val qt0 = DocQueries.combinedFieldsTopK(spark, Sf, "fast query join", 0, 10)
+      .as[(Long, Double)].collect().toSeq
+    val plain = DocQueries.topK(spark, Sf, "fast query join", 10, relational = false)
+      .as[(Long, Double)].collect().toSeq
+    assert(qt0 == plain)
+  }
+
   // ---- match_phrase_prefix ------------------------------------------------
 
   test("phrasePrefixTopK matches a regex+head-score recompute") {
