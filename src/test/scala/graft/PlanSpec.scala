@@ -317,13 +317,10 @@ class PlanSpec extends AnyFunSuite {
     "(?m)^.*Exchange hashpartitioning.*$".r
       .findAllIn(df.queryExecution.executedPlan.toString).toList
 
-  test("convTopK adds exactly ONE shuffle (conv-keyed) over the scored stream") {
+  test("convTopK: conv-keyed shuffle over the kernel match set, bounded final cut") {
     val sf = "/root/testdata/sf0.001"
-    val base = hashExchanges(graft.ops.DocQueries.scoreAll(spark, sf, "fast query join"))
     val df = graft.ops.DocQueries.convTopK(spark, sf, "fast query join", 3, 5)
     val got = hashExchanges(df)
-    assert(got.length == base.length + 1,
-      s"want ${base.length}+1 hash Exchanges, got: $got")
     assert(got.exists(_.contains("conv_id")), s"no conv-keyed Exchange in: $got")
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "final cut must be a bounded heap")
@@ -421,7 +418,9 @@ class PlanSpec extends AnyFunSuite {
       "funcScore" -> graft.ops.DocQueries.funcScoreTopK(spark, sf, "fast query join", 10),
       "topHits" -> graft.ops.DocQueries.topHitsByGroup(spark, sf, "fast query join", "source", 2, 5),
       "collapse" -> graft.ops.DocQueries.collapseTopK(spark, sf, "fast query join", "source", 5),
-      "timeTopK" -> graft.ops.DocQueries.timeTopK(spark, sf, "fast query join", 10))
+      "timeTopK" -> graft.ops.DocQueries.timeTopK(spark, sf, "fast query join", 10),
+      "groupTopK" -> graft.ops.DocQueries.groupTopK(spark, sf, "fast query join", "source", 5),
+      "convTopK" -> graft.ops.DocQueries.convTopK(spark, sf, "fast query join", 3, 5))
     for ((name, df) <- plans) {
       val nodes = allNodes(df.queryExecution.executedPlan)
       val paths = nodes.collect { case f: FileSourceScanExec =>
