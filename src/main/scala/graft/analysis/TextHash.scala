@@ -54,6 +54,35 @@ object TextHash extends Serializable {
     sig
   }
 
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Seeded 64-bit hash of the token window tokens(from until from+n):
+    * per-char splitmix chaining with a separator step between tokens (so
+    * ["ab","c"] never aliases ["a","bc"]). Two calls with independent
+    * seeds give a 128-bit dedup key. Built for the exact-substring dedup
+    * explode, where hashing the window DIRECTLY (one tight loop, no
+    * slice/concat allocation, no interpreted higher-order expression)
+    * is the per-task hot path. */
+  def windowHash(tokens: Array[String], from: Int, n: Int, seed: Long): Long = {
+    var h = mix64(seed + 0x9E3779B97F4A7C15L)
+    var i = from
+    val end = from + n
+    while (i < end) {
+      val t = tokens(i)
+      var j = 0
+      while (j < t.length) { h = mix64(h ^ t.charAt(j).toLong); j += 1 }
+      h = mix64(h ^ 0x1FL) // token separator
+      i += 1
+    }
+    h
+  }
+
   /** Word w-shingles of a token array ("a b c" style, space-joined). */
   def shingles(tokens: Array[String], w: Int = 3): Array[String] = {
     if (tokens.length < w) return Array.empty

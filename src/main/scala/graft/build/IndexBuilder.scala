@@ -62,7 +62,7 @@ final case class AnalyzedRow(
 object IndexBuilder {
 
   /** Bump when the on-disk index layout changes — consumers key caches on it. */
-  val FormatVersion = 6
+  val FormatVersion = 7
 
   final case class Config(
       shards: Int = 32,
@@ -142,7 +142,7 @@ object IndexBuilder {
     val metaDir = s"$indexDir/docmeta"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaDir))) {
       val mcols = graft.sources.TableIO.read(spark, metaDir).schema.fieldNames
-        .filterNot(Set("shard", "docId", "conv_id", "turn_idx")).toSeq
+        .filterNot(Set("shard", "docId", "conv_id", "turn_idx", "len")).toSeq
       val missing = mcols.filterNot(input.columns.contains)
       require(missing.isEmpty,
         s"index $indexDir has a doc-meta sidecar with columns " +
@@ -774,8 +774,12 @@ object IndexBuilder {
                            analyzedSlice: DataFrame, indexDir: String,
                            parts: Int, pkeys: Array[Int],
                            metaCols: Seq[String], mode: String): Unit = {
+    // `len` (analyzed doc length) rides along from the analyzed slice: it
+    // is THE per-doc scoring statistic (BM25 normalization, BM25F field
+    // lengths), so the sidecar carries it natively — query paths that need
+    // lengths read docmeta instead of re-scanning analyzed/.
     val keys = analyzedSlice.select(
-      col("shard"), col("docId"), col("conv_id"), col("turn_idx"))
+      col("shard"), col("docId"), col("conv_id"), col("turn_idx"), col("len"))
     val meta = input.select(col("conv_id").cast("string").as("conv_id") +:
       col("turn_idx").cast("int").as("turn_idx") +: metaCols.map(col): _*)
     val rows = keys.join(meta, Seq("conv_id", "turn_idx"))
@@ -783,7 +787,7 @@ object IndexBuilder {
       .repartition(parts, col("pkey"))
       .sortWithinPartitions("shard", "docId")
       .select(Seq(col("shard"), col("docId"), col("conv_id"),
-        col("turn_idx")) ++ metaCols.map(col): _*)
+        col("turn_idx"), col("len")) ++ metaCols.map(col): _*)
     graft.sources.TableIO.write(rows, s"$indexDir/docmeta", mode = mode)
   }
 

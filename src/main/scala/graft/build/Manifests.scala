@@ -92,10 +92,37 @@ object Manifests {
             throw new IllegalStateException(
               s"another maintainer holds $p (for ${heldMs / 1000}s); " +
                 "concurrent maintenance would race the generation commit")
-          // stale lease from a crashed maintainer: break and retake; a
-          // concurrent breaker racing this delete+create surfaces as the
-          // same fail-fast contract, never an unhandled crash
-          Files.deleteIfExists(p)
+          // Stale lease from a crashed maintainer: break it by ATOMIC_MOVE
+          // of the lock file aside — of N concurrent breakers exactly ONE
+          // move succeeds (the losers see NoSuchFileException), so a
+          // breaker can never delete another breaker's freshly RETAKEN
+          // lock (the old delete-then-CREATE_NEW pair could interleave:
+          // breaker B's delete removed breaker A's new lock and both
+          // CREATE_NEWs succeeded — a double-granted lease).
+          val aside = p.resolveSibling(s".maintenance.lock.broken." +
+            s"${ProcessHandle.current().pid()}.${System.nanoTime()}")
+          val wonBreak =
+            try { Files.move(p, aside, StandardCopyOption.ATOMIC_MOVE); true }
+            catch { case _: java.nio.file.NoSuchFileException => false }
+          if (wonBreak) {
+            // stat→move window guard: if the file we moved is in fact
+            // FRESH — the stale holder released and a new maintainer
+            // acquired between our mtime read and our move — hand it back
+            // and fail fast as held.
+            val movedAgeMs =
+              try System.currentTimeMillis() - Files.getLastModifiedTime(aside).toMillis
+              catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+            if (movedAgeMs <= LeaseStaleMs) {
+              try Files.move(aside, p, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: Throwable => Files.deleteIfExists(aside) }
+              throw new IllegalStateException(
+                s"another maintainer holds $p; " +
+                  "concurrent maintenance would race the generation commit")
+            }
+            Files.deleteIfExists(aside)
+          }
+          // wonBreak or not, the retake itself is the usual exclusive
+          // create: whoever lost any race above fails fast here
           try Files.write(p, payload.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
           catch {
             case _: java.nio.file.FileAlreadyExistsException =>

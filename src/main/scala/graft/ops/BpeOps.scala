@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.analysis.Analyzer
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding merge learning and application — the
@@ -61,23 +61,55 @@ object BpeOps {
                numMerges: Int = 30, minCount: Long = 2L): DataFrame =
     bpeTrainOver(spark.read.parquet(s"$sfDir/documents.parquet"), numMerges, minCount)
 
+  /** UTF-8 byte-order comparison — the tie-break order the SQL form's
+    * `orderBy(l, r)` used (Spark compares strings as UTF-8 bytes). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Round order: count desc, then (left, right) ascending in UTF-8 byte
+    * order — exactly the SQL form's `orderBy(cnt desc, l asc, r asc)`. */
+  private val topOrd: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(y._2, x._2)
+        if (c != 0) c
+        else {
+          val cl = utf8Compare(x._1._1, y._1._1)
+          if (cl != 0) cl else utf8Compare(x._1._2, y._1._2)
+        }
+      }
+    }
+
   private[graft] def bpeTrainOver(source: DataFrame, numMerges: Int,
                                   minCount: Long): DataFrame = {
     val spark = source.sparkSession
     import spark.implicits._
-    // vocabulary as (symbols, weight); lineage cut immediately so merge
-    // rounds never re-read the corpus
-    var vocab: Dataset[(Array[String], Long)] = wordCounts(source)
-      .as[(String, Long)]
+    import org.apache.spark.storage.StorageLevel
+    // Vocabulary as an RDD[(symbols, weight)]. The merge rounds run on the
+    // RDD API deliberately: each round is ONE job of two pipelined stages
+    // (flatMap adjacent pairs → reduceByKey partial-agg → takeOrdered(1))
+    // with none of the per-exchange query-stage materialization AQE adds
+    // to tiny iterative SQL plans — measured 2 jobs/round → 1, the
+    // dominant cost of a numMerges-round training at any vocab size
+    // (guide §1.2: the distributed shape is unchanged — map-side combine,
+    // 1-row driver argmax, exact integer sums, UTF-8 tie order).
+    var vocab = wordCounts(source).as[(String, Long)].rdd
       .map { case (w, n) => (w.toCharArray.map(_.toString), n) }
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevVocab: org.apache.spark.rdd.RDD[(Array[String], Long)] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      // one vocab-sized round: explode adjacent pairs (map-side), count
-      // (partial agg), take the 1-row argmax — UTF-8 tie-break matches the
-      // engine's sort order (Spark compares strings as UTF-8 bytes)
       val top = vocab.flatMap { case (syms, n) =>
           var i = 0
           val out = new scala.collection.mutable.ArrayBuffer[((String, String), Long)](
@@ -85,23 +117,24 @@ object BpeOps {
           while (i < syms.length - 1) { out += (((syms(i), syms(i + 1)), n)); i += 1 }
           out
         }
-        .toDF("p", "n")
-        .groupBy(col("p._1").as("l"), col("p._2").as("r"))
-        .agg(sum("n").as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(topOrd)
+      // the argmax job materialized `vocab`'s persist — its parent (the
+      // previous round's vocab) can now be released
+      if (prevVocab != null) { prevVocab.unpersist(false); prevVocab = null }
       top.headOption match {
-        case Some((l, r, cnt)) if cnt >= minCount =>
+        case Some(((l, r), cnt)) if cnt >= minCount =>
           merges += ((rank, l, r, cnt))
           rank += 1
+          prevVocab = vocab
           vocab = vocab
             .map { case (syms, n) => (applyMerge(syms, l, r), n) }
-            .localCheckpoint(true) // eager: cut the per-round lineage
+            .persist(StorageLevel.MEMORY_AND_DISK)
         case _ => done = true
       }
     }
+    vocab.unpersist(false)
+    if (prevVocab != null) prevVocab.unpersist(false)
     merges.toSeq.toDF("rank", "left", "right", "cnt").orderBy("rank")
   }
 

@@ -121,15 +121,26 @@ object EventOps {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
         col("event_type"))
-    // frontier(k): (user_id, t_k) = earliest completion time of step k
+    // frontier(k): (user_id, t_k) = earliest completion time of step k.
+    // Each frontier is pinned (lazy localCheckpoint, materialized by its
+    // own count) for the duration of the funnel: step k's count and step
+    // k+1's join both read it, and without the pin step k+1's count()
+    // would recompute every earlier step's scan+join chain (k counts =
+    // O(k²) scans). localCheckpoint rather than persist: a persisted
+    // plan's partitioning is pinned pre-AQE (measured 267 tasks for a
+    // users-sized frontier); the checkpointed RDD keeps the AQE-coalesced
+    // layout. Frontiers are users-sized — the bounded state this op is
+    // built around.
     var frontier = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("us").as("t"))
+      .localCheckpoint(false)
     var rows = List((1, steps.head, frontier.count()))
     for ((s, i) <- steps.zipWithIndex.drop(1)) {
       frontier = ev.filter(col("event_type") === s)
         .join(frontier.select(col("user_id"), col("t").as("prev")), "user_id")
         .filter(col("us") > col("prev"))
         .groupBy("user_id").agg(min("us").as("t"))
+        .localCheckpoint(false)
       rows = (i + 1, s, frontier.count()) :: rows
     }
     import spark.implicits._

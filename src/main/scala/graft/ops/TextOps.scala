@@ -585,50 +585,69 @@ object TextOps {
     * the label table itself never does, and each round is one shuffle on
     * the node id (partial-agg min) plus one aggregate. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // The propagation loop runs on the RDD API — same shuffles (per round:
+    // one label join riding the edge partitioning + one node-keyed
+    // partial-agg min), but ONE pipelined job per round (the convergence
+    // sum materializes the round's persisted labels); the SQL form paid an
+    // AQE query-stage job per exchange per round plus a localCheckpoint
+    // materialization (measured 20 jobs / 464 tasks for a pairs-sized
+    // graph). Ids are Longs, min/sum exact — results bit-identical.
     // labels(id) monotonically decreases toward the component min, so the
-    // label SUM strictly decreases on every changing round: one decimal
-    // aggregate per round is a complete convergence test (a join-based
-    // changed-row count was 2 extra jobs/round). Decimal because at
-    // corpus scale sum(doc_id) overflows a Long (1e9 nodes × 1e12 ids).
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0)
+    // label SUM strictly decreases on every changing round: one exact
+    // BigInt aggregate per round is a complete convergence test (BigInt
+    // because at corpus scale sum(doc_id) overflows a Long — 1e9 nodes ×
+    // 1e12 ids). Per-round persists bound lineage (previous round released
+    // once the next materializes); a flaky cluster swaps in reliable
+    // checkpoint(), same seam as the star finder.
+    val pairRdd = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd
+    // EXPLICIT partition count on every wide RDD op: RDD `union` sums its
+    // parents' partitions and `distinct()`/`reduceByKey()` default to
+    // inheriting them, so an unparameterized loop DOUBLES partitions per
+    // round (measured: exponential task counts by round ~10). Width is
+    // SCALE-ADAPTIVE: the pair pipeline's own (AQE-sized) partitioning,
+    // capped by the session's shuffle width — the loop state is
+    // pairs-bounded, so its shuffles should be sized by the pair input,
+    // not a static constant (guide §2.2: fewer, larger partitions).
+    val parts = math.max(1, math.min(pairRdd.getNumPartitions,
+      spark.sessionState.conf.numShufflePartitions))
+    val edges = pairRdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def lblSum(r: RDD[(Long, Long)]): BigInt =
+      r.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
     // round 1 folded into initialization: lbl = min(id, min neighbor) is
     // one aggregate over the edge list, no join
-    var labels = edges
-      .groupBy(col("u").as("id")).agg(min("v").as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("lbl"))
+    var labels = edges.reduceByKey(math.min(_: Long, _: Long), parts)
+      .map { case (id, mn) => (id, math.min(id, mn)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: RDD[(Long, Long)] = null
     var prevSum = lblSum(labels)
     var rounds = 1
     var converged = false
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "connected components did not converge in 64 rounds")
-      // localCheckpoint, not persist: the round plan references `labels`
-      // TWICE (join input + union input), so without cutting lineage the
-      // logical plan DOUBLES per round — exponential Catalyst analysis
-      // by round ~20 (measured on a diameter-20 random graph; clique
-      // unions converge too fast to hit it). Executor-local blocks are
-      // fine here; a flaky cluster swaps in reliable checkpoint().
-      val next = edges
-        .join(labels.select(col("id").as("v"), col("lbl")), "v")
-        .select(col("u").as("id"), col("lbl"))
+      val next = edges.join(labels, parts)
+        .map { case (_, (u, lbl)) => (u, lbl) }
         .union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .reduceByKey(math.min(_: Long, _: Long), parts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val newSum = lblSum(next)
-      converged = newSum.compareTo(prevSum) == 0
+      converged = newSum == prevSum
       prevSum = newSum
+      if (prev != null) prev.unpersist(false)
+      prev = labels
       labels = next
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
-      (col("id") === col("lbl")).as("keep"))
+    edges.unpersist(false)
+    if (prev != null) prev.unpersist(false)
+    labels.toDF("doc_id", "cluster")
+      .withColumn("keep", col("doc_id") === col("cluster"))
   }
 
   /** [[dupClusters]] through the alternating-star component finder — the
@@ -667,57 +686,76 @@ object TextOps {
     connectedComponentsStarRounds(pairs)._1
 
   private[graft] def connectedComponentsStarRounds(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
-    // canonical undirected edge set: (u < v), self-loops dropped
-    def canon(df: DataFrame): DataFrame = df
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    // nodes of the ORIGINAL graph: singletons whose every neighbor folded
-    // away still owe an output row (they are their own cluster root)
-    val nodes = pairs.select(col("a").as("id"))
-      .union(pairs.select(col("b").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Lineage MUST be cut each alternation: persist alone leaves the
-    // logical plan in place, and large∘small + two excepts DOUBLE it per
-    // round — Catalyst analysis goes exponential by round ~8 (measured:
-    // a 301-node chain never finished). localCheckpoint materializes the
-    // round's edges and restarts the plan from a LogicalRDD; on a
-    // long-lived cluster job prefer reliable checkpoint() (node loss
-    // discards executor-local blocks), same one-line seam.
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
-
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("u").as("x"), col("v").as("y"))
-        .union(e.select(col("v").as("x"), col("u").as("y")))
-      val mins = sym.groupBy("x").agg(min("y").as("mn"))
-        .select(col("x"), least(col("x"), col("mn")).as("m"))
-      canon(sym.join(mins, "x").filter(col("y") > col("x"))
-        .select(col("y").as("a"), col("m").as("b")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // The alternations run on the RDD API deliberately: the SHUFFLE SHAPE
+    // is unchanged (per phase: one node-keyed partial-agg min + a join
+    // riding the same partitioning + the canon distinct; per round: ONE
+    // count action, plus one set-difference only when the edge count
+    // repeats), but each action is one pipelined job — the SQL form paid
+    // an AQE query-stage job PER EXCHANGE per action (measured 42 jobs
+    // for a pairs-sized graph; the ids are Longs and min/distinct/count
+    // are engine-exact, so results are bit-identical). Convergence stays
+    // EXACT: both sides are canonical distinct sets, so |next| = |edges|
+    // ∧ next \ edges = ∅ ⟺ next = edges. Lineage is bounded by the
+    // per-round persist (each round's edges pin; the previous round's
+    // released after the next materializes) — the plan the old form had
+    // to localCheckpoint per round is a 2-deep RDD chain here.
+    val pairRdd = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // EXPLICIT partition count on every wide RDD op (union sums parents,
+    // distinct/reduceByKey inherit — an unparameterized loop doubles
+    // partitions per round; measured exponential task counts). Width is
+    // SCALE-ADAPTIVE: the pair pipeline's own (AQE-sized) partitioning,
+    // capped by the session's shuffle width — loop state is pairs-bounded
+    // (guide §2.2: fewer, larger partitions), constant across rounds.
+    val parts = math.max(1, math.min(pairRdd.getNumPartitions,
+      spark.sessionState.conf.numShufflePartitions))
+    def canon(e: RDD[(Long, Long)]): RDD[(Long, Long)] = e
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (u, v) => u != v }.distinct(parts)
+    def largeStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val sym = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val mins = sym.reduceByKey(math.min(_: Long, _: Long), parts)
+        .map { case (x, mn) => (x, math.min(x, mn)) }
+      canon(sym.join(mins, parts).flatMap { case (x, (y, m)) =>
+        if (y > x) Iterator((y, m)) else Iterator.empty })
     }
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
       // orient toward the larger endpoint: x's grouped neighborhood is
       // exactly its smaller neighbors, so m = min(N(x)) < x always
-      val oriented = e.select(col("v").as("x"), col("u").as("y"))
-      val mins = oriented.groupBy("x").agg(min("y").as("m"))
-      canon(oriented.join(mins, "x").select(col("y").as("a"), col("m").as("b"))
-        .union(mins.select(col("x").as("a"), col("m").as("b"))))
+      val oriented = e.map { case (u, v) => (v, u) }
+      val mins = oriented.reduceByKey(math.min(_: Long, _: Long), parts)
+      canon(oriented.join(mins, parts).map { case (x, (y, m)) => (y, m) }
+        .union(mins))
     }
 
-    var edges = cut(canon(pairs.select(col("a"), col("b"))))
+    var edges = canon(pairRdd).persist(StorageLevel.MEMORY_AND_DISK)
+    var cnt = edges.count()
+    var prev: RDD[(Long, Long)] = null
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = cnt == 0L
     while (!converged) {
       rounds += 1
       require(rounds <= 40, "alternating-star components did not converge in 40 rounds")
-      val next = cut(smallStar(largeStar(edges)))
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      val next = smallStar(largeStar(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+      val nextCnt = next.count()
+      converged = nextCnt == cnt && next.subtract(edges, parts).count() == 0L
+      if (prev != null) prev.unpersist(false)
+      prev = edges
       edges = next
+      cnt = nextCnt
     }
     // fixpoint edges are (root=u < member=v) stars; roots and folded-away
-    // singletons label themselves
-    val labels = nodes
-      .join(edges.select(col("v").as("id"), col("u").as("lbl")), Seq("id"), "left_outer")
-      .select(col("id").as("doc_id"), coalesce(col("lbl"), col("id")).as("cluster"))
+    // singletons label themselves. Nodes of the ORIGINAL graph: singletons
+    // whose every neighbor folded away still owe an output row.
+    val nodes = pairRdd.flatMap { case (a, b) => Iterator(a, b) }.distinct(parts)
+    val labels = nodes.map(id => (id, ()))
+      .leftOuterJoin(edges.map { case (u, v) => (v, u) }, parts)
+      .map { case (id, (_, lbl)) => (id, lbl.getOrElse(id)) }
+      .toDF("doc_id", "cluster")
     (labels.withColumn("keep", col("doc_id") === col("cluster")), rounds)
   }
 
@@ -786,27 +824,29 @@ object TextOps {
       cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val shUdf = udf((t: String) => TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct)
     val dsh = source
-      .select(col("doc_id"), explode(shUdf(col("text"))).as("s"))
+      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nd"), explode(col("sh")).as("s"))
     // Candidate doc ids are ≪ corpus, so the corpus-sized exploded-shingle
     // table is SEMI-JOINED down to candidate docs BEFORE anything joins on
     // it — a broadcast semi-join is a map-side filter, so the full dsh
-    // never shuffles, and the per-doc shingle counts aggregate only the
-    // restricted rows. The candidate subtree appears in several branches;
-    // its identical exchanges are computed once (Spark ReuseExchange).
+    // never shuffles. The restricted table feeds BOTH sides of the
+    // intersection join, and the semi-join is map-side (no Exchange for
+    // ReuseExchange to share) — so it is localCheckpoint'd once: ONE
+    // tokenize+shingle pass over the corpus instead of one per consumer
+    // (guide §1.2 — don't recompute what you already paid for; the pinned
+    // rows are candidate-sized).
     val cand0 = minHashCandidates(source, cfg)
-    val dshA = dsh.select(col("doc_id").as("a"), col("s"))
-      .join(broadcast(cand0.select("a").distinct()), Seq("a"), "left_semi")
-    val dshB = dsh.select(col("doc_id").as("b"), col("s"))
-      .join(broadcast(cand0.select("b").distinct()), Seq("b"), "left_semi")
-    val na = dshA.groupBy("a").agg(count(lit(1)).as("na"))
-    val nb = dshB.groupBy("b").agg(count(lit(1)).as("nb"))
-    val cand = cand0
-      .join(broadcast(na), "a")
-      .join(broadcast(nb), "b")
-      .select("a", "b", "na", "nb")
-    broadcast(cand)
-      .join(dshA, "a")
-      .join(dshB, Seq("b", "s"))
+    val candIds = cand0.select(col("a").as("doc_id"))
+      .union(cand0.select(col("b").as("doc_id"))).distinct()
+    // per-doc shingle-set size rides ON the exploded rows (size(sh) before
+    // the explode) instead of a separate count aggregate + two broadcast
+    // joins — two fewer jobs and one fewer pass, same na/nb values
+    val dshC = dsh
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // lazy: the first consumer's job materializes
+    broadcast(cand0)
+      .join(dshC.select(col("doc_id").as("a"), col("nd").as("na"), col("s")), "a")
+      .join(dshC.select(col("doc_id").as("b"), col("nd").as("nb"), col("s")), Seq("b", "s"))
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
   }
 
@@ -881,19 +921,30 @@ object TextOps {
   def substrDupSpans(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
     substrDupSpansOver(docs(spark, sfDir), n)
 
+  /** One fused tokenize + windowed-hash pass per doc: (pos, h1, h2) per
+    * n-token shingle, two independent 64-bit seeds = a 128-bit dedup key.
+    * Replaces md5(concat_ws(0x1F, slice(...))) inside a `transform(...)`
+    * higher-order expression — HOF lambdas evaluate INTERPRETED (no
+    * whole-stage codegen), and md5-of-a-built-string paid a concat
+    * allocation plus ~10× more per-byte hash cost; this tight loop was
+    * measured at a fraction of that task time. The shuffle key also
+    * shrinks from a 32-char hex string to 16 bytes (guide §2.3). 128 bits
+    * keeps corpus-scale collision odds negligible (10^12 shingles →
+    * ~3e-14 expected colliding pairs); keys are internal — the span
+    * output, and the oracle that checks it, never see them. */
+  private def shingleKeysUdf(n: Int) = udf { (t: String) =>
+    val ts = Analyzer.tokenizeRaw(t)
+    if (ts.length < n) Array.empty[(Long, Long, Long)]
+    else Array.tabulate(ts.length - n + 1) { i =>
+      (i.toLong, TextHash.windowHash(ts, i, n, 1L), TextHash.windowHash(ts, i, n, 2L))
+    }
+  }
+
   private[graft] def substrDupSpansOver(source: DataFrame, n: Int): DataFrame = {
-    // shingle key: md5 over tokens joined by 0x1F (unit separator — cannot
-    // appear inside a [letter/digit]+ token, so joins are unambiguous)
     val sh = source
-      .select(col("doc_id"), rawToksUdf(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("ts")) - n),
-        i => struct(
-          i.cast("long").as("pos"),
-          md5(encode(concat_ws("\u001f", slice(col("ts"), i + 1, lit(n))), "UTF-8")).as("key"))
-      )).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.key").as("key"))
+      .select(col("doc_id"), explode(shingleKeysUdf(n)(col("text"))).as("s"))
+      .select(col("doc_id"), col("s._1").as("pos"),
+        struct(col("s._2").as("h1"), col("s._3").as("h2")).as("key"))
     val dupKeys = sh.groupBy("key").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("key")
     val occ = sh.join(dupKeys, Seq("key"), "left_semi")

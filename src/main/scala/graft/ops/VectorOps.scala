@@ -418,12 +418,21 @@ object VectorOps {
     * tie-breaks); only the physical plan differs. The target lookup is a
     * vec_id point read (row-group-pruned; a production service would
     * route it through a key-value lookup alongside the index). */
+  /** Driver-side memo of the materialized centroid/codebook artifacts —
+    * K·Dim (resp. pqM·pqK·pqSub) values, the ANN index's metadata: read
+    * once per built dir like a Searcher's stats row, not once per query. */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+
   def annIvfIndexed(spark: SparkSession, sfDir: String, targetId: Long, k: Int,
                     nprobe: Int,
                     cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val dir = ivfDir(spark, sfDir, cfg)
-    val cents: Array[Array[Long]] = spark.read.parquet(s"$dir/centroids")
-      .orderBy("k").collect().map(_.getSeq[Long](1).toArray)
+    val cents: Array[Array[Long]] = centroidMemo.computeIfAbsent(dir, _ =>
+      spark.read.parquet(s"$dir/centroids")
+        .orderBy("k").collect().map(_.getSeq[Long](1).toArray))
     val vecs = spark.read.parquet(s"$dir/vectors")
     val tRow = vecs.filter(col("vec_id") === targetId).select("e").collect()
     if (tRow.isEmpty) {
@@ -725,9 +734,10 @@ object VectorOps {
                       cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val vdir = ivfDir(spark, sfDir, cfg) // centroids + full vectors (refine)
     val cdir = pqDir(spark, sfDir, cfg) // codebooks + coarse-partitioned codes
-    val cents: Array[Array[Long]] = spark.read.parquet(s"$vdir/centroids")
-      .orderBy("k").collect().map(_.getSeq[Long](1).toArray)
-    val cb: Array[Array[Array[Long]]] = {
+    val cents: Array[Array[Long]] = centroidMemo.computeIfAbsent(vdir, _ =>
+      spark.read.parquet(s"$vdir/centroids")
+        .orderBy("k").collect().map(_.getSeq[Long](1).toArray))
+    val cb: Array[Array[Array[Long]]] = codebookMemo.computeIfAbsent(cdir, _ => {
       val rows = spark.read.parquet(s"$cdir/codebooks")
         .orderBy("m", "k").collect()
       val m0 = rows.iterator.map(_.getAs[Int]("m")).max + 1
@@ -736,7 +746,7 @@ object VectorOps {
       rows.foreach(r => a(r.getAs[Int]("m"))(r.getAs[Int]("k")) =
         r.getSeq[Long](2).toArray)
       a
-    }
+    })
     val vecs = spark.read.parquet(s"$vdir/vectors")
     val tRow = vecs.filter(col("vec_id") === targetId).select("e").collect()
     if (tRow.isEmpty) {

@@ -107,6 +107,18 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * with the broadcast anti-join, layered over the shared cached frame. */
   private lazy val docMetaDF = tombstoneFree(hitMetaDF)
 
+  /** The shared (cached when cacheTables) doc-meta projection — exposed so
+    * the query surface's repeated doc-map reads (candidate resolution,
+    * doc-length views) hit the hot frame instead of re-scanning analyzed/
+    * per query. Same rows as [[Searcher.docMeta]] on an index with no
+    * unrefreshed appends; coverage-filtered like every kernel-hit read. */
+  private[graft] def hitMeta: DataFrame = hitMetaDF
+
+  /** The (cached when cacheTables) base+segment postings table — exposed
+    * for relational consumers that decode pruned posting slices themselves
+    * (combined-fields fold), so they share the searcher's hot frame. */
+  private[graft] def postingsView: DataFrame = postingsDF
+
   private val statsRow = graft.sources.TableIO.read(spark,
     graft.build.IndexBuilder.statsPathAsOf(indexDir, generation)).head()
 

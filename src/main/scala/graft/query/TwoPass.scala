@@ -39,10 +39,14 @@ object TwoPass {
     if (qtf.isEmpty) {
       return analyzed.select(col("docid").as(idCol), lit(0.0).as("score"))
     }
-    // pass 1: global stats
-    val statsRow = analyzed.agg(count(lit(1)).cast("long").as("n"),
-      avg(col("len")).cast("double").as("avgdl")).head()
-    val (n, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    // pass 1: global stats — kept as a 1-ROW FRAME broadcast into the
+    // scoring plan (crossJoin) instead of a driver .head(): the whole
+    // two-pass pipeline then runs as ONE Spark job when the caller acts on
+    // it, with the persisted analyzed pass shared by all three subtrees
+    // (stats, df, score) — two fewer driver round-trips per call, same
+    // arithmetic (the stats values are identical doubles either way)
+    val statsDf = analyzed.agg(count(lit(1)).cast("long").as("n"),
+      avg(col("len")).cast("double").as("avgdl"))
     import spark.implicits._
     val qdf = qtf.toSeq.toDF("term", "qtf")
     val dfTable = analyzed.select(explode(col("terms")).as("term"))
@@ -55,8 +59,9 @@ object TwoPass {
       .select(col("docid"), col("len"), col("tt.terms").as("term"), col("tt.tfs").as("tf"))
       .join(broadcast(qdf), "term")
       .join(broadcast(dfTable), "term")
+      .crossJoin(broadcast(statsDf))
       .withColumn("part",
-        Bm25.scoreCol(col("tf"), col("qtf"), col("df"), col("len"), lit(n), lit(avgdl), params))
+        Bm25.scoreCol(col("tf"), col("qtf"), col("df"), col("len"), col("n"), col("avgdl"), params))
       .groupBy(col("docid"))
       .agg(sum(col("part")).as("score"))
       .select(col("docid").as(idCol), col("score"))
