@@ -75,19 +75,20 @@ object BpeOps {
     x.length - y.length
   }
 
-  /** Round order: count desc, then (left, right) ascending in UTF-8 byte
-    * order — exactly the SQL form's `orderBy(cnt desc, l asc, r asc)`. */
-  private val topOrd: Ordering[((String, String), Long)] =
-    new Ordering[((String, String), Long)] {
-      def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
-        val c = java.lang.Long.compare(y._2, x._2)
-        if (c != 0) c
-        else {
-          val cl = utf8Compare(x._1._1, y._1._1)
-          if (cl != 0) cl else utf8Compare(x._1._2, y._1._2)
-        }
-      }
+/** Greedy left-to-right replacement over int-encoded symbols — the
+    * [[applyMerge]] kernel on ids (ids are bijective with symbol strings,
+    * so id equality IS string equality). */
+  private[graft] def applyMergeInt(syms: Array[Int], l: Int, r: Int,
+                                   to: Int): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += to; i += 2
+      } else { out += syms(i); i += 1 }
     }
+    out.toArray
+  }
 
   private[graft] def bpeTrainOver(source: DataFrame, numMerges: Int,
                                   minCount: Long): DataFrame = {
@@ -98,37 +99,77 @@ object BpeOps {
     // RDD API deliberately: each round is ONE job of two pipelined stages
     // (flatMap adjacent pairs → reduceByKey partial-agg → takeOrdered(1))
     // with none of the per-exchange query-stage materialization AQE adds
-    // to tiny iterative SQL plans — measured 2 jobs/round → 1, the
-    // dominant cost of a numMerges-round training at any vocab size
-    // (guide §1.2: the distributed shape is unchanged — map-side combine,
-    // 1-row driver argmax, exact integer sums, UTF-8 tie order).
+    // to tiny iterative SQL plans — the dominant cost of a numMerges-round
+    // training at any vocab size (guide §1.2: the distributed shape is
+    // unchanged — map-side combine, 1-row driver argmax, exact integer
+    // sums, UTF-8 tie order).
+    //
+    // Symbols are INT-ENCODED in the hot path: initial symbols are single
+    // UTF-16 code units (the toCharArray alphabet), so a char's code is
+    // its id; each learned merge mints id 65536+k for its NEW string —
+    // deduplicated through mergedId, so ids stay BIJECTIVE with symbol
+    // strings even when two different merges produce the same string
+    // (e.g. ("a","ab") and ("aa","b") both yielding "aab" — under string
+    // symbols those later count as one key, and the bijection preserves
+    // exactly that). The per-round pair explode then emits primitive
+    // (Long, Long) rows — no per-occurrence string/tuple allocation, Long
+    // instead of string-pair hashing in the map-side combine (guide §2.3:
+    // narrower shuffle keys) — and only the post-combine DISTINCT pairs
+    // are decoded back to strings inside the argmax ordering.
+    val MergedBase = 0x10000
+    val mergedStr = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mergedId = scala.collection.mutable.HashMap.empty[String, Int]
+    def decode(id: Int): String =
+      if (id < MergedBase) String.valueOf(id.toChar) else mergedStr(id - MergedBase)
     var vocab = wordCounts(source).as[(String, Long)].rdd
-      .map { case (w, n) => (w.toCharArray.map(_.toString), n) }
+      .map { case (w, n) => (w.toCharArray.map(_.toInt), n) }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevVocab: org.apache.spark.rdd.RDD[(Array[String], Long)] = null
+    var prevVocab: org.apache.spark.rdd.RDD[(Array[Int], Long)] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
+      // the tie order needs the strings; decode through an immutable
+      // snapshot of the (numMerges-bounded) merge table in the closure
+      val table = mergedStr.toArray
+      val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+        private def str(id: Int): String =
+          if (id < MergedBase) String.valueOf(id.toChar) else table(id - MergedBase)
+        def compare(x: (Long, Long), y: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(y._2, x._2)
+          if (c != 0) c
+          else {
+            val cl = utf8Compare(str((x._1 >>> 32).toInt), str((y._1 >>> 32).toInt))
+            if (cl != 0) cl else utf8Compare(str(x._1.toInt), str(y._1.toInt))
+          }
+        }
+      }
       val top = vocab.flatMap { case (syms, n) =>
           var i = 0
-          val out = new scala.collection.mutable.ArrayBuffer[((String, String), Long)](
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
             math.max(0, syms.length - 1))
-          while (i < syms.length - 1) { out += (((syms(i), syms(i + 1)), n)); i += 1 }
+          while (i < syms.length - 1) {
+            out += (((syms(i).toLong << 32) | syms(i + 1).toLong, n)); i += 1
+          }
           out
         }
         .reduceByKey(_ + _)
-        .takeOrdered(1)(topOrd)
+        .takeOrdered(1)(ord)
       // the argmax job materialized `vocab`'s persist — its parent (the
       // previous round's vocab) can now be released
       if (prevVocab != null) { prevVocab.unpersist(false); prevVocab = null }
       top.headOption match {
-        case Some(((l, r), cnt)) if cnt >= minCount =>
-          merges += ((rank, l, r, cnt))
+        case Some((key, cnt)) if cnt >= minCount =>
+          val l = (key >>> 32).toInt
+          val r = key.toInt
+          val (ls, rs) = (decode(l), decode(r))
+          merges += ((rank, ls, rs, cnt))
+          val to = mergedId.getOrElseUpdate(ls + rs,
+            { mergedStr += ls + rs; MergedBase + mergedStr.length - 1 })
           rank += 1
           prevVocab = vocab
           vocab = vocab
-            .map { case (syms, n) => (applyMerge(syms, l, r), n) }
+            .map { case (syms, n) => (applyMergeInt(syms, l, r, to), n) }
             .persist(StorageLevel.MEMORY_AND_DISK)
         case _ => done = true
       }
@@ -158,8 +199,32 @@ object BpeOps {
     val ranked = bpeTrain(spark, sfDir, numMerges, minCount)
       .as[(Int, String, String, Long)].collect().sortBy(_._1)
       .map(m => (m._2, m._3)).toSeq
-    val nUdf = udf((t: String) =>
-      Analyzer.tokenizeRaw(t).map(w => segmentWord(w, ranked).length.toLong).sum)
+    // Per-task word→pieces memo: segmentWord replays every learned merge
+    // over every token, and corpus tokens repeat heavily (Heaps' law), so
+    // segmenting once per DISTINCT word per task cuts the pass's compute
+    // by the corpus' repetition factor. The map ships EMPTY in the closure
+    // and each task deserializes its own copy — no cross-task or cross-run
+    // state, memory bounded by the task's distinct words.
+    val pieceCount: String => Long = {
+      val cache = new java.util.HashMap[String, java.lang.Long]()
+      (t: String) => {
+        val toks = Analyzer.tokenizeRaw(t)
+        var s = 0L
+        var i = 0
+        while (i < toks.length) {
+          val w = toks(i)
+          var c = cache.get(w)
+          if (c == null) {
+            c = java.lang.Long.valueOf(segmentWord(w, ranked).length.toLong)
+            cache.put(w, c)
+          }
+          s += c.longValue
+          i += 1
+        }
+        s
+      }
+    }
+    val nUdf = udf(pieceCount)
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), nUdf(col("text")).as("n_bpe"))
       .orderBy("doc_id")

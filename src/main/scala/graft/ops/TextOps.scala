@@ -34,6 +34,7 @@ object TextOps {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+
   /** (doc_id, n_tokens) raw token counts. */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -835,7 +836,13 @@ object TextOps {
     // tokenize+shingle pass over the corpus instead of one per consumer
     // (guide §1.2 — don't recompute what you already paid for; the pinned
     // rows are candidate-sized).
-    val cand0 = minHashCandidates(source, cfg)
+    // cand0 feeds TWO consumers (the id-set restriction and the broadcast
+    // pair join); without a lineage cut each consumer re-runs the whole
+    // banded-candidate kernel — a full corpus tokenize+minhash pass plus
+    // its bucket shuffle, twice per query. The pair set is candidate-sized
+    // ≪ corpus, so pinning it is free at any scale (guide §1.2: don't
+    // recompute what you already paid for).
+    val cand0 = minHashCandidates(source, cfg).localCheckpoint(false)
     val candIds = cand0.select(col("a").as("doc_id"))
       .union(cand0.select(col("b").as("doc_id"))).distinct()
     // per-doc shingle-set size rides ON the exploded rows (size(sh) before
