@@ -516,13 +516,18 @@ object SparkEntry {
   ) ++ stemOracle
 
   /** q_stem_topk's DuckDB oracle: stemming is SQL-expressible through the
-    * raw→stem mapping table DocQueries.stemTopK publishes when it runs
-    * (Verify executes every query before dumping oracle_sql.json). The
-    * query terms are stemmed with the same Norm the stemmed index uses.
-    * Empty only if the query never ran — the driver then records the
-    * weaker rows-only check, exactly as before. */
+    * raw→stem mapping table computed at DUMP time for the corpus
+    * DocQueries.stemTopK last served (Verify executes every query before
+    * dumping oracle_sql.json, so the corpus is recorded by then; the
+    * vocab-sized collect the inlined VALUES literal needs lives on this
+    * dump path only — never on the query surface). The query terms are
+    * stemmed with the same Norm the stemmed index uses. Empty only if
+    * the query never ran — the driver then records the weaker rows-only
+    * check, exactly as before. */
   private def stemOracle: Map[String, String] =
-    DocQueries.stemOraclePairs.filter(_.nonEmpty).map { pairs =>
+    DocQueries.stemCorpusDir.flatMap { _ =>
+      DocQueries.stemOraclePairs(org.apache.spark.sql.SparkSession.active)
+    }.filter(_.nonEmpty).map { pairs =>
       val stemQt = Analyzer.termFreqs(Analyzer.tokenize(
           "merging windows", graft.analysis.StopWords.english,
           Analyzer.EnglishStem))

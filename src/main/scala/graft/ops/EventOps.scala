@@ -118,33 +118,66 @@ object EventOps {
     * user's full event array). */
   def funnel(spark: SparkSession, sfDir: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    import spark.implicits._
+    val k = steps.length
+    val stepsArr = steps.toArray
+    // ONE pass instead of k frontier jobs: the per-user funnel state is k
+    // earliest-completion timestamps (t_j = min us of step j STRICTLY
+    // after t_{j-1}), and a single ascending-us sweep of a user's step
+    // events computes exactly those mins — each event independently
+    // advances every step j it can (its type matches, t_{j-1} is set,
+    // us > t_{j-1}; the strict > makes the sweep order-independent within
+    // equal timestamps, so no further tie-break is needed). Because t_j
+    // only sets once t_{j-1} is set, a user's reached steps form a
+    // PREFIX, so one small per-user row (prefix length) replaces the k
+    // shrinking frontier tables. Scale shape: one user-keyed shuffle of
+    // only the step-typed events + a spillable per-partition sort (the
+    // sessionize window shape — state per user is k timestamps, never an
+    // event array), then one k-row aggregate; the old form paid k
+    // filtered scans, k user-keyed joins and k count actions (O(k) jobs,
+    // measured ~0.5 s of pure scheduling at sf0.1).
+    val reached = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
         col("event_type"))
-    // frontier(k): (user_id, t_k) = earliest completion time of step k.
-    // Each frontier is pinned (lazy localCheckpoint, materialized by its
-    // own count) for the duration of the funnel: step k's count and step
-    // k+1's join both read it, and without the pin step k+1's count()
-    // would recompute every earlier step's scan+join chain (k counts =
-    // O(k²) scans). localCheckpoint rather than persist: a persisted
-    // plan's partitioning is pinned pre-AQE (measured 267 tasks for a
-    // users-sized frontier); the checkpointed RDD keeps the AQE-coalesced
-    // layout. Frontiers are users-sized — the bounded state this op is
-    // built around.
-    var frontier = ev.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min("us").as("t"))
-      .localCheckpoint(false)
-    var rows = List((1, steps.head, frontier.count()))
-    for ((s, i) <- steps.zipWithIndex.drop(1)) {
-      frontier = ev.filter(col("event_type") === s)
-        .join(frontier.select(col("user_id"), col("t").as("prev")), "user_id")
-        .filter(col("us") > col("prev"))
-        .groupBy("user_id").agg(min("us").as("t"))
-        .localCheckpoint(false)
-      rows = (i + 1, s, frontier.count()) :: rows
-    }
-    import spark.implicits._
-    rows.reverse.toDF("step", "event_type", "n_users")
+      .filter(col("event_type").isin(steps.distinct: _*))
+      .as[(Long, Long, String)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us")
+      .mapPartitions { it =>
+        new Iterator[(Long, Int)] {
+          private var cur = Long.MinValue
+          private var started = false
+          private val t = new Array[Long](k)
+          private var set = 0 // reached steps form a prefix: t(0..set-1) set
+          private var pending: Option[(Long, Int)] = None
+          private def flush(): Option[(Long, Int)] =
+            if (started && set > 0) Some((cur, set)) else None
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (u, us, tp) = it.next()
+              if (u != cur) {
+                pending = flush()
+                cur = u; started = true; set = 0
+              }
+              // only step `set` is ever eligible (prefix invariant), and
+              // the strict > means one event can never advance twice
+              if (set < k && stepsArr(set) == tp &&
+                  (set == 0 || us > t(set - 1))) { t(set) = us; set += 1 }
+            }
+            if (pending.isEmpty) { pending = flush(); started = false }
+          }
+          def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
+          def next(): (Long, Int) = { val r = pending.get; pending = None; r }
+        }
+      }
+    // k-row summary: n_users(step) = users whose prefix reaches it — a
+    // suffix sum over the (≤ k distinct) prefix-length counts
+    val byReach = reached.groupByKey(_._2).count().collect().toMap
+    val counts = (k to 1 by -1).scanLeft(0L) { case (acc, j) =>
+      acc + byReach.getOrElse(j, 0L)
+    }.drop(1).reverse // counts(j-1) = Σ_{r ≥ j} byReach(r)
+    steps.zipWithIndex.map { case (s, i) => (i + 1, s, counts(i)) }
+      .toDF("step", "event_type", "n_users")
       .select(col("step"), col("event_type"), col("n_users"))
   }
 

@@ -824,18 +824,6 @@ object TextOps {
   private[graft] def shingleOverlapOver(source: DataFrame,
       cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
     val shUdf = udf((t: String) => TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct)
-    val dsh = source
-      .select(col("doc_id"), shUdf(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("nd"), explode(col("sh")).as("s"))
-    // Candidate doc ids are ≪ corpus, so the corpus-sized exploded-shingle
-    // table is SEMI-JOINED down to candidate docs BEFORE anything joins on
-    // it — a broadcast semi-join is a map-side filter, so the full dsh
-    // never shuffles. The restricted table feeds BOTH sides of the
-    // intersection join, and the semi-join is map-side (no Exchange for
-    // ReuseExchange to share) — so it is localCheckpoint'd once: ONE
-    // tokenize+shingle pass over the corpus instead of one per consumer
-    // (guide §1.2 — don't recompute what you already paid for; the pinned
-    // rows are candidate-sized).
     // cand0 feeds TWO consumers (the id-set restriction and the broadcast
     // pair join); without a lineage cut each consumer re-runs the whole
     // banded-candidate kernel — a full corpus tokenize+minhash pass plus
@@ -845,11 +833,21 @@ object TextOps {
     val cand0 = minHashCandidates(source, cfg).localCheckpoint(false)
     val candIds = cand0.select(col("a").as("doc_id"))
       .union(cand0.select(col("b").as("doc_id"))).distinct()
-    // per-doc shingle-set size rides ON the exploded rows (size(sh) before
-    // the explode) instead of a separate count aggregate + two broadcast
-    // joins — two fewer jobs and one fewer pass, same na/nb values
-    val dshC = dsh
+    // Candidate doc ids are ≪ corpus, so the corpus is SEMI-JOINED down to
+    // candidate docs BEFORE the shingle re-tokenization — the broadcast
+    // semi-join is a map-side filter on the scan's own doc_id column, so
+    // the exact-overlap side tokenizes only candidate docs (the corpus
+    // pays one tokenize pass total, inside the banded kernel) and the full
+    // corpus never shuffles. The restricted exploded table feeds BOTH
+    // sides of the intersection join and is candidate-sized, so it is
+    // localCheckpoint'd once (guide §1.2 — don't recompute what you
+    // already paid for). The per-doc shingle-set size rides ON the
+    // exploded rows (size(sh) before the explode) instead of a separate
+    // count aggregate + two broadcast joins — same na/nb values.
+    val dshC = source
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nd"), explode(col("sh")).as("s"))
       .localCheckpoint(false) // lazy: the first consumer's job materializes
     broadcast(cand0)
       .join(dshC.select(col("doc_id").as("a"), col("nd").as("na"), col("s")), "a")
