@@ -64,8 +64,20 @@ object Analyzer extends Serializable {
     case _ => Identity
   }
 
+  /** ASCII fast-path tables: letter/digit membership and lowercase per
+    * 7-bit char, precomputed FROM the same Character methods the general
+    * path calls — identical classification and mapping, one array load
+    * instead of two intrinsic calls per character. ASCII dominates real
+    * corpora, and the per-character cost of the analyzer scan is a
+    * measured hot frame of the index build (thread-dump profile). */
+  private[analysis] val AsciiIsTok: Array[Boolean] =
+    Array.tabulate(128)(c => Character.isLetterOrDigit(c))
+  private[analysis] val AsciiLower: Array[Char] =
+    Array.tabulate(128)(c => Character.toLowerCase(c.toChar))
+
   /** Tokenize without stopword removal (codepoint iteration: surrogate
-    * pairs are one character, like the oracle's regex engine sees them). */
+    * pairs are one character, like the oracle's regex engine sees them;
+    * sub-128 chars take the table fast path — same classification). */
   def tokenizeRaw(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val out = mutable.ArrayBuilder.make[String]
@@ -73,14 +85,21 @@ object Analyzer extends Serializable {
     var i = 0
     val n = text.length
     while (i < n) {
-      val cp = text.codePointAt(i)
-      if (Character.isLetterOrDigit(cp)) {
-        sb.appendCodePoint(Character.toLowerCase(cp))
-      } else if (sb.length > 0) {
-        out += sb.toString
-        sb.setLength(0)
+      val c = text.charAt(i)
+      if (c < 128) {
+        if (AsciiIsTok(c)) sb.append(AsciiLower(c))
+        else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+        i += 1
+      } else {
+        val cp = text.codePointAt(i)
+        if (Character.isLetterOrDigit(cp)) {
+          sb.appendCodePoint(Character.toLowerCase(cp))
+        } else if (sb.length > 0) {
+          out += sb.toString
+          sb.setLength(0)
+        }
+        i += Character.charCount(cp)
       }
-      i += Character.charCount(cp)
     }
     if (sb.length > 0) out += sb.toString
     out.result()
@@ -118,18 +137,33 @@ object Analyzer extends Serializable {
     var i = 0
     val n = text.length
     while (i <= n) {
-      val cp = if (i < n) text.codePointAt(i) else ' '.toInt
-      if (i < n && Character.isLetterOrDigit(cp)) {
-        sb.appendCodePoint(Character.toLowerCase(cp))
-      } else if (sb.length > 0) {
-        val tok = norm(sb.toString)
-        sb.setLength(0)
-        if (!stop.contains(tok)) {
-          len += 1
-          tf.merge(tok, 1, (a, b) => a + b)
+      // sub-128 chars take the table fast path (same classification)
+      val c = if (i < n) text.charAt(i) else ' '
+      if (c < 128) {
+        if (AsciiIsTok(c)) sb.append(AsciiLower(c))
+        else if (sb.length > 0) {
+          val tok = norm(sb.toString)
+          sb.setLength(0)
+          if (!stop.contains(tok)) {
+            len += 1
+            tf.merge(tok, 1, (a, b) => a + b)
+          }
         }
+        i += 1
+      } else {
+        val cp = text.codePointAt(i)
+        if (Character.isLetterOrDigit(cp)) {
+          sb.appendCodePoint(Character.toLowerCase(cp))
+        } else if (sb.length > 0) {
+          val tok = norm(sb.toString)
+          sb.setLength(0)
+          if (!stop.contains(tok)) {
+            len += 1
+            tf.merge(tok, 1, (a, b) => a + b)
+          }
+        }
+        i += Character.charCount(cp)
       }
-      i += (if (i < n) Character.charCount(cp) else 1)
     }
     val terms = tf.keySet.toArray(new Array[String](tf.size))
     java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())
@@ -248,6 +282,22 @@ final class PartitionAnalyzer(stop: Set[String], norm: Analyzer.Norm = Analyzer.
     -1 // unreachable
   }
 
+  /** Intern + count buf's token if non-empty; returns 1 when a
+    * non-stopword token was recorded (its contribution to doc length). */
+  private def flushTok(): Int = {
+    if (buf.length == 0) return 0
+    val slot = slotOfBuf()
+    buf.setLength(0)
+    if (terms(slot) != null) { // not a stopword
+      if (stamps(slot) != epoch) {
+        stamps(slot) = epoch
+        counts(slot) = 1
+        recordTouched(slot)
+      } else counts(slot) += 1
+      1
+    } else 0
+  }
+
   /** ≡ Analyzer.analyze(text, stop, norm). */
   def analyze(text: String): (Int, Array[String], Array[Int]) = {
     if (text == null || text.isEmpty) return (0, Array.empty, Array.empty)
@@ -259,22 +309,20 @@ final class PartitionAnalyzer(stop: Set[String], norm: Analyzer.Norm = Analyzer.
     var i = 0
     val n = text.length
     while (i <= n) {
-      val cp = if (i < n) text.codePointAt(i) else ' '.toInt
-      if (i < n && Character.isLetterOrDigit(cp)) {
-        buf.appendCodePoint(Character.toLowerCase(cp))
-      } else if (buf.length > 0) {
-        val slot = slotOfBuf()
-        buf.setLength(0)
-        if (terms(slot) != null) { // not a stopword
-          len += 1
-          if (stamps(slot) != epoch) {
-            stamps(slot) = epoch
-            counts(slot) = 1
-            recordTouched(slot)
-          } else counts(slot) += 1
-        }
+      // sub-128 chars take the table fast path (same classification as
+      // the codepoint branch — see Analyzer.AsciiIsTok)
+      val c = if (i < n) text.charAt(i) else ' '
+      if (c < 128) {
+        if (Analyzer.AsciiIsTok(c)) buf.append(Analyzer.AsciiLower(c))
+        else len += flushTok()
+        i += 1
+      } else {
+        val cp = text.codePointAt(i)
+        if (Character.isLetterOrDigit(cp)) {
+          buf.appendCodePoint(Character.toLowerCase(cp))
+        } else len += flushTok()
+        i += Character.charCount(cp)
       }
-      i += (if (i < n) Character.charCount(cp) else 1)
     }
     if (nTouched == 0) return (len, Array.empty, Array.empty)
 
