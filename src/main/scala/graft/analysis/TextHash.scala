@@ -38,6 +38,57 @@ object TextHash extends Serializable {
     907, 1009, 1103, 1201, 1301, 1409, 1511, 1601)
   val MinHashK: Int = 8 // default member count (4 bands × 2 rows)
 
+  /** Continue the polyHash31 fold from `h0` over s's codepoints —
+    * polyHash31(prefix + s) == polyHash31Cont(polyHash31(prefix), s) for
+    * non-empty prefix (the seed rule only applies to the first char). */
+  @inline private def polyHash31Cont(h0: Long, s: String): Long = {
+    var h = h0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp.toLong) % P31
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** polyHash31 of the space-joined w-token window starting at `from` —
+    * ≡ polyHash31(tokens.slice(from, from+w).mkString(" ")) (pinned by a
+    * test) without building the shingle string: the hash folds straight
+    * over the window's codepoints with the joining space (32) between
+    * tokens. The MinHash signature kernel iterates every window of the
+    * doc; the string build (slice + mkString + the distinct set) was its
+    * dominant allocation cost, and a MIN over permuted hashes is
+    * duplicate-invariant, so the kernel needs neither the strings nor
+    * the dedup. */
+  def windowPolyHash31(tokens: Array[String], from: Int, w: Int): Long = {
+    var h = -1L
+    var t = from
+    val end = from + w
+    while (t < end) {
+      val s = tokens(t)
+      if (t > from) h = (h * 31L + 32L) % P31 // the joining ' '
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = if (h < 0) cp.toLong else (h * 31L + cp.toLong) % P31
+        i += Character.charCount(cp)
+      }
+      t += 1
+    }
+    if (h < 0) 0L else h
+  }
+
+  /** k-value MinHash signature over every w-window of `tokens` — the
+    * fused form of `minHashSig(shingles(tokens).distinct.map(polyHash31))`
+    * (identical signatures: the min over permuted hashes is unchanged by
+    * duplicate shingles, and windowPolyHash31 is the exact shingle-string
+    * hash). Empty when fewer than w tokens, like [[shingles]]. */
+  def minHashSigWindows(tokens: Array[String], w: Int, k: Int): Array[Long] =
+    if (tokens.length < w) Array.empty[Long]
+    else minHashSig(
+      Iterator.range(0, tokens.length - w + 1).map(windowPolyHash31(tokens, _, w)), k)
+
   /** k-value MinHash signature of a set of shingle hashes. */
   def minHashSig(shingleHashes: Iterator[Long], k: Int = MinHashK): Array[Long] = {
     require(k >= 2 && k <= MinHashA.length && k % 2 == 0,
@@ -111,9 +162,12 @@ object TextHash extends Serializable {
   def simHash63(tf: Map[String, Int]): Long = {
     val acc = new Array[Long](SimHashBits)
     tf.foreach { case (term, f) =>
+      // h2/h3 continue the fold from the '#'/'##' prefix hashes instead
+      // of concatenating prefix strings per term (same values:
+      // polyHash31("#") = 35, polyHash31("##") = 35·31+35 = 1120)
       val h1 = polyHash31(term)
-      val h2 = polyHash31("#" + term)
-      val h3 = polyHash31("##" + term)
+      val h2 = polyHash31Cont(35L, term)
+      val h3 = polyHash31Cont(1120L, term)
       var j = 0
       while (j < SimHashBits) {
         val bit =

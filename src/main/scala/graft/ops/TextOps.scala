@@ -517,10 +517,12 @@ object TextOps {
     * ngramJaccard — the band-bucket equi-join IS the scale path for both. */
   private def minHashBands(source: DataFrame, cfg: SimilarityConfig): DataFrame = {
     val k = cfg.minHashK
+    // fused signature kernel: hashes every 3-token window in place —
+    // no shingle-string build, no distinct set (a MIN over permuted
+    // hashes is duplicate-invariant; identical signatures, pinned by a
+    // TextHash test). <3 tokens ⇒ empty (SQL drops them too).
     val sigUdf = udf { (t: String) =>
-      val sh = TextHash.shingles(Analyzer.tokenizeRaw(t)).distinct
-      if (sh.isEmpty) Array.empty[Long] // <3 tokens: no signature (SQL drops them too)
-      else TextHash.minHashSig(sh.iterator.map(TextHash.polyHash31), k)
+      TextHash.minHashSigWindows(Analyzer.tokenizeRaw(t), 3, k)
     }
     source
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))

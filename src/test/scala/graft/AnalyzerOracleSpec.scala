@@ -110,6 +110,32 @@ class AnalyzerOracleSpec extends AnyFunSuite {
       ('a'.toLong * 31 + 119964L) % 2147483647L)
   }
 
+  test("fused hash kernels ≡ their string-building definitions") {
+    import graft.analysis.TextHash
+    val rnd = new scala.util.Random(7)
+    val words = Array("spark", "a", "东京", "naïve", "ab𝒜cd", "x1", "q", "longtokenhere")
+    for (_ <- 1 to 200) {
+      val toks = Array.fill(rnd.nextInt(9))(words(rnd.nextInt(words.length)))
+      // windowPolyHash31 ≡ polyHash31 of the space-joined shingle string
+      for (w <- 1 to 3; i <- 0 to toks.length - w)
+        assert(TextHash.windowPolyHash31(toks, i, w) ==
+          TextHash.polyHash31(toks.slice(i, i + w).mkString(" ")))
+      // the fused MinHash signature ≡ the shingles().distinct composition
+      val sh = TextHash.shingles(toks).distinct
+      val expected =
+        if (sh.isEmpty) Array.empty[Long]
+        else TextHash.minHashSig(sh.iterator.map(TextHash.polyHash31), 8)
+      assert(TextHash.minHashSigWindows(toks, 3, 8).sameElements(expected))
+      // simHash63's prefix-fold h2/h3 ≡ the string-concat definition
+      for (t <- toks) {
+        assert(TextHash.polyHash31("#" + t) ==
+          { var h = 35L; t.codePoints().toArray.foreach(cp => h = (h * 31 + cp) % TextHash.P31); h })
+        assert(TextHash.polyHash31("##" + t) ==
+          { var h = 1120L; t.codePoints().toArray.foreach(cp => h = (h * 31 + cp) % TextHash.P31); h })
+      }
+    }
+  }
+
   test("F1 + 'cat': both cat docs strictly outscore the dog doc (BM25RerankerBasicTests.cs:40-43)") {
     val scores = OracleBm25.scoreAll("cat", F1, en).map(_._2)
     assert(scores(0) > scores(1))
