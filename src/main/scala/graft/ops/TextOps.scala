@@ -833,8 +833,10 @@ object TextOps {
     // ≪ corpus, so pinning it is free at any scale (guide §1.2: don't
     // recompute what you already paid for).
     val cand0 = minHashCandidates(source, cfg).localCheckpoint(false)
+    // no distinct: the LeftSemi probe below only tests membership, so the
+    // broadcast build dedupes for free — one less Exchange per query
     val candIds = cand0.select(col("a").as("doc_id"))
-      .union(cand0.select(col("b").as("doc_id"))).distinct()
+      .union(cand0.select(col("b").as("doc_id")))
     // Candidate doc ids are ≪ corpus, so the corpus is SEMI-JOINED down to
     // candidate docs BEFORE the shingle re-tokenization — the broadcast
     // semi-join is a map-side filter on the scan's own doc_id column, so
