@@ -6,11 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
-  * `array<double>` columns — the exact-verify kernel of every embedding op
-  * (cosTopK / annIvf / similarPairs).
+  * `array<double>` (or `array<float>`) columns — the exact-verify kernel
+  * of every embedding op (cosTopK / annIvf / similarPairs).
   *
   * Why an Expression and not `aggregate(zip_with(...))` or a UDF: the
   * higher-order-function tree allocates a lambda frame per ELEMENT and is
@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * serialization on every row; `doGenCode` below emits the three
   * accumulations as one fused Java loop inside the generated stage —
   * no allocation, no virtual calls, SIMD-friendly.
+  *
+  * A float-array side is widened element-wise to double INSIDE the fused
+  * loop ((double)getFloat(i) — exact IEEE widening, so the result is
+  * bit-identical to decoding the array to `array<double>` first). This
+  * lets callers shuffle the raw float vectors (half the bytes of the
+  * decoded doubles, guide §2.3) and skip the interpreted `transform(_
+  * .cast("double"))` projection entirely.
   *
   * Math is the same left-to-right double accumulation the DuckDB oracle's
   * `sum(a*b) / (sqrt(sum(a²)) * sqrt(sum(b²)))` computes, so results stay
@@ -27,25 +34,32 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<double>, array<double>), " +
+      s"cosine_sim expects array<double> or array<float> on each side, " +
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def sideIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (sideIsFloat(left), sideIsFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -61,12 +75,16 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX =
+        if (sideIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY =
+        if (sideIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $x.getDouble($i);
-         |  double $yi = $y.getDouble($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

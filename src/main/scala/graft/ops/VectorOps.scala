@@ -75,24 +75,41 @@ object VectorOps {
     if (h4 % 2 == 1) 1L else -1L
   }
 
-  /** Band keys of one quantized vector — a tight integer kernel (the
-    * bits×64 multiply-add matrix as one pass; an aggregate-per-bit
-    * Catalyst expression tree for the same math was measured ~4× slower
-    * end-to-end from plan size alone). Integer sums ⇒ bit-identical to
-    * the SQL. Hyperplane row i is always hpSign(i·Dim + j), so raising
-    * lshBits EXTENDS the family without changing existing planes. */
+  /** round(x·1000) as the SQL `round(…, 0).cast("long")` computes it for a
+    * float-decoded double: Spark's Round on DoubleType goes through
+    * BigDecimal.valueOf (the shortest-decimal representation) with
+    * HALF_UP — replicated verbatim so the fused kernel below makes
+    * bit-identical bucketing decisions to [[quantize]] and to the DuckDB
+    * oracle's round(). Pinned ≡ the expression path by a property test. */
+  private[graft] def quantizeMilli(x: Float): Long =
+    java.math.BigDecimal.valueOf(x.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Band keys of one RAW FLOAT vector — quantize + the bits×64
+    * multiply-add matrix fused into a single tight integer kernel (an
+    * aggregate-per-bit Catalyst expression tree for the same math was
+    * measured ~4× slower end-to-end from plan size alone; the earlier
+    * two-step `transform(cast) → transform(round)` feed was two
+    * INTERPRETED higher-order passes per row — HOF lambdas are excluded
+    * from whole-stage codegen — before the UDF even ran). Integer sums ⇒
+    * bit-identical to the SQL. Hyperplane row i is always
+    * hpSign(i·Dim + j), so raising lshBits EXTENDS the family without
+    * changing existing planes. */
   private def bandKeysUdf(cfg: SimilarityConfig) = {
     val (bits, bands, rows) = (cfg.lshBits, cfg.lshBands, cfg.lshRows)
     val hpMatrix: Array[Array[Long]] =
       Array.tabulate(bits, Dim)((i, j) => hpSign(i * Dim + j))
-    udf { (qv: Seq[Long]) =>
+    udf { (ef: Seq[Float]) =>
+      val qv = new Array[Long](Dim)
+      var j = 0
+      while (j < Dim) { qv(j) = quantizeMilli(ef(j)); j += 1 }
       val keys = new Array[Long](bands)
       var i = 0
       while (i < bits) {
         val hp = hpMatrix(i)
         var d = 0L
-        var j = 0
-        while (j < Dim) { d += qv(j) * hp(j); j += 1 }
+        var k = 0
+        while (k < Dim) { d += qv(k) * hp(k); k += 1 }
         val bit = if (d >= 0) 1L else 0L
         val b = i / rows
         keys(b) = keys(b) * 2 + bit
@@ -102,13 +119,18 @@ object VectorOps {
     }
   }
 
-  /** Brute-force cosine top-k against the vector with vec_id = targetId. */
+  /** Brute-force cosine top-k against the vector with vec_id = targetId.
+    * Runs straight off the RAW FLOAT vectors — [[CosineSim]] widens each
+    * element to double inside its codegen loop (exact IEEE widening, so
+    * cosines are bit-identical to decoding first), which drops the
+    * interpreted corpus-wide `transform(cast)` projection per query. */
   def cosTopK(spark: SparkSession, sfDir: String, targetId: Long, k: Int): DataFrame = {
-    val v = emb(spark, sfDir)
-    val q = v.filter(col("vec_id") === targetId).select(col("e").as("qe"))
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = v.filter(col("vec_id") === targetId).select(col("embedding").as("qe"))
     v.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosineSim(col("e"), col("qe")), 4).as("cos"))
+        round(cosineSim(col("embedding"), col("qe")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -126,12 +148,12 @@ object VectorOps {
                       label: Int, k: Int): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = raw.filter(col("vec_id") === targetId)
-      .select(embCol(col("embedding")).as("qe"))
+      .select(col("embedding").as("qe"))
     raw.filter(col("label") === label)
-      .select(col("vec_id"), embCol(col("embedding")).as("e"))
+      .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosineSim(col("e"), col("qe")), 4).as("cos"))
+        round(cosineSim(col("embedding"), col("qe")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -470,13 +492,20 @@ object VectorOps {
     * global distinct (the per-pair dedup across bands is a tiny aggregate
     * over candidate pairs, ≪ corpus). The earlier band self-join +
     * two-sided join-back computed the same candidate set through 4
-    * shuffles and 3 joins; this plan does it in 2 shuffles. */
+    * shuffles and 3 joins; this plan does it in 2 shuffles.
+    *
+    * The bucket shuffle carries the RAW FLOAT vectors (half the bytes of
+    * the decoded doubles, guide §2.3) and the band keys come straight off
+    * the floats in one fused kernel ([[bandKeysUdf]]); [[CosineSim]]
+    * widens float elements to double inside its codegen loop — exact IEEE
+    * widening, so cosines (and the oracle hash) are bit-identical to the
+    * old decode-first plan. */
   def similarPairs(spark: SparkSession, sfDir: String, n: Int,
                    cfg: SimilarityConfig = SimilarityConfig.Default): DataFrame = {
-    val v = emb(spark, sfDir)
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val buckets = v
-      .select(col("vec_id"), col("e"),
-        posexplode(bandKeysUdf(cfg)(quantize(col("e")))).as(Seq("band", "key")))
+      .select(col("vec_id"), col("embedding").as("e"),
+        posexplode(bandKeysUdf(cfg)(col("embedding"))).as(Seq("band", "key")))
       .groupBy("band", "key")
       .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
       .filter(size(col("vs")) > 1)
@@ -634,11 +663,18 @@ object VectorOps {
       .select(col("vec_id"), adcUdf(lut)(col("codes")).as("d2"))
       .orderBy(asc("d2"), asc("vec_id")).limit(cfg.pqRefine)
       .select("vec_id")
-    val q = emb(spark, sfDir).filter(col("vec_id") === targetId)
-      .select(col("e").as("qe"))
-    emb(spark, sfDir).join(broadcast(cand), Seq("vec_id"))
+    // exact refine over RAW FLOAT vectors: the broadcast-join restriction
+    // runs against the scan itself and only the ≤ pqRefine survivors reach
+    // the codegen'd cosine (the old decode-first projection ran an
+    // interpreted transform(cast) over the WHOLE corpus before the join
+    // could prune it); float→double widening inside CosineSim is exact
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = raw.filter(col("vec_id") === targetId)
+      .select(col("embedding").as("qe"))
+    raw.join(broadcast(cand), Seq("vec_id"))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosineSim(col("e"), col("qe")), 4).as("cos"))
+      .select(col("vec_id"), round(cosineSim(col("embedding"), col("qe")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -671,11 +707,18 @@ object VectorOps {
       .select(col("vec_id"), adcUdf(lut)(col("codes")).as("d2"))
       .orderBy(asc("d2"), asc("vec_id")).limit(cfg.pqRefine)
       .select("vec_id")
-    val q = emb(spark, sfDir).filter(col("vec_id") === targetId)
-      .select(col("e").as("qe"))
-    emb(spark, sfDir).join(broadcast(cand), Seq("vec_id"))
+    // exact refine over RAW FLOAT vectors: the broadcast-join restriction
+    // runs against the scan itself and only the ≤ pqRefine survivors reach
+    // the codegen'd cosine (the old decode-first projection ran an
+    // interpreted transform(cast) over the WHOLE corpus before the join
+    // could prune it); float→double widening inside CosineSim is exact
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = raw.filter(col("vec_id") === targetId)
+      .select(col("embedding").as("qe"))
+    raw.join(broadcast(cand), Seq("vec_id"))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosineSim(col("e"), col("qe")), 4).as("cos"))
+      .select(col("vec_id"), round(cosineSim(col("embedding"), col("qe")), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }

@@ -116,6 +116,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
 
+  test("quantizeMilli ≡ the SQL round(x·1000) expression on floats") {
+    // the fused band-key kernel quantizes inside the UDF; its rounding must
+    // be bit-identical to the round(cast(x as double) * 1000) expression
+    // the DuckDB oracle mirrors — including decimal-halfway floats
+    // (0.0625f · 1000 = 62.5 exactly) and negatives (HALF_UP is
+    // half-AWAY-FROM-ZERO: -62.5 → -63)
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(3)
+    val adversarial = Seq(0.0625f, -0.0625f, 0.1875f, -0.1875f, 0.5f, -0.5f,
+      0.0005f, -0.0005f, 1.0005f, -1.0005f, 0.0f, 1e-8f, -1e-8f, 0.9995f)
+    val xs = adversarial ++ Seq.fill(20000)((rnd.nextDouble() * 2 - 1).toFloat)
+    val viaSql = xs.toDF("x")
+      .select(col("x"),
+        expr("cast(round(cast(x as double) * 1000, 0) as bigint)").as("q"))
+      .collect().map(r => (r.getFloat(0), r.getLong(1)))
+    viaSql.foreach { case (x, q) =>
+      assert(VectorOps.quantizeMilli(x) == q,
+        s"quantizeMilli($x) = ${VectorOps.quantizeMilli(x)} but SQL round gives $q")
+    }
+  }
+
   test("similarPairs is deterministic and label-free") {
     val sf = "/root/testdata/sf0.1"
     val p1 = VectorOps.similarPairs(spark, sf, 10).collect().toSeq

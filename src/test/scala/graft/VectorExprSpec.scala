@@ -32,6 +32,24 @@ class VectorExprSpec extends AnyFunSuite {
     self.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
   }
 
+  test("float-array inputs are bit-identical to decoding to double first") {
+    // (double)(float) is exact IEEE widening, so computing straight off the
+    // raw float vectors must reproduce the decode-first doubles EXACTLY —
+    // this is what lets similarPairs shuffle floats (half the bytes)
+    // without moving a single cosine at the oracle's 4-dp rounding
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((
+      Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat),
+      Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val dec = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val df = rows.toDF("af", "bf").select(
+      cosineSim($"af", $"bf").as("ff"),
+      cosineSim(dec($"af"), dec($"bf")).as("dd"),
+      cosineSim($"af", dec($"bf")).as("fd"))
+    assert(df.filter($"ff" =!= $"dd" || $"fd" =!= $"dd").count() == 0,
+      "float-side evaluation diverged from the decoded-double reference")
+  }
+
   test("null inputs propagate null; interpreted eval agrees with codegen") {
     val df = Seq(
       (Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0))),
