@@ -317,11 +317,16 @@ object TextOps {
                                cfg: SimilarityConfig): DataFrame = {
     require(maxHam <= 3, s"banded candidates are exhaustive only for maxHam <= 3 (got $maxHam)")
     val sh = udf((t: String) => TextHash.simHash63(Analyzer.termFreqs(Analyzer.tokenizeRaw(t))))
+    // literal-index band array for the same reason as [[minHashBands]]:
+    // transform(sequence(0,3), ...) evaluates interpreted; four constant
+    // shiftright/% structs stay inside whole-stage codegen. Same keys.
+    val bandArr = array((0 to 3).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), b * 16) % lit(65536)).as("key"))
+    }: _*)
     source
       .select(col("doc_id"), sh(col("text")).as("simhash"))
-      .select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-          "shiftright(simhash, cast(b * 16 AS int)) % 65536 AS key))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), explode(bandArr).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
       .groupBy("band", "key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
@@ -524,12 +529,19 @@ object TextOps {
     val sigUdf = udf { (t: String) =>
       TextHash.minHashSigWindows(Analyzer.tokenizeRaw(t), 3, k)
     }
+    // band structs as a literal-index array, NOT transform(sequence(...)):
+    // the band count is a plan-time constant, and a higher-order function
+    // evaluates its lambda INTERPRETED per element outside whole-stage
+    // codegen (guide §4) — an array of constant-ordinal element_at
+    // expressions is the same values in codegen. Same order, same keys.
+    val bandArr = array((0 until k / 2).map { b =>
+      struct(lit(b).as("band"),
+        (col("sig")(2 * b) * lit(2147483647L) + col("sig")(2 * b + 1)).as("key"))
+    }: _*)
     source
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .filter(size(col("sig")) === k)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${k / 2 - 1}), " +
-          "b -> struct(b AS band, sig[2*b] * 2147483647L + sig[2*b+1] AS key))")).as("bk"))
+      .select(col("doc_id"), explode(bandArr).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
@@ -993,7 +1005,10 @@ object TextOps {
     * linear — and the per-doc reassembly groupBy REUSES the join's
     * doc_id partitioning (no extra Exchange). Total: one doc-keyed
     * shuffle per side of the anti join, nothing all-pairs, nothing
-    * driver-side. */
+    * driver-side. (A fused alternative — per-doc span lists joined back
+    * to the raw docs, one map-side drop+rebuild UDF — shuffles ~10× fewer
+    * bytes but adds two AQE stage-jobs and measured slower at sf0.1 in an
+    * alternating A/B, so it stays out; see OPTIMIZATION_r06.md.) */
   def substrDedupApply(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
     substrDedupApplyOver(docs(spark, sfDir), n)
 
