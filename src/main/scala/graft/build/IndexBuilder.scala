@@ -1124,8 +1124,8 @@ object IndexBuilder {
         // sorts before every real tid) carrying each doc's length exactly once;
         // the reduce side re-attaches lengths before encoding.
         final class Chunk(val shard: Int) {
-          val docs = new ArrayBuffer[Byte](16)
-          val aux = new ArrayBuffer[Byte](8) // tfs for term chunks, lens for sidecars
+          val docs = new graft.codec.ByteBuf(16)
+          val aux = new graft.codec.ByteBuf(8) // tfs for term chunks, lens for sidecars
           var n = 0
           var firstDoc = 0L
           var prev = 0L

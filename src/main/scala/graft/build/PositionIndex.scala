@@ -79,9 +79,9 @@ object PositionIndex {
     var firstDoc = 0L
     var lastDoc = 0L
     var n = 0
-    val docs = new ArrayBuffer[Byte](8)
-    val cnts = new ArrayBuffer[Byte](4)
-    val pos = new ArrayBuffer[Byte](16)
+    val docs = new graft.codec.ByteBuf(8)
+    val cnts = new graft.codec.ByteBuf(4)
+    val pos = new graft.codec.ByteBuf(16)
     def addDoc(docId: Long): Unit = {
       if (n == 0) { firstDoc = docId; VByte.writeVLong(docs, docId) }
       else VByte.writeVLong(docs, docId - lastDoc)

@@ -1,7 +1,6 @@
 package graft.codec
 
 import graft.model.PosPosting
-import scala.collection.mutable.ArrayBuffer
 
 /** Positional posting-list encode/decode (the positional sidecar's codec —
   * the reference has no positional index at all; its phrase story is
@@ -26,9 +25,9 @@ object PosPostings {
   def encode(shard: Int, term: String, docIds: Array[Long],
              positions: Array[Array[Int]]): PosPosting = {
     require(docIds.length == positions.length, "docIds/positions length mismatch")
-    val docsOut = new ArrayBuffer[Byte](docIds.length * 2)
-    val cntsOut = new ArrayBuffer[Byte](docIds.length)
-    val posOut = new ArrayBuffer[Byte](docIds.length * 2)
+    val docsOut = new ByteBuf(docIds.length * 2)
+    val cntsOut = new ByteBuf(docIds.length)
+    val posOut = new ByteBuf(docIds.length * 2)
     var prev = 0L
     var i = 0
     while (i < docIds.length) {
@@ -54,8 +53,8 @@ object PosPostings {
   }
 
   private def fromBuffers(shard: Int, term: String, n: Int,
-                          docs: ArrayBuffer[Byte], cnts: ArrayBuffer[Byte],
-                          pos: ArrayBuffer[Byte]): PosPosting =
+                          docs: ByteBuf, cnts: ByteBuf,
+                          pos: ByteBuf): PosPosting =
     PosPosting(shard, term, n, docs.toArray, cnts.toArray, pos.toArray)
 
   /** One map-side chunk of a (shard, term) list: already encoded exactly
@@ -79,7 +78,7 @@ object PosPostings {
       n += p.n; cntLen += p.cnts.length; posLen += p.pos.length
       docsLen += p.docs.length
     }
-    val docsOut = new ArrayBuffer[Byte](docsLen)
+    val docsOut = new ByteBuf(docsLen)
     val cntsOut = new Array[Byte](cntLen)
     val posOut = new Array[Byte](posLen)
     var prevLast = 0L

@@ -1,7 +1,6 @@
 package graft.codec
 
 import graft.model.Posting
-import scala.collection.mutable.ArrayBuffer
 
 /** Posting-list encode/decode with per-block skip metadata for block-max
   * WAND (SURVEY.md §4 items 2-3). The reference materializes no postings at
@@ -39,9 +38,9 @@ object Postings {
     val blockDocOff = new Array[Int](nBlocks)
     val blockTfOff = new Array[Int](nBlocks)
     val blockLenOff = new Array[Int](nBlocks)
-    val docsOut = new ArrayBuffer[Byte](n * 2)
-    val tfsOut = new ArrayBuffer[Byte](n)
-    val lensOut = new ArrayBuffer[Byte](n)
+    val docsOut = new ByteBuf(n * 2)
+    val tfsOut = new ByteBuf(n)
+    val lensOut = new ByteBuf(n)
     var maxTf = 0
     var b = 0
     while (b < nBlocks) {

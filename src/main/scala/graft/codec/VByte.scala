@@ -1,6 +1,24 @@
 package graft.codec
 
-import scala.collection.mutable.ArrayBuffer
+/** Growable byte buffer specialized to Byte. Scala's `ArrayBuffer[T]` is
+  * unspecialized — it stores each element as a boxed reference in an
+  * `Array[AnyRef]`, so every appended posting byte costs an 8-byte slot
+  * write plus an indirection, and `toArray` unboxes element-by-element.
+  * The encoders below append one byte per posting-gap septet on the
+  * build's hottest path; a plain `Array[Byte]` with doubling growth is
+  * ~8× less memory traffic per byte (the 4N-side scaling lever). */
+final class ByteBuf(initial: Int = 16) {
+  private var buf = new Array[Byte](math.max(initial, 4))
+  private var n = 0
+  @inline def +=(b: Byte): Unit = {
+    if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+    buf(n) = b
+    n += 1
+  }
+  @inline def length: Int = n
+  def toArray: Array[Byte] =
+    if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+}
 
 /** Variable-byte (VByte) codec with delta encoding for sorted docID lists
   * (SURVEY.md §4 item 2; north rule: "delta-encoded, variable-byte-compressed
@@ -13,7 +31,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object VByte {
 
-  @inline def writeVLong(out: ArrayBuffer[Byte], value: Long): Unit = {
+  @inline def writeVLong(out: ByteBuf, value: Long): Unit = {
     var v = value
     while ((v & ~0x7FL) != 0L) {
       out += ((v & 0x7F) | 0x80).toByte
@@ -41,7 +59,7 @@ object VByte {
 
   /** Encode an ascending Long sequence as first-absolute + gaps. */
   def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](sorted.length + 4)
+    val out = new ByteBuf(sorted.length + 4)
     var prev = 0L
     var i = 0
     while (i < sorted.length) {
@@ -67,7 +85,7 @@ object VByte {
 
   /** Encode non-negative ints (term frequencies, doc lengths). */
   def encodeInts(values: Array[Int]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](values.length + 4)
+    val out = new ByteBuf(values.length + 4)
     var i = 0
     while (i < values.length) {
       writeVLong(out, values(i).toLong)
